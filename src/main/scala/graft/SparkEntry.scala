@@ -1,13 +1,116 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.pipeline.{Pipeline, PipelineSpec}
+import graft.sources.Transcripts
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Session settings every entry point needs:
+    * - ANSI off: invalid parses yield NULL (the operators' on_error path)
+    *   instead of runtime errors, matching the reference's per-entry error
+    *   handling;
+    * - UTC so time parsing is oracle-comparable.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  /** The flagship transcript pipeline: parse -> enrich -> route -> aggregate
+    * over the synthetic transcript table, covering the reference's hotrod
+    * end-to-end fixture semantics (`processor_test.go:258-345`) across the
+    * four generated payload shapes.
+    */
+  val hotrodRegex: String =
+    "^(?P<ts>.*)\\t(?P<log_level>.*)\\t(?P<location>.*)\\t(?P<msg>.*)\\t(?P<data_json>.*)$"
+
+  def transcriptPipeline: PipelineSpec = PipelineSpec(Seq(
+    RouterOp(Common("router"), Seq(
+      Route("body matches \"^[^\\t]*\\t[^\\t]*\\t[^\\t]*\\t[^\\t]*\\t[^\\t]*$\"", Seq("parse_hotrod")),
+      Route("body matches \"^\\\\s*\\\\{\"", Seq("parse_json")),
+      Route("body matches \"^status: \"", Seq("parse_status")),
+      Route("body matches \"^a=\"", Seq("parse_kv"))
+    ), default = Seq("noop")),
+
+    // hotrod chain: regex -> json tail -> severity -> time -> trace -> cleanup
+    RegexParserOp(Common("parse_hotrod", onError = OnError.Send, output = Seq("parse_hotrod_json")),
+      hotrodRegex),
+    JsonParserOp(Common("parse_hotrod_json",
+      ifExpr = Some("attributes?.data_json != nil && attributes.data_json matches \"^\\\\s*\\\\{.*\\\\}\\\\s*$\""),
+      onError = OnError.Send, output = Seq("hotrod_severity")),
+      parseFrom = FieldRef.Attr(Seq("data_json"))),
+    SeverityParserOp(Common("hotrod_severity",
+      ifExpr = Some("attributes?.log_level != nil"),
+      onError = OnError.Send, output = Seq("hotrod_time")),
+      SeveritySpec(FieldRef.Attr(Seq("log_level")), overwriteText = true)),
+    TimeParserOp(Common("hotrod_time",
+      ifExpr = Some("attributes?.ts != nil"),
+      onError = OnError.Send, output = Seq("hotrod_trace")),
+      TimeParserSpec(FieldRef.Attr(Seq("ts")), "strptime", "%Y-%m-%dT%H:%M:%S.%L%z")),
+    TraceParserOp(Common("hotrod_trace",
+      ifExpr = Some("attributes?.trace_id != nil"),
+      onError = OnError.Send, output = Seq("remove_data_json")),
+      TraceSpec(
+        traceId = Some(FieldRef.Attr(Seq("trace_id"))),
+        spanId = Some(FieldRef.Attr(Seq("span_id"))))),
+    RemoveOp(Common("remove_data_json",
+      ifExpr = Some("attributes?.data_json != nil"), output = Seq("noop")),
+      FieldRef.Attr(Seq("data_json"))),
+
+    // JSON body chain
+    JsonParserOp(Common("parse_json", onError = OnError.Send, output = Seq("json_severity"))),
+    SeverityParserOp(Common("json_severity",
+      ifExpr = Some("attributes?.status != nil"),
+      onError = OnError.Send, output = Seq("noop")),
+      SeveritySpec(FieldRef.Attr(Seq("status")), overwriteText = true,
+        mapping = Seq(
+          "info" -> Seq(Severity2xx), "info2" -> Seq(Severity3xx),
+          "warn" -> Seq(Severity4xx), "error" -> Seq(Severity5xx)))),
+
+    // grok status chain
+    GrokParserOp(Common("parse_status", onError = OnError.Send, output = Seq("status_severity")),
+      pattern = "status: %{INT:status_code:int}"),
+    SeverityParserOp(Common("status_severity",
+      ifExpr = Some("attributes?.status_code != nil"),
+      onError = OnError.Send, output = Seq("noop")),
+      SeveritySpec(FieldRef.Attr(Seq("status_code")), overwriteText = true,
+        mapping = Seq(
+          "info" -> Seq(Severity2xx), "info2" -> Seq(Severity3xx),
+          "warn" -> Seq(Severity4xx), "error" -> Seq(Severity5xx)))),
+
+    // kv chain
+    RegexParserOp(Common("parse_kv", onError = OnError.Send, output = Seq("noop")),
+      "^a=(?P<a>.+);b=(?P<b>.+)$"),
+
+    NoopOp(Common("noop"))
+  ))
+
+  private def Severity2xx = graft.functions.Severity.Str("2xx")
+  private def Severity3xx = graft.functions.Severity.Str("3xx")
+  private def Severity4xx = graft.functions.Severity.Str("4xx")
+  private def Severity5xx = graft.functions.Severity.Str("5xx")
+
+  /** Flagship query on synthetic transcripts; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    configure(spark)
+    val transcripts = Transcripts.generate(spark, nConvs = 2000, seed = 42L)
+    val logs = Transcripts.toLogFrame(transcripts)
+    val out = Pipeline.compile(transcriptPipeline)(logs)
+    out.groupBy(col("route"), col("severity_text")).count()
+      .orderBy(col("route"), col("severity_text"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Queries.oracles
 }

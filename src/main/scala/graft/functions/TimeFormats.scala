@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Time-layout kernels for the `time_parser` operator.
+  *
+  * The reference supports three layout types
+  * (`stanza/operator/helper/time.go:131-228`):
+  *  - `strptime`: C-style `%Y-%m-%d` directives, converted once at build time
+  *    (we translate to Java DateTimeFormatter patterns at the driver);
+  *  - `gotime`: Go reference-time layouts (translated the same way);
+  *  - `epoch`: `s|ms|us|ns|s.ms|s.us|s.ns` numeric layouts.
+  *
+  * All translation is driver-side; the per-row work is a plain Spark
+  * `to_timestamp` / integer arithmetic — fully codegen'd.
+  */
+object TimeFormats {
+
+  /** strptime directive -> Java DateTimeFormatter pattern fragment.
+    * Mirrors the public strptime->Go mapping the reference builds on
+    * (`helper/time.go:75-84`), retargeted at java.time.
+    */
+  private val strptimeMap: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy",
+    'm' -> "MM", 'b' -> "MMM", 'B' -> "MMMM",
+    'd' -> "dd", 'e' -> "d",
+    'a' -> "EEE", 'A' -> "EEEE",
+    'H' -> "HH", 'I' -> "hh", 'l' -> "h",
+    'p' -> "a",
+    'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", 'L' -> "SSS", 's' -> "SSSSSSSSS",
+    'Z' -> "zzz", 'z' -> "XXX",
+    'j' -> "DDD",
+    'n' -> "\n", 't' -> "\t"
+  )
+
+  /** Translate a strptime layout into a Java time pattern; literal text is
+    * single-quoted where needed.
+    */
+  def strptimeToJava(layout: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def appendLiteral(c: Char): Unit =
+      if (c.isLetter || c == '\'') sb.append('\'').append(if (c == '\'') "''" else c.toString).append('\'')
+      else sb.append(c)
+    while (i < layout.length) {
+      val c = layout.charAt(i)
+      if (c == '%' && i + 1 < layout.length) {
+        val d = layout.charAt(i + 1)
+        if (d == '%') appendLiteral('%')
+        else sb.append(strptimeMap.getOrElse(d,
+          throw new IllegalArgumentException(s"unsupported strptime directive %$d in '$layout'")))
+        i += 2
+      } else { appendLiteral(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Go reference-time layout -> Java pattern (the subset in real configs). */
+  def gotimeToJava(layout: String): String = {
+    // longest-first token replacement over the Go reference time constants
+    val tokens = Seq(
+      "2006" -> "yyyy", "06" -> "yy",
+      "January" -> "MMMM", "Jan" -> "MMM", "01" -> "MM",
+      "Monday" -> "EEEE", "Mon" -> "EEE",
+      "02" -> "dd", "_2" -> "d",
+      "15" -> "HH", "03" -> "hh",
+      "04" -> "mm", "05" -> "ss",
+      ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+      "PM" -> "a",
+      "Z07:00" -> "XXX", "Z0700" -> "XX", "-07:00" -> "xxx", "-0700" -> "xx",
+      "MST" -> "zzz"
+    )
+    var out = layout
+    tokens.foreach { case (go, jv) => out = out.replace(go, jv) }
+    out
+  }
+
+  val epochLayouts: Set[String] = Set("s", "ms", "us", "ns", "s.ms", "s.us", "s.ns")
+
+  /** Parse an epoch-layout value column to epoch NANOSECONDS (LongType).
+    * Accepts string or numeric inputs like the reference
+    * (`helper/time.go:168-228`): string inputs must be strictly integral for
+    * the integer layouts (Go `strconv.ParseInt`), numeric inputs truncate
+    * toward zero (Go `int64(v)`). Fractional `s.ms|s.us|s.ns` layouts read
+    * the digits after '.' as that sub-second unit (NOT as a decimal
+    * fraction) — faithful to `time.Unix(sec, subsec*mult)`.
+    * Requires `spark.sql.ansi.enabled=false` (invalid input -> NULL -> the
+    * operator's on_error path).
+    */
+  def epochToNanos(value: Column, layout: String, sourceIsNumeric: Boolean): Column = {
+    def intVal: Column =
+      if (sourceIsNumeric) value.cast("long")
+      else when(value.cast("string").rlike("^[+-]?[0-9]+$"), value.cast("string").cast("long"))
+    layout match {
+      case "s"  => intVal * lit(1000000000L)
+      case "ms" => intVal * lit(1000000L)
+      case "us" => intVal * lit(1000L)
+      case "ns" => intVal
+      case "s.ms" | "s.us" | "s.ns" =>
+        val mult = layout match { case "s.ms" => 1000000L; case "s.us" => 1000L; case _ => 1L }
+        val str = value.cast("string")
+        val sec = substring_index(str, ".", 1).cast("long")
+        val sub = when(str.contains("."), substring_index(str, ".", -1).cast("long")).otherwise(lit(0L))
+        sec * lit(1000000000L) + sub * lit(mult)
+      case other =>
+        throw new IllegalArgumentException(s"invalid epoch layout '$other'")
+    }
+  }
+
+  /** Full layout dispatch -> epoch-nanos column (null on parse failure,
+    * which the operator wrapper turns into the on_error path).
+    */
+  def parseToNanos(value: Column, layoutType: String, layout: String,
+      sourceIsNumeric: Boolean = false): Column = layoutType match {
+    case "epoch" => epochToNanos(value, layout, sourceIsNumeric)
+    case "strptime" =>
+      unix_micros(try_to_timestamp(value.cast("string"), lit(strptimeToJava(layout)))) * lit(1000L)
+    case "gotime" =>
+      unix_micros(try_to_timestamp(value.cast("string"), lit(gotimeToJava(layout)))) * lit(1000L)
+    case other => throw new IllegalArgumentException(s"unsupported layout type: $other")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.LogSchema
+import graft.operators._
+
+/** The compiled logs pipeline.
+  *
+  * The reference wires operators into a DAG by `output:` ids and pushes each
+  * entry through it row-at-a-time (`processor.go:74-86,168-191`). Here the
+  * whole DAG compiles into ONE declarative `DataFrame` transform chain:
+  * routing decisions materialize as a `route` column, and every downstream
+  * operator becomes a projection gated on the per-row reach condition
+  * (`route` membership AND its own `if:` guard). Catalyst collapses the
+  * gated projections into a single whole-stage-codegen'd pass over the scan —
+  * there is no per-operator materialization, no shuffle, and the plan scales
+  * linearly with input (embarrassingly parallel over partitions).
+  */
+final case class PipelineSpec(ops: Seq[Op]) {
+  require(ops.nonEmpty, "pipeline needs at least one operator")
+  require(ops.map(_.id).distinct.size == ops.size, "duplicate operator ids")
+}
+
+object Pipeline {
+
+  /** Compile the spec into a reusable transform. The input DataFrame must
+    * have the [[LogSchema.logRow]] columns (see [[Transcripts.toLogFrame]]).
+    * Output keeps all LogRow columns plus `route` (per router) and `sink`
+    * (the id of the terminal operator each row reached); rows consumed by a
+    * router with no matching route and no default are filtered out, matching
+    * the reference's silent drop.
+    */
+  def compile(spec: PipelineSpec): DataFrame => DataFrame = { input =>
+    val ops = spec.ops
+    val ids = ops.map(_.id).toSet
+
+    // which ops are terminal (emit points)? an op is terminal if nothing
+    // flows out of it: explicit empty `output` on last op, or a NoopOp used
+    // as a sink, or simply the last op in the chain.
+    def outputsOf(i: Int): Seq[String] = {
+      val op = ops(i)
+      op match {
+        case r: RouterOp => Nil // handled per-route
+        case _ =>
+          if (op.common.output.nonEmpty) op.common.output
+          else if (i + 1 < ops.length) Seq(ops(i + 1).id)
+          else Nil
+      }
+    }
+
+    val reach = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    def addReach(id: String, c: Column): Unit = {
+      require(ids.contains(id), s"unknown operator id in output: $id")
+      reach(id) = reach.get(id).map(_ || c).getOrElse(c)
+    }
+
+    var df = input
+    var firstRouterDone = false
+    val tails = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val r: Column =
+        if (i == 0) lit(true)
+        else reach.getOrElse(op.id, lit(false))
+
+      op match {
+        case router: RouterOp =>
+          val isFirst = !firstRouterDone
+          firstRouterDone = true
+          df = Ops.applyOp(df, router, r, isFirst)
+          val colName = Ops.routeCol(router.id, isFirst)
+          router.routes.zipWithIndex.foreach { case (rt, j) =>
+            val name = Ops.routeName(rt, j)
+            rt.output.foreach(o => addReach(o, r && col(colName) === name))
+          }
+          if (router.default.nonEmpty) {
+            val defName = router.default.head
+            router.default.foreach(o => addReach(o, r && col(colName) === defName))
+          }
+        case _ =>
+          df = Ops.applyOp(df, op, r)
+          val outs = outputsOf(i)
+          if (outs.isEmpty) tails += (op.id -> r)
+          else outs.foreach(o => addReach(o, r))
+      }
+    }
+
+    // emit: tag each row with the terminal operator it reached; rows that
+    // reached none (router black-hole) are dropped like the reference does.
+    val sinkCol = tails.foldRight(lit(null).cast("string")) { case ((id, cond), acc) =>
+      when(cond, lit(id)).otherwise(acc)
+    }
+    df.withColumn("sink", sinkCol).filter(col("sink").isNotNull)
+  }
+}
