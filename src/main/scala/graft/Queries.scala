@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.model.LogFrames
 import graft.operators._
-import graft.pipeline.{Pipeline, PipelineSpec}
+import graft.pipeline.{Exporter, ExporterConfig, Pipeline, PipelineSpec}
 
 /** The driver-checked query registry: each entry exercises one engine
-  * operator over the shared testdata tables, with a DuckDB-equivalent oracle
-  * in [[Queries.oracles]]. Column names are aligned between both sides.
+  * operator (SURVEY.md §2) over the shared testdata tables, with a
+  * DuckDB-equivalent oracle in [[Queries.oracles]]. Column names are aligned
+  * between both sides; results are deterministic sets.
   */
 object Queries {
 
@@ -17,7 +18,7 @@ object Queries {
     spark.read.parquet(s"$dir/$table.parquet")
 
   /** events table lifted into LogRow shape: props string is the body,
-    * event_type/value become typed attributes.
+    * event_type/value become typed attributes, user_id a resource label.
     */
   private def eventsAsLogs(spark: SparkSession, dir: String): DataFrame = {
     SparkEntry.configure(spark)
@@ -25,44 +26,80 @@ object Queries {
     LogFrames.withDefaults(
       ev.select(
         col("event_id"),
-        col("ts"),
         col("props").as("body"),
+        // testdata parquet stores TIMESTAMP_NTZ; session TZ is UTC so the
+        // cast is a pure reinterpretation
+        (unix_micros(col("ts").cast("timestamp")) * 1000L).as("timestamp"),
         map(lit("event_type"), col("event_type")).as("attributes_string"),
-        map(lit("value"), col("value")).as("attributes_number")))
+        map(lit("value"), col("value")).as("attributes_number"),
+        map(lit("user_id"), col("user_id").cast("string")).as("resources_string")))
   }
+
+  private val routerSpec = PipelineSpec(Seq(
+    RouterOp(Common("router"), Seq(
+      Route("attributes.event_type == \"error\"", Seq("errors")),
+      Route("attributes.value > 100", Seq("high_value"))
+    ), default = Seq("noop")),
+    NoopOp(Common("errors")),
+    NoopOp(Common("high_value")),
+    NoopOp(Common("noop"))
+  ))
+
+  private val routeCase =
+    """CASE WHEN event_type = 'error' THEN 'errors'
+      |     WHEN value > 100 THEN 'high_value'
+      |     ELSE 'noop' END""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // router: ordered first-match-wins routing (SURVEY §2.1 #8)
     "q_router" -> ((s, d) => {
-      val logs = eventsAsLogs(s, d)
-      val spec = PipelineSpec(Seq(
-        RouterOp(Common("router"), Seq(
-          Route("attributes.event_type == \"error\"", Seq("errors")),
-          Route("attributes.value > 100", Seq("high_value"))
-        ), default = Seq("noop")),
-        NoopOp(Common("errors")),
-        NoopOp(Common("high_value")),
-        NoopOp(Common("noop"))
-      ))
-      Pipeline.compile(spec)(logs)
+      Pipeline.compile(routerSpec)(eventsAsLogs(s, d))
         .groupBy(col("route")).agg(count(lit(1)).as("n"))
     }),
 
     // regex_parser: named-group extraction (SURVEY §2.1 #1)
     "q_regex_parser" -> ((s, d) => {
-      val logs = eventsAsLogs(s, d)
       val spec = PipelineSpec(Seq(
         RegexParserOp(Common("re"), "\"k\": (?P<kval>[0-9]+)"),
-        NoopOp(Common("noop"))
-      ))
-      Pipeline.compile(spec)(logs)
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
         .select(col("event_id"), col("attributes_string").getItem("kval").as("kval"))
+    }),
+
+    // grok_parser: dictionary expansion + typed capture (SURVEY §2.1 #2)
+    "q_grok_parser" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        GrokParserOp(Common("grok"), "\"k\": %{INT:kval:int}"),
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
+        .select(col("event_id"), col("attributes_number").getItem("kval").cast("long").as("kval"))
+    }),
+
+    // json_parser: body JSON -> typed attributes (SURVEY §2.1 #3)
+    "q_json_parser" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(JsonParserOp(Common("json")), NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
+        .select(col("event_id"), col("attributes_number").getItem("k").cast("long").as("kval"))
+    }),
+
+    // add/copy/move/remove chained (SURVEY §2.1 #4-#7)
+    "q_field_ops" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        AddOp(Common("add"), FieldRef.Attr(Seq("a1")), "EXPR(attributes.event_type)"),
+        CopyOp(Common("copy"), FieldRef.Attr(Seq("a1")), FieldRef.Attr(Seq("a2"))),
+        MoveOp(Common("move"), FieldRef.Attr(Seq("a2")), FieldRef.Attr(Seq("a3"))),
+        RemoveOp(Common("remove"), FieldRef.Attr(Seq("a1"))),
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
+        .select(col("event_id"),
+          col("attributes_string").getItem("a3").as("a3"),
+          map_contains_key(col("attributes_string"), "a1").as("has_a1"),
+          map_contains_key(col("attributes_string"), "a2").as("has_a2"))
     }),
 
     // severity_parser: alias mapping + canonical text (SURVEY §2.1 #9)
     "q_severity_parser" -> ((s, d) => {
-      val logs = eventsAsLogs(s, d)
       val spec = PipelineSpec(Seq(
         SeverityParserOp(Common("sev"), SeveritySpec(
           FieldRef.Attr(Seq("event_type")), overwriteText = true,
@@ -72,36 +109,118 @@ object Queries {
               graft.functions.Severity.Str("purchase")),
             "debug" -> Seq(graft.functions.Severity.Str("click"),
               graft.functions.Severity.Str("view"))))),
-        NoopOp(Common("noop"))
-      ))
-      Pipeline.compile(spec)(logs)
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
         .groupBy(col("severity_text"), col("severity_number"))
         .agg(count(lit(1)).as("n"))
     }),
 
-    // json_parser: body JSON -> typed attributes (SURVEY §2.1 #3)
-    "q_json_parser" -> ((s, d) => {
+    // time_parser: epoch seconds layout (SURVEY §2.1 #10)
+    "q_time_parser" -> ((s, d) => {
       val logs = eventsAsLogs(s, d)
+        .withColumn("attributes_string",
+          map(lit("ets"), expr("timestamp div 1000000000").cast("string")))
       val spec = PipelineSpec(Seq(
-        JsonParserOp(Common("json")),
-        NoopOp(Common("noop"))
-      ))
-      Pipeline.compile(spec)(logs)
-        .select(col("event_id"),
-          col("attributes_number").getItem("k").cast("long").as("kval"))
+        TimeParserOp(Common("time"), TimeParserSpec(FieldRef.Attr(Seq("ets")), "epoch", "s")),
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(logs).select(col("event_id"), col("timestamp"))
+    }),
+
+    // trace_parser: hex validate/decode + sink-side zero padding (SURVEY §2.1 #11)
+    "q_trace_parser" -> ((s, d) => {
+      val logs = eventsAsLogs(s, d)
+        .withColumn("conv_id", col("event_id").cast("string"))
+        .withColumn("attributes_string", map(lit("traceId"), lower(hex(col("event_id")))))
+      val spec = PipelineSpec(Seq(
+        TraceParserOp(Common("trace"), TraceSpec(
+          traceId = Some(FieldRef.Attr(Seq("traceId"))))),
+        NoopOp(Common("noop"))))
+      Exporter.logsV2(Pipeline.compile(spec)(logs))
+        .select(col("conv_id").cast("long").as("event_id"), col("trace_id"))
+    }),
+
+    // normalize: body canonicalization (SURVEY §2.1 #13)
+    "q_normalize" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(NormalizeOp(Common("norm")), NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
+        .select(col("event_id"), col("body"))
+    }),
+
+    // exporter: 30-min time bucketing (SURVEY §2.4)
+    "q_ts_bucket" -> ((s, d) => {
+      Exporter.logsV2(eventsAsLogs(s, d))
+        .groupBy(col("ts_bucket_start")).agg(count(lit(1)).as("n"))
+    }),
+
+    // exporter: usage metering per route (SURVEY §2.4)
+    "q_usage" -> ((s, d) => {
+      val main = Exporter.logsV2(Pipeline.compile(routerSpec)(eventsAsLogs(s, d)))
+      Exporter.usage(main).withColumnRenamed("route", "route")
+    }),
+
+    // exporter + spanmetrics-style severity histogram per route (SURVEY §2.5)
+    "q_severity_hist" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        RouterOp(Common("router"), Seq(
+          Route("attributes.event_type == \"error\"", Seq("errors")),
+          Route("attributes.value > 100", Seq("high_value"))
+        ), default = Seq("noop")),
+        SeverityParserOp(Common("errors", output = Seq("__done1")), SeveritySpec(
+          FieldRef.Attr(Seq("event_type")), overwriteText = true,
+          mapping = Seq("error" -> Seq(graft.functions.Severity.Str("error"))))),
+        SeverityParserOp(Common("high_value", output = Seq("__done2")), SeveritySpec(
+          FieldRef.Attr(Seq("event_type")), overwriteText = true,
+          mapping = Seq("warn" -> Seq(
+            graft.functions.Severity.Str("signup"), graft.functions.Severity.Str("purchase"),
+            graft.functions.Severity.Str("click"), graft.functions.Severity.Str("view"))))),
+        SeverityParserOp(Common("noop", output = Seq("__done3")), SeveritySpec(
+          FieldRef.Attr(Seq("event_type")), overwriteText = true,
+          mapping = Seq("info" -> Seq(
+            graft.functions.Severity.Str("signup"), graft.functions.Severity.Str("purchase"),
+            graft.functions.Severity.Str("click"), graft.functions.Severity.Str("view"))))),
+        NoopOp(Common("__done1")), NoopOp(Common("__done2")), NoopOp(Common("__done3"))))
+      Exporter.severityHistogram(Exporter.logsV2(Pipeline.compile(spec)(eventsAsLogs(s, d))))
+    }),
+
+    // exporter: per-bucket resource dedup (SURVEY §2.4)
+    "q_resource_dedup" -> ((s, d) => {
+      val main = Exporter.logsV2(eventsAsLogs(s, d))
+      Exporter.resources(main).agg(count(lit(1)).as("n"))
+    }),
+
+    // exporter: tag attribute metadata rows (SURVEY §2.4)
+    "q_tag_attributes" -> ((s, d) => {
+      val main = Exporter.logsV2(eventsAsLogs(s, d))
+      Exporter.tagAttributes(main)
+        .groupBy(col("tag_key"), col("tag_type"), col("tag_data_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // exporter: attribute/resource key metadata (SURVEY §2.4)
+    "q_attribute_keys" -> ((s, d) => {
+      val main = Exporter.logsV2(eventsAsLogs(s, d))
+      Exporter.attributeKeys(main).unionAll(Exporter.resourceKeys(main))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q_router" ->
-      """SELECT CASE WHEN event_type = 'error' THEN 'errors'
-        |            WHEN value > 100 THEN 'high_value'
-        |            ELSE 'noop' END AS route,
-        |       count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin,
+      s"""SELECT $routeCase AS route, count(*) AS n FROM events GROUP BY 1""",
+
     "q_regex_parser" ->
-      """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS kval
+      """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS kval FROM events""",
+
+    "q_grok_parser" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS kval
         |FROM events""".stripMargin,
+
+    "q_json_parser" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS kval
+        |FROM events""".stripMargin,
+
+    "q_field_ops" ->
+      """SELECT event_id, event_type AS a3, false AS has_a1, false AS has_a2 FROM events""",
+
     "q_severity_parser" ->
       """SELECT CASE event_type WHEN 'error' THEN 'ERROR'
         |                       WHEN 'signup' THEN 'INFO' WHEN 'purchase' THEN 'INFO'
@@ -111,8 +230,69 @@ object Queries {
         |                       ELSE 5 END AS severity_number,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_json_parser" ->
-      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS kval
-        |FROM events""".stripMargin
+
+    "q_time_parser" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS timestamp
+        |FROM events""".stripMargin,
+
+    "q_trace_parser" ->
+      """SELECT event_id,
+        |       CASE WHEN length(hex(event_id)) % 2 = 0
+        |            THEN lpad(lower(hex(event_id)), 32, '0') ELSE '' END AS trace_id
+        |FROM events""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT event_id,
+        |       '{"k":' || regexp_extract(props, '"k": ([0-9]+)', 1) || '}' AS body
+        |FROM events""".stripMargin,
+
+    "q_ts_bucket" ->
+      """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS ts_bucket_start,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_usage" ->
+      s"""SELECT $routeCase AS route, count(*) AS n_records,
+         |       CAST(SUM(length(props) + 17 + length(event_type)
+         |           + 14 + length(CAST(user_id AS VARCHAR))) AS BIGINT) AS n_bytes
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_severity_hist" ->
+      s"""SELECT $routeCase AS route,
+         |       CASE WHEN event_type = 'error' THEN 'ERROR'
+         |            WHEN value > 100 THEN 'WARN' ELSE 'INFO' END AS severity_text,
+         |       CASE WHEN event_type = 'error' THEN 17
+         |            WHEN value > 100 THEN 13 ELSE 9 END AS severity_number,
+         |       count(*) AS n
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_resource_dedup" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+        |  FROM events)""".stripMargin,
+
+    "q_tag_attributes" ->
+      """WITH hours AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000 AS h,
+        |         event_type, value, user_id, ts FROM events
+        |)
+        |SELECT tag_key, tag_type, tag_data_type, count(*) AS n FROM (
+        |  SELECT DISTINCT h, 'event_type' AS tag_key, 'tag' AS tag_type,
+        |         'string' AS tag_data_type, event_type AS sv, NULL AS nv FROM hours
+        |  UNION ALL
+        |  SELECT DISTINCT h, 'value', 'tag', 'float64', NULL, value FROM hours
+        |  UNION ALL
+        |  SELECT DISTINCT h, 'user_id', 'resource', 'string',
+        |         CAST(user_id AS VARCHAR), NULL FROM hours
+        |  UNION ALL
+        |  SELECT DISTINCT h, 'severity_text', 'logfield', 'string', '', NULL FROM hours
+        |  UNION ALL
+        |  SELECT DISTINCT h, 'severity_number', 'logfield', 'float64', NULL, 0.0 FROM hours
+        |) GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_attribute_keys" ->
+      """SELECT 'event_type' AS name, 'string' AS datatype
+        |UNION ALL SELECT 'value', 'float64'
+        |UNION ALL SELECT 'user_id', 'string'""".stripMargin
   )
 }

@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{KeyCheck, ResourceFingerprint}
+
+/** The exporter stage: one shared upstream -> five sink-shaped DataFrames,
+  * replicating `exporter/clickhouselogsexporter/exporter.go` semantics
+  * (SURVEY.md §2.4) with Spark primitives:
+  *
+  *  - time bucketing `(ts_sec / 1800) * 1800` (exporter.go:510-512)
+  *  - resource fingerprint + sorted-key labels JSON (exporter.go:655-712)
+  *  - per-bucket resource dedup == `dropDuplicates`; the cross-batch rfCache
+  *    becomes an optional anti-join against already-written rows
+  *    (exporter.go:776-791)
+  *  - tag/key metadata via `explode(map_entries(...))`, keycheck-filtered,
+  *    value-length capped, cardinality skip-set honored (exporter.go:887-1005)
+  *  - age cutoff filter (exporter.go:515,693-696)
+  *  - usage metering counts/sizes per sink/route (usage/common.go:56-63)
+  *
+  * Determinism deviations (required for row-set equality testing, SURVEY §7.1):
+  * ids are `conv_id#turn_idx` instead of random ksuids; the tag unix_milli
+  * hour comes from the record timestamp instead of wall-clock `time.Now()`.
+  */
+final case class ExporterConfig(
+    bucketSeconds: Long = 1800L,
+    maxAttributeValueLength: Int = 256, // internal/common/attribute_limits.go:5
+    oldestAllowedTsNanos: Long = 0L, // deterministic age cutoff; 0 keeps all
+    skipKeys: Set[String] = Set.empty // "key:tagType:dataType" cardinality guard
+)
+
+object Exporter {
+
+  /** Sorted-key compact JSON of a string map — what Go's `json.Marshal`
+    * produces for the resource labels column (exporter.go:656-661).
+    */
+  def sortedMapJson(m: Column): Column =
+    when(m.isNull, lit(null).cast("string"))
+      .otherwise(coalesce(to_json(map_from_entries(array_sort(map_entries(m)))), lit("{}")))
+
+  /** The main logs_v2-shaped sink (v2_squashed_logs_migration.go:163-209). */
+  def logsV2(pipelineOut0: DataFrame, cfg: ExporterConfig = ExporterConfig()): DataFrame = {
+    // router-less pipelines still fan out: single default route
+    val pipelineOut = Seq("route" -> "default", "sink" -> "").foldLeft(pipelineOut0) {
+      case (df, (c, v)) => if (df.columns.contains(c)) df else df.withColumn(c, lit(v))
+    }
+    val ts0 = col("timestamp")
+    val ots0 = col("observed_timestamp")
+    // ts==0 falls back to observed ts (exporter.go:686-696); the reverse
+    // fallback uses the record's own time, never the wall clock
+    val ots = when(ots0 === 0L, ts0).otherwise(ots0)
+    val ts = when(ts0 === 0L, ots).otherwise(ts0)
+
+    val withCols = pipelineOut
+      .withColumn("observed_timestamp", ots)
+      .withColumn("timestamp", ts)
+      .filter(col("timestamp") >= lit(cfg.oldestAllowedTsNanos))
+      // integer `div` throughout: double division of ns-scale longs loses
+      // precision above 2^53
+      .withColumn("ts_bucket_start",
+        expr(s"((timestamp div 1000000000) div ${cfg.bucketSeconds}) * ${cfg.bucketSeconds}"))
+      .withColumn("labels", sortedMapJson(col("resources_string")))
+      .withColumn("resource_fingerprint", ResourceFingerprint(col("resources_string")))
+      // deterministic surrogate for the ksuid (exporter.go:698-701)
+      .withColumn("id", concat(col("conv_id"), lit("#"),
+        lpad(col("turn_idx").cast("string"), 6, "0")))
+      // short ids are zero-padded at the plog boundary (utils.go:137-155)
+      .withColumn("trace_id",
+        when(col("trace_id").isNotNull && col("trace_id") =!= "", lpad(col("trace_id"), 32, "0"))
+          .otherwise(lit("")))
+      .withColumn("span_id",
+        when(col("span_id").isNotNull && col("span_id") =!= "", lpad(col("span_id"), 16, "0"))
+          .otherwise(lit("")))
+      // usage metering record size (exporter.go:742-745)
+      .withColumn("record_size",
+        coalesce(length(col("body")).cast("long"), lit(0L)) +
+          coalesce(length(to_json(col("attributes_string"))).cast("long"), lit(2L)) +
+          coalesce(length(to_json(col("resources_string"))).cast("long"), lit(2L)))
+
+    withCols.select(
+      col("ts_bucket_start"), col("resource_fingerprint"),
+      col("timestamp"), col("observed_timestamp"), col("id"),
+      col("trace_id"), col("span_id"), col("trace_flags"),
+      col("severity_text"), col("severity_number"),
+      col("body"),
+      col("attributes_string"), col("attributes_number"), col("attributes_bool"),
+      col("resources_string"),
+      col("scope_name"), col("scope_version"),
+      // provenance + fan-out + metering extras (not part of the CH schema but
+      // carried for the equality/count assertions)
+      col("labels"), col("record_size"),
+      col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+      col("route"), col("sink"))
+  }
+
+  /** logs_v2_resource: one row per distinct (labels, fingerprint) per bucket
+    * (v2_squashed_logs_migration.go:263-305). `existing` models the
+    * cross-batch rfCache: rows already in the sink are not re-emitted.
+    */
+  def resources(logsV2: DataFrame, existing: Option[DataFrame] = None): DataFrame = {
+    val fresh = logsV2
+      .select(col("labels"), col("resource_fingerprint").as("fingerprint"),
+        col("ts_bucket_start").as("seen_at_ts_bucket_start"))
+      .dropDuplicates("fingerprint", "seen_at_ts_bucket_start")
+    existing match {
+      case Some(e) => fresh.join(e.select("fingerprint", "seen_at_ts_bucket_start"),
+        Seq("fingerprint", "seen_at_ts_bucket_start"), "left_anti")
+      case None => fresh
+    }
+  }
+
+  private val isRandomKeyUdf = udf((k: String) => k != null && KeyCheck.isRandomKey(k))
+
+  /** All candidate tag rows before filtering: (unix_milli, tag_key, tag_type,
+    * tag_data_type, string_value, number_value). Deduped like the TTL caches
+    * dedup repeats within a window.
+    */
+  private def tagRows(logsV2: DataFrame): DataFrame = {
+    // hour-rounded from the record ts (deterministic stand-in for
+    // `(time.Now().UnixMilli()/3600000)*3600000`, exporter.go:929)
+    val unixMilli = expr("((timestamp div 1000000) div 3600000) * 3600000")
+
+    def explodeMap(m: Column, tagType: String, dataType: String,
+        strVal: Column => Column, numVal: Column => Column): DataFrame =
+      logsV2.select(unixMilli.as("unix_milli"), explode(map_entries(m)).as("e"))
+        .select(col("unix_milli"),
+          col("e.key").as("tag_key"),
+          lit(tagType).as("tag_type"),
+          lit(dataType).as("tag_data_type"),
+          strVal(col("e.value")).as("string_value"),
+          numVal(col("e.value")).cast("double").as("number_value"))
+
+    val nullStr = (_: Column) => lit(null).cast("string")
+    val nullNum = (_: Column) => lit(null).cast("double")
+
+    val attrStr = explodeMap(col("attributes_string"), "tag", "string", identity, nullNum)
+    val attrNum = explodeMap(col("attributes_number"), "tag", "float64", nullStr, identity)
+    val attrBool = explodeMap(col("attributes_bool"), "tag", "bool", nullStr, nullNum)
+    // resource attrs are force-stringified (exporter.go:656, forceStringValues=true)
+    val res = explodeMap(col("resources_string"), "resource", "string", identity, nullNum)
+    // logfields: severity_text/severity_number (exporter.go:741)
+    val lfStr = logsV2.select(unixMilli.as("unix_milli"),
+      lit("severity_text").as("tag_key"), lit("logfield").as("tag_type"),
+      lit("string").as("tag_data_type"), col("severity_text").as("string_value"),
+      lit(null).cast("double").as("number_value"))
+    val lfNum = logsV2.select(unixMilli.as("unix_milli"),
+      lit("severity_number").as("tag_key"), lit("logfield").as("tag_type"),
+      lit("float64").as("tag_data_type"), lit(null).cast("string").as("string_value"),
+      col("severity_number").cast("double").as("number_value"))
+
+    attrStr.unionAll(attrNum).unionAll(attrBool).unionAll(res)
+      .unionAll(lfStr).unionAll(lfNum)
+  }
+
+  /** tag_attributes_v2 sink rows (keycheck + value length + skip-set applied,
+    * deduped within the batch like the TTL cache would).
+    */
+  def tagAttributes(logsV2: DataFrame, cfg: ExporterConfig = ExporterConfig()): DataFrame = {
+    val rows = tagRows(logsV2)
+      .dropDuplicates("unix_milli", "tag_key", "tag_type", "tag_data_type",
+        "string_value", "number_value")
+      .filter(!isRandomKeyUdf(col("tag_key")))
+      .filter(col("string_value").isNull ||
+        length(col("string_value")) <= cfg.maxAttributeValueLength)
+    if (cfg.skipKeys.isEmpty) rows
+    else rows.filter(!concat_ws(":", col("tag_key"), col("tag_type"), col("tag_data_type"))
+      .isin(cfg.skipKeys.toSeq: _*))
+  }
+
+  /** logs_attribute_keys / logs_resource_keys: distinct (name, datatype) for
+    * tag/resource tag types; scope+logfield keys are emitted to neither
+    * (exporter.go:887-919 switch).
+    */
+  def attributeKeys(logsV2: DataFrame): DataFrame =
+    tagRows(logsV2).filter(col("tag_type") === "tag")
+      .select(col("tag_key").as("name"), col("tag_data_type").as("datatype"))
+      .filter(!isRandomKeyUdf(col("name")))
+      .dropDuplicates()
+
+  def resourceKeys(logsV2: DataFrame): DataFrame =
+    tagRows(logsV2).filter(col("tag_type") === "resource")
+      .select(col("tag_key").as("name"), col("tag_data_type").as("datatype"))
+      .filter(!isRandomKeyUdf(col("name")))
+      .dropDuplicates()
+
+  /** Usage metering: per-route record counts + byte sizes
+    * (usage/common.go:56-63, flushed per tenant/exporter).
+    */
+  def usage(logsV2: DataFrame): DataFrame =
+    logsV2.groupBy(col("route"))
+      .agg(count(lit(1)).as("n_records"), sum(col("record_size")).as("n_bytes"))
+
+  /** Severity histogram per route (spanmetrics-style bucketing,
+    * signozspanmetricsprocessor/processor.go:1071-1086).
+    */
+  def severityHistogram(logsV2: DataFrame): DataFrame =
+    logsV2.groupBy(col("route"), col("severity_text"), col("severity_number"))
+      .agg(count(lit(1)).as("n"))
+
+  def toolHistogram(logsV2: DataFrame): DataFrame =
+    logsV2.groupBy(col("route"), col("tool")).agg(count(lit(1)).as("n"))
+
+  /** The 5-way fan-out from one shared upstream (exporter.go:796-827): cache
+    * the logs_v2 projection once, derive every side sink from it.
+    */
+  def fanOut(pipelineOut: DataFrame, cfg: ExporterConfig = ExporterConfig(),
+      existingResources: Option[DataFrame] = None): Map[String, DataFrame] = {
+    val main = logsV2(pipelineOut, cfg)
+    Map(
+      "logs_v2" -> main,
+      "logs_v2_resource" -> resources(main, existingResources),
+      "tag_attributes_v2" -> tagAttributes(main, cfg),
+      "logs_attribute_keys" -> attributeKeys(main),
+      "logs_resource_keys" -> resourceKeys(main))
+  }
+}
