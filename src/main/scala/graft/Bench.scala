@@ -1,26 +1,122 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Exporter, Pipeline}
+import graft.sources.Transcripts
+
+/** Benchmark main. Emits ONE JSON line:
+  * `{"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
+  *   "scaling":{...}}`
+  *
+  * Two parts:
+  *  1. per-query wall time over `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS`
+  *     (the driver's headline numbers);
+  *  2. the BASELINE.json scaling evidence: the identical parse->route->export
+  *     job over the same pre-written transcript parquet at N and 4N local
+  *     cores, reporting turns/sec at both and efficiency
+  *     = rate_4N / (4 * rate_N). Target >= 0.8.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Force full evaluation of the parsed+routed+exported frame: aggregate
+    * hashes of every computed column family so Catalyst cannot prune the
+    * work a plain count() would skip.
+    */
+  private def forceEval(df: DataFrame): Long =
+    df.select(xxhash64(
+      col("route"), col("severity_number"), col("severity_text"),
+      col("timestamp"), col("ts_bucket_start"), col("resource_fingerprint"),
+      col("trace_id"), col("id"),
+      size(col("attributes_string")), size(col("attributes_number")))
+      .as("h"))
+      .agg(sum(col("h"))).collect().head.getLong(0)
+
+  /** One timed pass at `cores`; returns (rows, seconds). */
+  private def scalingRun(cores: Int, inputPath: String): (Long, Double) = {
+    val spark = session(cores)
+    try {
+      val input = spark.read.parquet(inputPath)
+      val main = Exporter.logsV2(
+        Pipeline.compile(SparkEntry.transcriptPipeline)(Transcripts.toLogFrame(input)))
+      // warm: JIT + codegen compile on a small slice
+      forceEval(Exporter.logsV2(Pipeline.compile(SparkEntry.transcriptPipeline)(
+        Transcripts.toLogFrame(input.limit(10000)))))
+      val t0 = System.nanoTime()
+      forceEval(main)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (input.count(), sec)
+    } finally spark.stop()
+  }
+
+  /** Interleaved best-of-N per level: this host's throughput fluctuates
+    * multi-x on minute timescales (identical runs measured 7.8s..113s), so
+    * the two levels are sampled alternately across the same wall-clock
+    * window and the min per level is reported.
+    */
+  private def scalingPair(n: Int, n4: Int, inputPath: String,
+      reps: Int): (Long, Double, Double) = {
+    var rows = 0L
+    val tN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t4N = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { _ =>
+      val (r1, s1) = scalingRun(n, inputPath); rows = r1; tN += s1
+      val (_, s2) = scalingRun(n4, inputPath); t4N += s2
+    }
+    (rows, rows / tN.min, rows / t4N.min)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val scale4N = scaleN * 4
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toLong
+
+    // part 1: per-query timings
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // part 2: scaling evidence over one shared deterministic input.
+    // 256 files so the scan has plenty of splits at every parallelism level
+    // (a handful of big files caps effective parallelism at the file count —
+    // at real scale the table has thousands of files).
+    val inputPath = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_transcripts"
+    Transcripts.generate(spark, benchConvs, seed = 42L)
+      .repartition(256)
+      .write.mode("overwrite").parquet(inputPath)
     spark.stop()
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val (rowsN, rateN, rate4N) = scalingPair(scaleN, scale4N, inputPath, reps)
+    val efficiency = rate4N / (4.0 * rateN)
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scaling =
+      f"""{"turns":$rowsN,"cores_n":$scaleN,"turns_per_sec_n":${rateN}%.1f,""" +
+        f""""cores_4n":$scale4N,"turns_per_sec_4n":${rate4N}%.1f,""" +
+        f""""efficiency":${efficiency}%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline queries (dedup family, ANN, text analysis,
+  * multimodal plumbing) over the documents/embeddings tables, with DuckDB
+  * oracles where the kernel is SQL-expressible (md5-derived hashing keeps
+  * signatures engine-portable). SimHash and the fake media decode get
+  * rows-only checks.
+  */
+object DataQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    SparkEntry.configure(s)
+    s.read.parquet(s"$d/documents.parquet")
+  }
+  private def embs(s: SparkSession, d: String): DataFrame = {
+    SparkEntry.configure(s)
+    s.read.parquet(s"$d/embeddings.parquet")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on content digest
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+
+    // MinHash+LSH candidate pairs (the near-dup scale path)
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(docs(s, d), shingleN = 3, k = 16, bands = 4)
+        .agg(count(lit(1)).as("n"))),
+
+    // exact n-gram Jaccard (verification-scale: all-pairs is quadratic, so
+    // cap the input — at the oracle SF the cap keeps every row)
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 5000),
+        shingleN = 3, threshold = 0.05)
+        .agg(count(lit(1)).as("n"),
+          sum((col("jaccard") * 1000000).cast("long")).as("sum_jaccard_e6"))),
+
+    // SimHash near-dup (rows-only check: Spark-side 64-bit sketch; capped
+    // like q_ngram_jaccard — banding on 16-bit chunks is quadratic in
+    // collisions)
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d).filter(col("doc_id") < 5000), maxDist = 16)
+        .agg(count(lit(1)).as("n"))),
+
+    // embedding cosine near-dup via hyperplane LSH buckets
+    "q_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(embs(s, d), threshold = 0.8, planes = 6)
+        .agg(count(lit(1)).as("n"),
+          sum((col("cosine") * 1000000).cast("long")).as("sum_cos_e6"))),
+
+    // brute-force cosine top-k ANN (baseline)
+    "q_ann_brute" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only: bucket membership is
+    // engine-portable but the multiprobe set is easier to assert in tests)
+    "q_ann_lsh" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10, planes = 6)
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "q_token_counts" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
+
+    // quality scoring
+    "q_quality" -> ((s, d) => {
+      val cols = TextOps.qualityColumns(col("text"))
+      docs(s, d).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // language ID (n-gram/marker heuristic)
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d).select(TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))),
+
+    // document fingerprinting
+    "q_doc_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // multimodal plumbing: binary payload -> decode stub -> frame sample
+    // (rows-only: the fake decoder is Spark-side only)
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(docs(s, d))
+      Multimodal.sampleFrames(Multimodal.decode(media), maxFrames = 4)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    })
+  )
+
+  // ---- oracles --------------------------------------------------------------
+
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  /** DuckDB replica of TextOps.shingles(text, 3). */
+  private val shinglesSql =
+    s"""CASE WHEN len($toks) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len($toks) - 2),
+       |       i -> array_to_string(($toks)[i:i+2], ' ')))
+       |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  private val minhashSigSql = (0 until 16).map(i =>
+    s"list_min(list_transform(s, x -> md5('$i' || '|' || x)))").mkString("[", ", ", "]")
+
+  private val bandsSql = (0 until 4).map(b =>
+    s"md5('$b' || '|' || array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], '|'))")
+    .mkString("[", ", ", "]")
+
+  private def langScoreSql(markers: Seq[String]): String = {
+    val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains($list, x)))"
+  }
+
+  private val langCase = {
+    val scores = TextOps.langMarkers.map { case (lang, m) => lang -> langScoreSql(m) }
+    val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (lang, sc) =>
+      s"WHEN $sc = __best AND __best > 0 THEN '$lang'"
+    }.mkString(" ")
+    (best, s"CASE $whens ELSE 'und' END")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS exemplar
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |            list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM documents),
+         |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+         |bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig)
+         |SELECT count(*) AS n FROM (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id)""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s
+         |           FROM documents WHERE doc_id < 5000),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+         |          FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY 1, 2),
+         |j AS (SELECT round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jac
+         |      FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+         |                 JOIN sizes sb ON inter.b = sb.doc_id)
+         |SELECT count(*) AS n,
+         |       CAST(COALESCE(SUM(CAST(jac * 1000000 AS BIGINT)), 0) AS BIGINT) AS sum_jaccard_e6
+         |FROM j WHERE jac >= 0.05""".stripMargin,
+
+    "q_ann_brute" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT vec_id,
+        |             list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |             sqrt(list_sum(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |             (SELECT sqrt(list_sum(list_transform(qv,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM q) AS nb
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+        |FROM d ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_token_counts" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END AS ws_tokens,
+         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "q_quality" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END AS n_words,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         |         len(list_filter($toks, w -> list_contains($stop, w))) AS n_stop
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars, n_words,
+         |         CASE WHEN n_words > 0
+         |              THEN round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 4)
+         |              ELSE 0.0 END AS avg_word_len,
+         |         CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+         |              ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN n_chars > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_chars, 6)
+         |              ELSE 0.0 END AS alpha_ratio,
+         |         CASE WHEN n_words > 0 THEN round(CAST(n_stop AS DOUBLE) / n_words, 6)
+         |              ELSE 0.0 END AS stopword_ratio
+         |  FROM b)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+         |       avg_word_len, punct_ratio, alpha_ratio, stopword_ratio,
+         |       round(greatest(0.0, least(1.0,
+         |         alpha_ratio * 0.5 + least(stopword_ratio * 4.0, 1.0) * 0.3 +
+         |         (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2)), 6) AS quality_score
+         |FROM r""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      val (best, kase) = langCase
+      s"""SELECT lang_pred, count(*) AS n FROM (
+         |  SELECT $kase AS lang_pred FROM (
+         |    SELECT text, $best AS __best FROM documents))
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents"
+  )
+}

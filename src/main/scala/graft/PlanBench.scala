@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{Exporter, Pipeline}
+import graft.sources.Transcripts
+
+/** Diagnoses Catalyst planning cost of the full pipeline plan. */
+object PlanBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val input = Transcripts.generate(spark, 1000, 42L)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[plan] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def nodeCount(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Long = {
+      var n = 0L
+      def walk(t: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Unit = {
+        n += 1
+        t.children.foreach(c => walk(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]]))
+        t match {
+          case q: org.apache.spark.sql.catalyst.plans.QueryPlan[_] =>
+            q.expressions.foreach(walk)
+          case _ => ()
+        }
+      }
+      walk(p); n
+    }
+    val logs = Transcripts.toLogFrame(input)
+    val routed = time("compile")(Pipeline.compile(SparkEntry.transcriptPipeline)(logs))
+    val an = time("analyze routed")(routed.queryExecution.analyzed)
+    println("[plan] analyzed routed nodes: " + nodeCount(an))
+    val opt = time("optimize routed")(routed.queryExecution.optimizedPlan)
+    println("[plan] optimized routed nodes: " + nodeCount(opt))
+    time("plan routed")(routed.queryExecution.executedPlan)
+    val main0 = Exporter.logsV2(routed)
+    val an2 = time("analyze logsV2+barrier")(main0.queryExecution.analyzed)
+    println("[plan] analyzed logsV2 nodes: " + nodeCount(an2))
+    val opt2 = time("optimize logsV2+barrier")(main0.queryExecution.optimizedPlan)
+    println("[plan] optimized logsV2 nodes: " + nodeCount(opt2))
+    val ep = time("plan logsV2+barrier")(main0.queryExecution.executedPlan)
+    println("[plan] executed plan string size: " + ep.toString.length)
+    val planStr = ep.toString
+    println("[plan] wholestage spans: " +
+      "WholeStageCodegen".r.findAllIn(planStr).length +
+      ", codegen-disabled spans: " + planStr.linesIterator.count(_.contains("codegen id")) +
+      ", top: " + planStr.linesIterator.take(3).mkString(" | "))
+    // does the big projection actually compile? trigger one partition
+    time("run logsV2 count")(println("[plan] rows=" + main0.count()))
+    spark.stop()
+  }
+}

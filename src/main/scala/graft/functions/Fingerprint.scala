@@ -117,22 +117,44 @@ object Fingerprint {
   }
 }
 
-/** Per-task worker bridging MapData -> fingerprint string. */
+/** Per-task worker bridging MapData -> fingerprint string.
+  *
+  * Resource maps are extremely low-cardinality relative to rows (the whole
+  * point of resource fingerprinting), so the hierarchy walk + sort + FNV +
+  * string build is memoized per distinct map content — profiled as ~10% of
+  * pipeline CPU un-memoized. Bounded cache, per task instance.
+  */
 final class FingerprintWorker extends Serializable {
+  // shared across task threads in local mode -> must be concurrent
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+
   def calc(m: MapData): UTF8String = {
     if (m == null) return null
     val n = m.numElements()
     val keys = m.keyArray()
     val vals = m.valueArray()
-    val pairs = new Array[(String, String)](n)
+    val sb = new java.lang.StringBuilder(32)
     var i = 0
+    while (i < n) {
+      sb.append(keys.getUTF8String(i)).append('\u0000')
+      if (!vals.isNullAt(i)) sb.append(vals.getUTF8String(i))
+      sb.append('\u0001')
+      i += 1
+    }
+    val cacheKey = sb.toString
+    val hit = cache.get(cacheKey)
+    if (hit != null) return hit
+    val pairs = new Array[(String, String)](n)
+    i = 0
     while (i < n) {
       pairs(i) = (keys.getUTF8String(i).toString,
         if (vals.isNullAt(i)) "" else vals.getUTF8String(i).toString)
       i += 1
     }
-    val attrs = pairs.toMap
-    UTF8String.fromString(Fingerprint.calculate(attrs))
+    val result = UTF8String.fromString(Fingerprint.calculate(pairs.toMap))
+    if (cache.size < 65536) cache.put(cacheKey, result)
+    result
   }
 }
 

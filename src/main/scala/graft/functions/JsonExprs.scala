@@ -45,7 +45,12 @@ final class JsonTypedMapsWorker(
 ) extends Serializable {
   import scala.jdk.CollectionConverters._
 
-  @transient private lazy val mapper = new ObjectMapper()
+  // per-thread mapper: a shared ObjectMapper serializes 32 task threads on
+  // its symbol-table merge lock at parser close (profiled as hard negative
+  // scaling at high core counts)
+  @transient private lazy val mappers =
+    ThreadLocal.withInitial[ObjectMapper](() => new ObjectMapper())
+  private def mapper: ObjectMapper = mappers.get()
 
   private def unquote(s: String): String =
     if (unquoteFirst && s.length >= 2 && s.charAt(0) == '"' && s.charAt(s.length - 1) == '"') {
@@ -156,7 +161,9 @@ object JsonTypedMaps {
 final class NormalizeBodyWorker extends Serializable {
   import scala.jdk.CollectionConverters._
 
-  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val mappers =
+    ThreadLocal.withInitial[ObjectMapper](() => new ObjectMapper())
+  private def mapper: ObjectMapper = mappers.get()
 
   def normalize(input: UTF8String): UTF8String = {
     if (input == null) return null

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.graftbridge.{GraftBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass map merge kernel.
+  *
+  * The operator compiler originally expressed "merge parsed keys into a typed
+  * attribute map, evicting those keys from the other typed maps" as chains of
+  * `map_filter` + `map_concat` + `map_contains_key`. Spark's higher-order
+  * functions evaluate their lambdas interpreted, per map entry, per row —
+  * profiled as a top-3 cost of the whole pipeline. This expression does the
+  * same job in one imperative pass: `result = old - keys(winner) - keys(d1)
+  * - keys(d2) ++ winner`.
+  *
+  * `winner`, `d1`, `d2` may be NULL columns (treated as empty).
+  */
+final class MapMergeWorker(valueType: DataType) extends Serializable {
+  def merge(old: MapData, winner: MapData, d1: MapData, d2: MapData): MapData = {
+    if (old == null) return null
+    val drop = new java.util.HashSet[UTF8String]()
+    def addKeys(m: MapData): Unit = if (m != null) {
+      val ks = m.keyArray()
+      var i = 0
+      while (i < m.numElements()) { drop.add(ks.getUTF8String(i)); i += 1 }
+    }
+    val n = old.numElements()
+    val wn = if (winner == null) 0 else winner.numElements()
+    // zero-alloc fast paths for the common empty cases
+    if (n == 0 && wn == 0) return old
+    if (n == 0) return winner
+    addKeys(winner); addKeys(d1); addKeys(d2)
+    if (drop.isEmpty && wn == 0) return old
+
+    val keys = new Array[Any](n + wn)
+    val vals = new Array[Any](n + wn)
+    var out = 0
+    val ok = old.keyArray(); val ov = old.valueArray()
+    var i = 0
+    while (i < n) {
+      val k = ok.getUTF8String(i)
+      if (!drop.contains(k)) {
+        keys(out) = k
+        vals(out) = if (ov.isNullAt(i)) null else ov.get(i, valueType)
+        out += 1
+      }
+      i += 1
+    }
+    if (wn > 0) {
+      val wk = winner.keyArray(); val wv = winner.valueArray()
+      var j = 0
+      while (j < wn) {
+        keys(out) = wk.getUTF8String(j)
+        vals(out) = if (wv.isNullAt(j)) null else wv.get(j, valueType)
+        out += 1
+        j += 1
+      }
+    }
+    val k2 = if (out == keys.length) keys else java.util.Arrays.copyOf(keys.asInstanceOf[Array[AnyRef]], out).asInstanceOf[Array[Any]]
+    val v2 = if (out == vals.length) vals else java.util.Arrays.copyOf(vals.asInstanceOf[Array[AnyRef]], out).asInstanceOf[Array[Any]]
+    new ArrayBasedMapData(new GenericArrayData(k2), new GenericArrayData(v2))
+  }
+}
+
+/** `merge_maps(old, winner, dropKeysOf1, dropKeysOf2)` — see [[MapMergeWorker]]. */
+case class MergeMaps(old: Expression, winner: Expression, d1: Expression, d2: Expression)
+    extends Expression {
+
+  private lazy val valueType: DataType =
+    old.dataType.asInstanceOf[MapType].valueType
+  private lazy val worker = new MapMergeWorker(valueType)
+
+  override def children: Seq[Expression] = Seq(old, winner, d1, d2)
+  override def dataType: DataType = MapType(StringType, valueType, valueContainsNull = true)
+  override def nullable: Boolean = old.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val o = old.eval(input)
+    if (o == null) return null
+    worker.merge(
+      o.asInstanceOf[MapData],
+      winner.eval(input).asInstanceOf[MapData],
+      d1.eval(input).asInstanceOf[MapData],
+      d2.eval(input).asInstanceOf[MapData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val w = ctx.addReferenceObj("worker", worker, classOf[MapMergeWorker].getName)
+    val oC = old.genCode(ctx)
+    val wC = winner.genCode(ctx)
+    val d1C = d1.genCode(ctx)
+    val d2C = d2.genCode(ctx)
+    val md = classOf[MapData].getName
+    ev.copy(code =
+      code"""
+        ${oC.code}
+        ${wC.code}
+        ${d1C.code}
+        ${d2C.code}
+        boolean ${ev.isNull} = ${oC.isNull};
+        $md ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $w.merge(
+            ${oC.value},
+            ${wC.isNull} ? null : ${wC.value},
+            ${d1C.isNull} ? null : ${d1C.value},
+            ${d2C.isNull} ? null : ${d2C.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MergeMaps =
+    copy(old = newChildren(0), winner = newChildren(1), d1 = newChildren(2), d2 = newChildren(3))
+}
+
+object MergeMaps {
+  def apply(old: Column, winner: Column, d1: Column, d2: Column): Column =
+    ExpressionUtils.column(MergeMaps(
+      ExpressionUtils.expression(old), ExpressionUtils.expression(winner),
+      ExpressionUtils.expression(d1), ExpressionUtils.expression(d2)))
+}

@@ -108,31 +108,32 @@ object Ops {
     if (isFirst) "route" else s"route_$routerId"
 
   // -- merge helpers ---------------------------------------------------------
+  // single-pass MergeMaps kernel instead of map_filter/map_concat chains —
+  // Spark's higher-order functions run their lambdas interpreted per entry
+  // per row and were a top profiled cost (see graft.functions.MergeMaps)
 
-  private def without(m: Column, keysIn: Column): Column =
-    map_filter(m, (k, _) => !map_contains_key(keysIn, k))
+  private def noWinner: Column = map() // empty: drop-only merge
 
   /** Merge `parsed` (string map) + statically-typed keys into the three
     * attribute maps; parsed keys override, key lives in exactly one map.
     */
   private def mergeParsedToAttrs(parsedStr: Column, typedNum: Column): Seq[(String, Column)] = Seq(
-    "attributes_string" -> map_concat(
-      without(without(col("attributes_string"), parsedStr), typedNum), parsedStr),
-    "attributes_number" -> map_concat(
-      without(without(col("attributes_number"), parsedStr), typedNum), typedNum),
-    "attributes_bool" ->
-      without(without(col("attributes_bool"), parsedStr), typedNum)
+    "attributes_string" -> graft.functions.MergeMaps(
+      col("attributes_string"), parsedStr, typedNum, noWinner),
+    "attributes_number" -> graft.functions.MergeMaps(
+      col("attributes_number"), typedNum, parsedStr, noWinner),
+    "attributes_bool" -> graft.functions.MergeMaps(
+      col("attributes_bool"), noWinner, parsedStr, typedNum)
   )
 
   private def mergeTypedStructToAttrs(parsed: Column): Seq[(String, Column)] = {
     val s = parsed.getField("strings")
     val n = parsed.getField("numbers")
     val b = parsed.getField("bools")
-    def clean(m: Column): Column = without(without(without(m, s), n), b)
     Seq(
-      "attributes_string" -> map_concat(clean(col("attributes_string")), s),
-      "attributes_number" -> map_concat(clean(col("attributes_number")), n),
-      "attributes_bool" -> map_concat(clean(col("attributes_bool")), b))
+      "attributes_string" -> graft.functions.MergeMaps(col("attributes_string"), s, n, b),
+      "attributes_number" -> graft.functions.MergeMaps(col("attributes_number"), n, s, b),
+      "attributes_bool" -> graft.functions.MergeMaps(col("attributes_bool"), b, s, n))
   }
 
   /** Write a parsed result to an arbitrary parse_to destination. */
@@ -157,7 +158,7 @@ object Ops {
     val value = FieldCols.readString(spec.parseFrom)
     val lookup =
       if (mapping.isEmpty) lit(null).cast("int")
-      else element_at(typedlit(mapping), lower(value))
+      else element_at(typedlit(mapping), graft.functions.FastLower(value))
     val sevNum = coalesce(lookup, lit(Severity.Default))
     val sevText =
       if (spec.overwriteText)
@@ -199,11 +200,11 @@ object Ops {
     def valid(c: Column): Column = c.isNull || c.rlike(hexRe)
     val ok = valid(tid) && valid(sid) && valid(tf)
     val updates = Seq(
-      "trace_id" -> when(tid.isNotNull, lower(tid)).otherwise(col("trace_id")),
-      "span_id" -> when(sid.isNotNull, lower(sid)).otherwise(col("span_id")),
+      "trace_id" -> when(tid.isNotNull, graft.functions.FastLower(tid)).otherwise(col("trace_id")),
+      "span_id" -> when(sid.isNotNull, graft.functions.FastLower(sid)).otherwise(col("span_id")),
       // the 8 LSBs of the first decoded byte (`utils.go:150-155`)
       "trace_flags" -> when(tf.isNotNull && length(tf) >= 2,
-        conv(substring(lower(tf), 1, 2), 16, 10).cast("int"))
+        conv(substring(graft.functions.FastLower(tf), 1, 2), 16, 10).cast("int"))
         .otherwise(col("trace_flags"))
     )
     (ok, updates)

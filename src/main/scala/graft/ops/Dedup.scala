@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is a hash shuffle on a 32-byte digest — the minimal
+  *    possible shuffle key; map-side partial aggregation collapses repeats
+  *    before the exchange;
+  *  - MinHash+LSH is the scale path for near-dup: cost is rows x k hashes
+  *    (columnar, no shuffle) + one shuffle on band keys whose cardinality is
+  *    ~rows x bands; candidate verification touches only colliding pairs;
+  *  - the exact n-gram Jaccard join is quadratic in shingle collisions —
+  *    correct at small scale and used here to verify LSH candidates, never
+  *    run standalone on big inputs;
+  *  - hashes are md5-derived so an external SQL engine (the DuckDB oracle)
+  *    reproduces identical signatures — no dependence on Spark-internal
+  *    hash functions.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: (fingerprint, n_docs, min exemplar id). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("exemplar"))
+
+  /** Rows minus exact duplicates (keep the min-id exemplar). */
+  def exactDeduped(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = exact(docs, textCol, idCol).select(col("fingerprint"), col("exemplar"))
+    docs.withColumn("fingerprint", md5(col(textCol)))
+      .join(broadcastIfSmall(w), Seq("fingerprint"))
+      .filter(col(idCol) === col("exemplar"))
+      .drop("fingerprint", "exemplar")
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df // sized by AQE
+
+  /** MinHash signature from a PRE-HASHED shingle array (md5 per shingle,
+    * computed once): k lexicographic minima of md5(i || shingleHash) — a
+    * deterministic, engine-portable stand-in for k independent hash
+    * permutations. Taking the per-permutation hash over the 32-char digest
+    * instead of the raw shingle keeps the k rehashes O(1) each and lets the
+    * (expensive) shingle construction happen exactly once per row.
+    */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleHashes, h => md5(concat(lit(i.toString), lit("|"), h))))): _*)
+
+  /** md5 per distinct shingle, materialized once per row. */
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    transform(TextOps.shingles(text, shingleN), s => md5(s))
+
+  /** LSH band keys: signature sliced into `bands` rows of `rowsPerBand`,
+    * each band hashed to one key; docs sharing any band key are candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      md5(concat(lit(b.toString), lit("|"),
+        concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
+
+  /** Candidate near-dup pairs via MinHash+LSH (a < b), deduped across bands.
+    * One shuffle on band keys; skew-safe because identical texts produce one
+    * band-group whose pairs collapse in the groupBy.
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val withBands = docs
+      // two projections so shingle hashing runs once per row; CollapseProject
+      // keeps them separate (multi-referenced non-cheap alias)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("__sh"))
+      .select(col("id"),
+        explode(lshBandKeys(minhashSignature(col("__sh"), k), bands, rowsPerBand))
+          .as("band"))
+    val l = withBands.as("l")
+    val r = withBands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    * Quadratic in collisions — verification-scale only.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("l").join(sh.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash near-dup: 64-bit simhash over whitespace tokens (md5-derived
+    * bit votes); near-dups = hamming distance <= maxDist via banded equality
+    * on 4 x 16-bit chunks (any equal chunk -> candidate, exact hamming
+    * verified after).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxDist: Int = 3): DataFrame = {
+    val withSim = docs.select(col(idCol).as("id"),
+      graft.functions.SimHash64(col(textCol)).as("sim"))
+    val chunks = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).as("bits"))): _*))
+        .as("c"))
+      .select(col("id"), col("sim"), col("c.chunk"), col("c.bits"))
+    val cand = chunks.as("l").join(chunks.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.bits") === col("r.bits") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sim").as("sa"), col("r.sim").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
+  /** Embedding cosine near-dup: pairs with cosine >= threshold among LSH
+    * bucket collisions (random-hyperplane signs; deterministic seed).
+    */
+  def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val cand = withSig.as("l").join(withSig.as("r"),
+        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+    cand.withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

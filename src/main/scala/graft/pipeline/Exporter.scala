@@ -201,6 +201,20 @@ object Exporter {
   def toolHistogram(logsV2: DataFrame): DataFrame =
     logsV2.groupBy(col("route"), col("tool")).agg(count(lit(1)).as("n"))
 
+  /** Cardinality guard (exporter.go:359-406): find tag keys whose distinct
+    * value count exceeds `maxDistinctValues` (ClickHouse `uniq` ==
+    * `approx_count_distinct`); the result feeds [[ExporterConfig.skipKeys]]
+    * as a broadcast skip-set for subsequent batches.
+    */
+  def computeSkipKeys(tagRows: DataFrame, maxDistinctValues: Long): Set[String] =
+    tagRows
+      .groupBy(col("tag_key"), col("tag_type"), col("tag_data_type"))
+      .agg(approx_count_distinct(
+        coalesce(col("string_value"), col("number_value").cast("string"))).as("n"))
+      .filter(col("n") > maxDistinctValues)
+      .select(concat_ws(":", col("tag_key"), col("tag_type"), col("tag_data_type")))
+      .collect().map(_.getString(0)).toSet
+
   /** The 5-way fan-out from one shared upstream (exporter.go:796-827): cache
     * the logs_v2 projection once, derive every side sink from it.
     */

@@ -92,6 +92,13 @@ object Pipeline {
     val sinkCol = tails.foldRight(lit(null).cast("string")) { case ((id, cond), acc) =>
       when(cond, lit(id)).otherwise(acc)
     }
-    df.withColumn("sink", sinkCol).filter(col("sink").isNotNull)
+    val out = df.withColumn("sink", sinkCol).filter(col("sink").isNotNull)
+    // CollectMetrics barrier: (a) a free emitted-rows metric per execution,
+    // (b) an optimizer fence — without it CollapseProject merges downstream
+    // consumers (exporter projections) into the operator chain's expression
+    // tree and Catalyst's ConstantFolding goes quadratic on the merged giant
+    // expressions (observed: >20 min of driver CPU planning the 13-operator
+    // flagship; with the fence: <1 s).
+    out.observe("graft_pipeline", count(lit(1)).as("emitted_rows"))
   }
 }

@@ -44,7 +44,7 @@ object TranscriptJob {
       spec: PipelineSpec, cfg: JobConfig = JobConfig(),
       resume: Boolean = false): Map[String, Long] = {
     val logs = Transcripts.toLogFrame(transcripts)
-    val routed = Pipeline.compile(spec)(logs)
+    val routed = Enrich.roleToolEnrich(Pipeline.compile(spec)(logs))
 
     // layout shuffle: co-locate conversation blocks, bound skew
     val block = (col("turn_idx") / cfg.saltBlockTurns).cast("int")

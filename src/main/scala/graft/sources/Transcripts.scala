@@ -40,7 +40,7 @@ object Transcripts {
 
     val h = xxhash64(col("conv_id"), col("turn_idx"), lit(seed))
     val shape = pmod(h, lit(100L))
-    val hHex = lower(hex(h)) // deterministic hex material
+    val hHex = graft.functions.FastLower(hex(h)) // deterministic hex material
     val level = element_at(
       typedlit(Map(0 -> "INFO", 1 -> "WARN", 2 -> "ERROR", 3 -> "DEBUG", 4 -> "INFO")),
       pmod(h, lit(5L)).cast("int"))

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Enrich, Exporter, JobConfig, Pipeline, TranscriptJob}
+import graft.sinks.GraftTable
+import graft.sources.Transcripts
+import graft.streaming.StreamJobs
+
+/** End-to-end: transcripts -> pipeline -> enrich -> fan-out sinks, plus the
+  * streaming variants and the scaling invariants (stable ordering, per-sink
+  * counts).
+  */
+class PipelineE2ESpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val transcripts = Transcripts.generate(spark, nConvs = 300, seed = 42L)
+
+  test("generator is deterministic and Zipf-skewed") {
+    val a = transcripts.agg(sum(xxhash64($"conv_id", $"turn_idx", $"text"))).as[Long].collect().head
+    val b = Transcripts.generate(spark, 300, 42L)
+      .agg(sum(xxhash64($"conv_id", $"turn_idx", $"text"))).as[Long].collect().head
+    assert(a == b)
+    val sizes = transcripts.groupBy("conv_id").count().select(max("count"), min("count"))
+      .collect().head
+    assert(sizes.getLong(0) > 20 * sizes.getLong(1)) // heavy tail present
+  }
+
+  test("enrich attaches role lookup + first-match tool glob rules") {
+    val logs = Transcripts.toLogFrame(transcripts)
+    val enriched = Enrich.roleToolEnrich(logs)
+    val row = enriched.filter($"role" === "assistant").select(
+      $"attributes_string".getItem("actor_kind"),
+      $"attributes_string".getItem("direction")).collect().head
+    assert(row.getString(0) == "model" && row.getString(1) == "outbound")
+    val toolRow = enriched.filter($"tool" === "bash").select(
+      $"attributes_string".getItem("tool_class"),
+      $"attributes_string".getItem("tool_risk")).collect().head
+    assert(toolRow.getString(0) == "shell" && toolRow.getString(1) == "high")
+    // rows without a tool get no tool_class
+    val noTool = enriched.filter($"tool" === "")
+      .filter(map_contains_key($"attributes_string", "tool_class")).count()
+    assert(noTool == 0)
+  }
+
+  test("glob translation (path.Match semantics)") {
+    assert("browser_v2".matches(Enrich.globToRegex("browser*")))
+    assert(!"web/browser".matches(Enrich.globToRegex("browser*"))) // * doesn't cross '/'
+    assert("a.c".matches(Enrich.globToRegex("a?c")))
+    assert(!"abc".matches(Enrich.globToRegex("a.c"))) // literal dot escaped
+  }
+
+  test("full job: 5 sinks committed with lineage; stable turn ordering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-job").toString
+    val counts = TranscriptJob.run(spark, transcripts, dir,
+      SparkEntry.transcriptPipeline, JobConfig(layoutPartitions = 4))
+    assert(counts("logs_v2") == transcripts.count()) // every turn lands (default route)
+    assert(counts("logs_v2_resource") > 0 && counts("tag_attributes_v2") > 0)
+    assert(counts("logs_attribute_keys") > 0 && counts("logs_resource_keys") > 0)
+
+    // stable-ordering invariant: within every file, read order == sorted
+    // order by (conv_id, turn_idx)
+    val main = GraftTable.read(spark, s"$dir/logs_v2")
+    import org.apache.spark.sql.expressions.Window
+    val byFile = main.withColumn("file", input_file_name())
+      .withColumn("seq", monotonically_increasing_id())
+    val wRead = Window.partitionBy("file").orderBy("seq")
+    val wSort = Window.partitionBy("file").orderBy("conv_id", "turn_idx")
+    val disorder = byFile
+      .withColumn("r1", row_number().over(wRead))
+      .withColumn("r2", row_number().over(wSort))
+      .filter($"r1" =!= $"r2").count()
+    assert(disorder == 0)
+
+    // per-turn text equality under (conv_id, turn_idx): body == input text
+    val joined = main.select($"conv_id", $"turn_idx", $"body")
+      .join(transcripts.select($"conv_id", $"turn_idx", $"text"), Seq("conv_id", "turn_idx"))
+    assert(joined.filter($"body" =!= $"text").count() == 0)
+    assert(joined.count() == transcripts.count())
+
+    // resume: re-running writes nothing new for completed route partitions
+    val counts2 = TranscriptJob.run(spark, transcripts, dir,
+      SparkEntry.transcriptPipeline, JobConfig(layoutPartitions = 4), resume = true)
+    assert(counts2("logs_v2") == counts("logs_v2"))
+  }
+
+  test("streaming: same pipeline over readStream + windowed meter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    transcripts.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(transcripts.schema).parquet(dir)
+    val main = StreamJobs.pipelineStream(stream, SparkEntry.transcriptPipeline)
+    assert(main.isStreaming)
+    val meter = StreamJobs.meter(main, "30 minutes", "10 minutes")
+    val q = meter.writeStream.outputMode("update")
+      .format("memory").queryName("graft_meter_test").start()
+    try {
+      q.processAllAvailable()
+      val agg = spark.sql(
+        "SELECT sum(n_records) FROM graft_meter_test").as[Long].collect().head
+      assert(agg == transcripts.count())
+    } finally q.stop()
+  }
+
+  test("probabilistic sampling is deterministic and roughly proportional") {
+    val s = StreamJobs.sampleByKey(transcripts, "conv_id", 0.25)
+    val n = s.select("conv_id").distinct().count()
+    val total = transcripts.select("conv_id").distinct().count()
+    assert(n > total / 5 && n < total / 3)
+    assert(s.count() == StreamJobs.sampleByKey(transcripts, "conv_id", 0.25).count())
+  }
+
+  test("cardinality guard: high-distinct keys land in the skip set") {
+    val logs = Transcripts.toLogFrame(transcripts)
+      .withColumn("attributes_string",
+        map(lit("request_id"), concat(lit("req-"), $"conv_id", $"turn_idx"),
+          lit("env"), lit("prod")))
+    val main = Exporter.logsV2(logs)
+    val tags = Exporter.tagAttributes(main)
+    val skip = Exporter.computeSkipKeys(tags, maxDistinctValues = 50)
+    assert(skip.contains("request_id:tag:string"))
+    assert(!skip.exists(_.startsWith("env:")))
+  }
+}
