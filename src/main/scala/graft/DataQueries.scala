@@ -7,9 +7,10 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline queries (dedup family, ANN, text analysis,
   * multimodal plumbing) over the documents/embeddings tables, with DuckDB
-  * oracles where the kernel is SQL-expressible (md5-derived hashing keeps
-  * signatures engine-portable). SimHash and the fake media decode get
-  * rows-only checks.
+  * oracles for every query: md5-derived hashing keeps signatures
+  * engine-portable, the hyperplane matrix is embedded as SQL literals (it
+  * is driver-precomputed on the Spark side too), and the simhash / fake
+  * decode kernels are replicated with DuckDB HUGEINT mod-2^64 arithmetic.
   */
 object DataQueries {
 
@@ -40,18 +41,20 @@ object DataQueries {
         .agg(count(lit(1)).as("n"),
           sum((col("jaccard") * 1000000).cast("long")).as("sum_jaccard_e6"))),
 
-    // SimHash near-dup (rows-only check: Spark-side 64-bit sketch; capped
-    // like q_ngram_jaccard — banding on 16-bit chunks is quadratic in
-    // collisions)
+    // SimHash near-dup (capped like q_ngram_jaccard — banding on 16-bit
+    // chunks is quadratic in collisions)
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d).filter(col("doc_id") < 5000), maxDist = 16)
         .agg(count(lit(1)).as("n"))),
 
-    // embedding cosine near-dup via hyperplane LSH buckets
+    // embedding cosine near-dup via hyperplane LSH buckets (threshold 0.25:
+    // the synthetic embeddings are random, so production-grade thresholds
+    // match nothing and would assert an empty set)
     "q_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(embs(s, d), threshold = 0.8, planes = 6)
+      Dedup.embeddingNearDups(embs(s, d), threshold = 0.25, planes = 6)
         .agg(count(lit(1)).as("n"),
-          sum((col("cosine") * 1000000).cast("long")).as("sum_cos_e6"))),
+          coalesce(sum((col("cosine") * 1000000).cast("long")), lit(0L))
+            .as("sum_cos_e6"))),
 
     // brute-force cosine top-k ANN (baseline)
     "q_ann_brute" -> ((s, d) => {
@@ -60,8 +63,8 @@ object DataQueries {
         e.filter(col("vec_id") === 0), k = 10)
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only: bucket membership is
-    // engine-portable but the multiprobe set is easier to assert in tests)
+    // LSH-bucketed ANN (scale path: driver-side probe buckets -> literal IN
+    // filter, no crossJoin)
     "q_ann_lsh" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0),
@@ -90,7 +93,7 @@ object DataQueries {
       docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
     // multimodal plumbing: binary payload -> decode stub -> frame sample
-    // (rows-only: the fake decoder is Spark-side only)
+    // (oracle replicates the deterministic fake decoder's FNV state)
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(docs(s, d))
       Multimodal.sampleFrames(Multimodal.decode(media), maxFrames = 4)
@@ -118,6 +121,64 @@ object DataQueries {
     s"md5('$b' || '|' || array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], '|'))")
     .mkString("[", ", ", "]")
 
+  /** Hyperplane matrix rows as DuckDB list literals — the SAME
+    * driver-precomputed matrix the Spark kernel uses
+    * ([[graft.functions.VectorKernelsImpl.planeMatrix]]); Double.toString
+    * round-trips, so the SQL parses to bit-identical doubles.
+    */
+  private def planeRowsSql(planes: Int, dims: Int): IndexedSeq[String] = {
+    val m = graft.functions.VectorKernelsImpl.planeMatrix(planes, dims)
+    (0 until planes).map(p => m(p).map(_.toString).mkString("[", ", ", "]"))
+  }
+
+  /** DuckDB signature of a float-list column `v` under `planes` hyperplanes
+    * (sign bit per plane packed little-endian, exactly like the kernel).
+    */
+  private def sigSql(v: String, planes: Int, dims: Int): String = {
+    val rows = planeRowsSql(planes, dims)
+    (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(list_zip($v, ${rows(p)}),
+         |  p0 -> CAST(p0[1] AS DOUBLE) * CAST(p0[2] AS DOUBLE))) >= 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB cosine of two float-list columns, rounded like the kernel. */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(list_zip($a, $b),
+       |    p0 -> CAST(p0[1] AS DOUBLE) * CAST(p0[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |  6)""".stripMargin
+
+  /** DuckDB replica of SimHashKernel.simhash64 as a UBIGINT (bit-identical
+    * to the Spark kernel's signed long): md5 per whitespace token, first 16
+    * hex chars -> 64-bit value, +1/-1 vote per bit, sign -> bit.
+    */
+  private val simhashSql = {
+    val tokHash = "CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)"
+    s"""(SELECT COALESCE(list_sum(list_transform(range(0, 64), b ->
+       |  CASE WHEN (SELECT COALESCE(SUM(CASE WHEN ($tokHash >> b) & 1 = 1
+       |                                       THEN 1 ELSE -1 END), 0)
+       |             FROM unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                     x -> len(x) > 0)) AS u(t)) > 0
+       |       THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END)),
+       |  CAST(0 AS UBIGINT)))""".stripMargin
+  }
+
+  /** DuckDB replica of FakeDecodeKernel's FNV-1a rolling state over the
+    * UTF-8 bytes of `text` (HUGEINT mod-2^64 emulates Java's wrapping
+    * long multiply).
+    */
+  private val fnvSql =
+    """(SELECT CAST(list_reduce(
+      |    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+      |      list_transform(generate_series(1, octet_length(encode(text))),
+      |        i -> CAST(CAST('0x' || substr(hex(encode(text)), i*2-1, 2) AS INT) AS HUGEINT))),
+      |    (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+      |                 * 1099511628211) % 18446744073709551616) AS UBIGINT))""".stripMargin
+
   private def langScoreSql(markers: Seq[String]): String = {
     val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains($list, x)))"
@@ -138,13 +199,75 @@ object DataQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS (SELECT doc_id,
-         |            list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM documents),
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text
+         |              FROM documents GROUP BY text),
+         |sh AS (SELECT doc_id,
+         |            list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM reps),
          |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
          |bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig)
          |SELECT count(*) AS n FROM (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id)""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH reps AS (SELECT min(doc_id) AS id, text
+         |              FROM documents WHERE doc_id < 5000 GROUP BY text),
+         |hs AS (SELECT id,
+         |         list_transform(list_filter(string_split_regex(text, '\\s+'),
+         |                                    x -> len(x) > 0),
+         |           t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hl
+         |       FROM reps),
+         |sims AS (SELECT id, CAST(COALESCE(list_sum(list_transform(range(0, 64), b ->
+         |           CASE WHEN COALESCE(list_sum(list_transform(hl,
+         |                  h -> CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+         |                            THEN 1 ELSE -1 END)), 0) > 0
+         |                THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+         |                ELSE CAST(0 AS UBIGINT) END)),
+         |           0) AS UBIGINT) AS sim
+         |         FROM hs),
+         |cand AS (SELECT l.id AS a, r.id AS b, l.sim AS sa, r.sim AS sb
+         |         FROM sims l JOIN sims r ON l.id < r.id AND (
+         |              (l.sim & 65535) = (r.sim & 65535)
+         |           OR ((l.sim >> 16) & 65535) = ((r.sim >> 16) & 65535)
+         |           OR ((l.sim >> 32) & 65535) = ((r.sim >> 32) & 65535)
+         |           OR ((l.sim >> 48) & 65535) = ((r.sim >> 48) & 65535)))
+         |SELECT count(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 16""".stripMargin,
+
+    "q_embedding_neardup" -> {
+      val sig = sigSql("embedding", 6, 64)
+      val cos = cosineSql("l.embedding", "r.embedding")
+      s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+         |pairs AS (SELECT $cos AS cosine
+         |          FROM sigs l JOIN sigs r
+         |            ON l.sig = r.sig AND l.vec_id < r.vec_id)
+         |SELECT count(*) AS n,
+         |       CAST(COALESCE(SUM(CAST(trunc(cosine * 1000000) AS BIGINT)), 0) AS BIGINT)
+         |         AS sum_cos_e6
+         |FROM pairs WHERE cosine >= 0.25""".stripMargin
+    },
+
+    "q_ann_lsh" -> {
+      val sig = sigSql("embedding", 6, 64)
+      val cos = cosineSql("d.embedding", "(SELECT qv FROM q)")
+      s"""WITH q AS (SELECT embedding AS qv, $sig AS qsig
+         |           FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT vec_id, embedding, $sig AS sig
+         |      FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, $cos AS cosine
+         |FROM d WHERE bit_count(xor(d.sig, (SELECT qsig FROM q))) <= 1
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_multimodal_decode" ->
+      s"""WITH f AS (SELECT doc_id, $fnvSql AS h FROM documents),
+         |d AS (SELECT doc_id,
+         |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |             least(CAST(1 + ((h >> 20) % 32) AS BIGINT), 4) AS n_sampled
+         |      FROM f)
+         |SELECT media_type, CAST(SUM(n_sampled) AS BIGINT) AS n_frames_sampled,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM d GROUP BY media_type""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s

@@ -207,28 +207,7 @@ final class NormalizeBodyWorker extends Serializable {
     o
   }
 
-  private def sortedJson(node: JsonNode): String = node match {
-    case o: ObjectNode =>
-      val keys = o.fieldNames().asScala.toArray.sorted
-      keys.map(k => s"${quote(k)}:${sortedJson(o.get(k))}").mkString("{", ",", "}")
-    case a if a.isArray =>
-      a.elements().asScala.map(sortedJson).mkString("[", ",", "]")
-    case other => other.toString
-  }
-
-  private def quote(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private def sortedJson(node: JsonNode): String = JsonCanon.sortedJson(node)
 }
 
 /** `normalize_body(str)` -> canonical JSON string, see [[NormalizeBodyWorker]]. */

@@ -28,7 +28,8 @@ object LogFrames {
       "span_id" -> lit(""),
       "trace_flags" -> lit(0),
       "scope_name" -> lit(""),
-      "scope_version" -> lit("")
+      "scope_version" -> lit(""),
+      "scope_string" -> map().cast(LogSchema.mapSS)
     )
     val present = df.columns.toSet
     val missing = defaults.filterNot { case (n, _) => present.contains(n) }

@@ -39,7 +39,8 @@ case class LogRow(
     span_id: String,
     trace_flags: Int,
     scope_name: String,
-    scope_version: String
+    scope_version: String,
+    scope_string: Map[String, String] // v2_squashed_logs_migration.go:183
 )
 
 object LogSchema {
@@ -76,6 +77,7 @@ object LogSchema {
     StructField("span_id", StringType),
     StructField("trace_flags", IntegerType),
     StructField("scope_name", StringType),
-    StructField("scope_version", StringType)
+    StructField("scope_version", StringType),
+    StructField("scope_string", mapSS)
   ))
 }

@@ -92,12 +92,22 @@ object FieldCols {
   private def jsonPath(keys: Seq[String]): String =
     "$." + keys.map(k => if (k.exists(c => c == '.' || c == ' ')) s"['$k']" else k).mkString(".")
 
+  /** `get_json_object` behind a cheap looks-like-a-JSON-object guard:
+    * `$.x` paths only ever match object bodies, but the evaluator still
+    * pays a full Jackson parser setup per call on every non-JSON row
+    * (profiled ~7% of flagship CPU for a usually-absent field). The anchored
+    * regex fails on the first byte for non-`{` bodies.
+    */
+  private def bodyJson(keys: Seq[String]): Column =
+    when(col("body").rlike("^\\s*\\{"),
+      get_json_object(col("body"), jsonPath(keys)))
+
   /** Read a field as STRING (stringify-on-read, like `fmt.Sprintf("%v")`
     * call sites in the reference). Null when absent.
     */
   def readString(f: FieldRef): Column = f match {
     case Body => col("body")
-    case BodyPath(keys) => get_json_object(col("body"), jsonPath(keys))
+    case BodyPath(keys) => bodyJson(keys)
     case Attr(keys) =>
       val k = attrKey(keys)
       coalesce(
@@ -128,7 +138,7 @@ object FieldCols {
   /** Presence test (reference `entry.Get(field)` ok-flag). */
   def exists(f: FieldRef): Column = f match {
     case Body => col("body").isNotNull
-    case BodyPath(keys) => get_json_object(col("body"), jsonPath(keys)).isNotNull
+    case BodyPath(keys) => bodyJson(keys).isNotNull
     case Attr(keys) =>
       val k = attrKey(keys)
       map_contains_key(col("attributes_string"), k) ||

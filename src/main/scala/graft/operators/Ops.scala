@@ -156,14 +156,16 @@ object Ops {
   private def severityUpdates(spec: SeveritySpec): (Column, Seq[(String, Column)]) = {
     val mapping = Severity.buildMapping(spec.preset, spec.mapping)
     val value = FieldCols.readString(spec.parseFrom)
+    // O(1) hash-dict probe — element_at on a map literal is a linear scan
+    // per row, ruinous for the ~400-key 2xx..5xx expansions (see Dict.scala)
     val lookup =
       if (mapping.isEmpty) lit(null).cast("int")
-      else element_at(typedlit(mapping), graft.functions.FastLower(value))
+      else graft.functions.DictLookupInt(graft.functions.FastLower(value), mapping)
     val sevNum = coalesce(lookup, lit(Severity.Default))
     val sevText =
       if (spec.overwriteText)
         when(sevNum =!= Severity.Default,
-          element_at(typedlit(Severity.text.zipWithIndex.map { case (t, i) => i -> t }.toMap), sevNum))
+          element_at(typedlit(Severity.text), sevNum + lit(1))) // array index: O(1)
           .otherwise(value)
       else value
     val ok = FieldCols.exists(spec.parseFrom)

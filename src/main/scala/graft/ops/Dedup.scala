@@ -61,21 +61,42 @@ object Dedup {
         concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
 
   /** Candidate near-dup pairs via MinHash+LSH (a < b), deduped across bands.
-    * One shuffle on band keys; skew-safe because identical texts produce one
-    * band-group whose pairs collapse in the groupBy.
+    *
+    * Scale shape: exact duplicates are collapsed to their min-id
+    * representative BEFORE banding — identical texts share every band, so a
+    * group of g copies would otherwise emit O(g²) pairs per band carrying
+    * zero information (on a dedup-heavy corpus, the whole cost). After the
+    * collapse, one shuffle on band keys; optionally `maxBandGroup` caps any
+    * still-hot band (ordered by id, deterministic) so a pathological shared
+    * band can't go quadratic.
     */
   def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBandGroup: Int = 0): DataFrame = {
     val rowsPerBand = k / bands
-    val withBands = docs
+    // identical texts -> identical md5 -> one representative (min id); the
+    // aggregate is map-side partial so duplicate-heavy input collapses
+    // before the exchange
+    val reps = docs
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+    val withBands = reps
       // two projections so shingle hashing runs once per row; CollapseProject
       // keeps them separate (multi-referenced non-cheap alias)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("__sh"))
+      .select(col("id"), shingleHashes(col("__text"), shingleN).as("__sh"))
       .select(col("id"),
         explode(lshBandKeys(minhashSignature(col("__sh"), k), bands, rowsPerBand))
           .as("band"))
-    val l = withBands.as("l")
-    val r = withBands.as("r")
+    val capped =
+      if (maxBandGroup <= 0) withBands
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band")).orderBy(col("id"))
+        withBands.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBandGroup).drop("__rn")
+      }
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
@@ -109,8 +130,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxDist: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"),
-      graft.functions.SimHash64(col(textCol)).as("sim"))
+    // same exact-dup collapse as minhashCandidates: identical texts share
+    // every chunk, so a hot group would emit O(g²) candidate pairs
+    val withSim = docs
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+      .select(col("id"), graft.functions.SimHash64(col("__text")).as("sim"))
     val chunks = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

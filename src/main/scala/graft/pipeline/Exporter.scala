@@ -27,7 +27,13 @@ final case class ExporterConfig(
     bucketSeconds: Long = 1800L,
     maxAttributeValueLength: Int = 256, // internal/common/attribute_limits.go:5
     oldestAllowedTsNanos: Long = 0L, // deterministic age cutoff; 0 keeps all
-    skipKeys: Set[String] = Set.empty // "key:tagType:dataType" cardinality guard
+    skipKeys: Set[String] = Set.empty, // "key:tagType:dataType" cardinality guard
+    // body-JSON mode (exporter.go:840-863 processBody): JSON-object bodies
+    // populate body_v2 + body_promoted; the body column is blanked unless
+    // bodyJsonOldBodyEnabled (config.go BodyJSONEnabled/BodyJSONOldBodyEnabled)
+    bodyJsonEnabled: Boolean = false,
+    bodyJsonOldBodyEnabled: Boolean = false,
+    promotedPaths: Seq[String] = Nil
 )
 
 object Exporter {
@@ -78,15 +84,34 @@ object Exporter {
           coalesce(length(to_json(col("attributes_string"))).cast("long"), lit(2L)) +
           coalesce(length(to_json(col("resources_string"))).cast("long"), lit(2L)))
 
-    withCols.select(
+    val withBody =
+      if (!cfg.bodyJsonEnabled)
+        withCols
+          .withColumn("body_v2", lit(null).cast("string"))
+          .withColumn("body_promoted", lit(null).cast("string"))
+      else {
+        val bp = withCols.withColumn("__bp",
+          graft.functions.BodyPromoted.of(col("body"), cfg.promotedPaths))
+        bp.withColumn("body_v2", col("__bp.body_v2"))
+          .withColumn("body_promoted", col("__bp.body_promoted"))
+          // reference blanks the original body unless BodyJSONOldBodyEnabled
+          // (exporter.go:853-856); non-object bodies keep theirs (our
+          // per-record analogue of the reference's record error)
+          .withColumn("body",
+            if (cfg.bodyJsonOldBodyEnabled) col("body")
+            else when(col("__bp").isNotNull, lit("")).otherwise(col("body")))
+          .drop("__bp")
+      }
+
+    withBody.select(
       col("ts_bucket_start"), col("resource_fingerprint"),
       col("timestamp"), col("observed_timestamp"), col("id"),
       col("trace_id"), col("span_id"), col("trace_flags"),
       col("severity_text"), col("severity_number"),
-      col("body"),
+      col("body"), col("body_v2"), col("body_promoted"),
       col("attributes_string"), col("attributes_number"), col("attributes_bool"),
       col("resources_string"),
-      col("scope_name"), col("scope_version"),
+      col("scope_name"), col("scope_version"), col("scope_string"),
       // provenance + fan-out + metering extras (not part of the CH schema but
       // carried for the equality/count assertions)
       col("labels"), col("record_size"),
@@ -139,6 +164,9 @@ object Exporter {
     val attrBool = explodeMap(col("attributes_bool"), "tag", "bool", nullStr, nullNum)
     // resource attrs are force-stringified (exporter.go:656, forceStringValues=true)
     val res = explodeMap(col("resources_string"), "resource", "string", identity, nullNum)
+    // scope attrs likewise (exporter.go:667); scope keys go to tag_attributes
+    // but to NEITHER key sink (exporter.go:887-919 switch)
+    val scope = explodeMap(col("scope_string"), "scope", "string", identity, nullNum)
     // logfields: severity_text/severity_number (exporter.go:741)
     val lfStr = logsV2.select(unixMilli.as("unix_milli"),
       lit("severity_text").as("tag_key"), lit("logfield").as("tag_type"),
@@ -149,7 +177,7 @@ object Exporter {
       lit("float64").as("tag_data_type"), lit(null).cast("string").as("string_value"),
       col("severity_number").cast("double").as("number_value"))
 
-    attrStr.unionAll(attrNum).unionAll(attrBool).unionAll(res)
+    attrStr.unionAll(attrNum).unionAll(attrBool).unionAll(res).unionAll(scope)
       .unionAll(lfStr).unionAll(lfNum)
   }
 

@@ -32,7 +32,7 @@ object Pipeline {
     * router with no matching route and no default are filtered out, matching
     * the reference's silent drop.
     */
-  def compile(spec: PipelineSpec): DataFrame => DataFrame = { input =>
+  def compile(spec: PipelineSpec, fence: Boolean = true): DataFrame => DataFrame = { input =>
     val ops = spec.ops
     val ids = ops.map(_.id).toSet
 
@@ -98,7 +98,11 @@ object Pipeline {
     // consumers (exporter projections) into the operator chain's expression
     // tree and Catalyst's ConstantFolding goes quadratic on the merged giant
     // expressions (observed: >20 min of driver CPU planning the 13-operator
-    // flagship; with the fence: <1 s).
-    out.observe("graft_pipeline", count(lit(1)).as("emitted_rows"))
+    // flagship; with the fence: <1 s). The fence is also a whole-stage
+    // codegen boundary (one full UnsafeRow materialization per row); callers
+    // that instead exclude CollapseProject on the session (see
+    // [[graft.SparkEntry.configure]]) can pass fence=false to keep the whole
+    // pipeline in one codegen stage.
+    if (fence) out.observe("graft_pipeline", count(lit(1)).as("emitted_rows")) else out
   }
 }

@@ -123,6 +123,7 @@ object Transcripts {
       .withColumn("trace_flags", lit(0))
       .withColumn("scope_name", lit(""))
       .withColumn("scope_version", lit(""))
+      .withColumn("scope_string", map().cast(graft.model.LogSchema.mapSS))
       .drop("ts", "text")
   }
 }

@@ -21,13 +21,26 @@ class DataOpsSpec extends SparkSuite {
     val far = java.lang.Long.bitCount(
       base ^ sh("completely different words entirely unrelated content here now"))
     assert(near == 11 && far == 25) // pinned: deterministic md5-derived votes
-    // identical texts are always banded candidates at distance 0
+    // exact duplicates are collapsed to their min-id representative BEFORE
+    // banding (they're exact-dedup's job; emitting their O(g²) pairs is the
+    // LSH scale-killer) — so identical texts produce NO simhash pair, while
+    // the near-identical pair survives at its true distance
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
-    val pairs = Dedup.simhashPairs(df, maxDist = 3)
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, maxDist = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)))
+    // the (1,3) pair is found iff banding produces it: some 16-bit chunk
+    // equal (guaranteed only for distance <= 3; at distance 11 it depends
+    // on where the bits landed — compute, don't assume)
+    val s1 = base
+    val s3 = sh("the quick brown fox jumps over the lazy cat")
+    val chunkEqual = (0 until 4).exists(i =>
+      ((s1 >>> (i * 16)) & 0xffffL) == ((s3 >>> (i * 16)) & 0xffffL))
+    if (chunkEqual) assert(pairs((1L, 3L)) == near)
+    else assert(!pairs.contains((1L, 3L)))
   }
 
   test("simhash near-dup filter keeps only close pairs") {
@@ -69,6 +82,35 @@ class DataOpsSpec extends SparkSuite {
       .select("vec_id").as[Long].collect().toSeq
     assert(lsh == expected)
     assert(lsh.nonEmpty && cands.count() < rest.count()) // it actually pruned
+  }
+
+  test("LSH ANN over a signature index prunes non-matching partitions/files") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = e.filter($"vec_id" === 0)
+    val rest = e.filter($"vec_id" =!= 0)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_test_sig_index"
+    Similarity.buildSigIndex(rest, idx, planes = 6)
+    val topk = Similarity.lshTopKIndexed(spark, idx, query, 10, planes = 6)
+    // matches the unindexed path exactly
+    val direct = Similarity.lshTopK(rest, query, 10, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == direct)
+    // partition pruning: the executed scan must touch only the probe
+    // buckets' files (inputFiles ignores pushed filters — read the scan
+    // node's own numFiles metric)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val allFiles = spark.read.parquet(idx).inputFiles.length
+    val executed = topk.queryExecution.executedPlan
+    val plan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
+    val touched = scans.map(_.metrics("numFiles").value).sum
+    assert(touched > 0 && touched < allFiles,
+      s"expected pruned scan, read $touched of $allFiles files")
   }
 
   test("multimodal plumbing: binary payload -> decode stub -> frame sampling") {
