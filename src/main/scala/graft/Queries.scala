@@ -152,6 +152,27 @@ object Queries {
         .groupBy(col("ts_bucket_start")).agg(count(lit(1)).as("n"))
     }),
 
+    // exporter: body-JSON mode — body_v2 + promoted-path extraction with
+    // literal-key preference (exporter.go:840-863, promoted.go:22-83); the
+    // body is constructed deterministically so the oracle can assert the
+    // exact canonical strings, covering literal-vs-nested ambiguity and a
+    // missing path
+    "q_body_promoted" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val ev = read(s, d, "events")
+      val body = concat(
+        lit("{\"message\":\"m"), col("event_id"),
+        lit("\",\"a.b.c\":\"lit"), col("event_id"),
+        lit("\",\"a\":{\"b\":{\"c\":\"nested\"}},\"user\":{\"id\":\""), col("user_id"),
+        lit("\",\"name\":\"n"), col("user_id"),
+        lit("\"},\"k\":"), col("event_id") % 100, lit("}"))
+      ev.select(col("event_id"), graft.functions.BodyPromoted.of(body,
+          Seq("user.id", "user.name", "a.b.c", "missing.path")).as("bp"))
+        .select(col("event_id"),
+          col("bp.body_v2").as("body_v2"),
+          col("bp.body_promoted").as("body_promoted"))
+    }),
+
     // exporter: usage metering per route (SURVEY §2.4)
     "q_usage" -> ((s, d) => {
       val main = Exporter.logsV2(Pipeline.compile(routerSpec)(eventsAsLogs(s, d)))
@@ -206,6 +227,21 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_router" ->
       s"""SELECT $routeCase AS route, count(*) AS n FROM events GROUP BY 1""",
+
+    // the constructed body has a known shape, so the oracle asserts the
+    // exact canonical (sorted-key) strings: literal "a.b.c" beats nested
+    // a->b->c; "missing.path" extracts nothing
+    "q_body_promoted" ->
+      """SELECT event_id,
+        |  '{"a":{"b":{"c":"nested"}},"a.b.c":"lit' || CAST(event_id AS VARCHAR)
+        |    || '","k":' || CAST(event_id % 100 AS VARCHAR)
+        |    || ',"message":"m' || CAST(event_id AS VARCHAR)
+        |    || '","user":{"id":"' || CAST(user_id AS VARCHAR)
+        |    || '","name":"n' || CAST(user_id AS VARCHAR) || '"}}' AS body_v2,
+        |  '{"a.b.c":"lit' || CAST(event_id AS VARCHAR)
+        |    || '","user.id":"' || CAST(user_id AS VARCHAR)
+        |    || '","user.name":"n' || CAST(user_id AS VARCHAR) || '"}' AS body_promoted
+        |FROM events""".stripMargin,
 
     "q_regex_parser" ->
       """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS kval FROM events""",

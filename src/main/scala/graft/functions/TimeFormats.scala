@@ -18,20 +18,33 @@ import org.apache.spark.sql.functions._
 object TimeFormats {
 
   /** strptime directive -> Java DateTimeFormatter pattern fragment.
-    * Mirrors the public strptime->Go mapping the reference builds on
-    * (`helper/time.go:75-84`), retargeted at java.time.
+    * Mirrors the reference's ctimefmt table one-to-one
+    * (`stanza/operator/helper/ctimefmt/ctimefmt.go:16-55`), retargeted at
+    * java.time. Notable fidelity points: the reference maps %j to the
+    * `-07:00` ZONE (not day-of-year), %z to colonless `Z0700` (accepts
+    * `+0000` and `Z`, not `+00:00`), and %s to an 8-digit fraction.
     */
   private val strptimeMap: Map[Char, String] = Map(
     'Y' -> "yyyy", 'y' -> "yy",
-    'm' -> "MM", 'b' -> "MMM", 'B' -> "MMMM",
-    'd' -> "dd", 'e' -> "d",
+    'm' -> "MM", 'o' -> "M", 'q' -> "M", // %o "_1" / %q "1": unpadded month
+    'b' -> "MMM", 'h' -> "MMM", 'B' -> "MMMM",
+    'd' -> "dd", 'e' -> "d", 'g' -> "d", // %e "_2" / %g "2": unpadded day
     'a' -> "EEE", 'A' -> "EEEE",
     'H' -> "HH", 'I' -> "hh", 'l' -> "h",
-    'p' -> "a",
+    'p' -> "a", 'P' -> "a",
     'M' -> "mm", 'S' -> "ss",
-    'f' -> "SSSSSS", 'L' -> "SSS", 's' -> "SSSSSSSSS",
-    'Z' -> "zzz", 'z' -> "XXX",
-    'j' -> "DDD",
+    'L' -> "SSS", 'f' -> "SSSSSS", 's' -> "SSSSSSSS", // "999"/"999999"/"99999999"
+    'Z' -> "zzz",
+    'z' -> "XX", // Go "Z0700": +0000 or Z (NOT +00:00)
+    'w' -> "xxxx", // Go "-070000"
+    'i' -> "x", // Go "-07"
+    'j' -> "xxx", // Go "-07:00" — the reference's (unusual) %j
+    'k' -> "xxxxx", // Go "-07:00:00"
+    'D' -> "MM/dd/yyyy", 'x' -> "MM/dd/yyyy",
+    'F' -> "yyyy-MM-dd",
+    'T' -> "HH:mm:ss", 'X' -> "HH:mm:ss",
+    'r' -> "hh:mm:ss a", 'R' -> "HH:mm",
+    'c' -> "EEE MMM dd HH:mm:ss yyyy",
     'n' -> "\n", 't' -> "\t"
   )
 
@@ -109,16 +122,36 @@ object TimeFormats {
     }
   }
 
+  /** Does a translated Java pattern carry any zone/offset directive? */
+  private def hasZone(javaPattern: String): Boolean = {
+    // strip quoted literals, then look for zone pattern letters
+    val noLit = javaPattern.replaceAll("'[^']*'", "")
+    noLit.exists(c => c == 'X' || c == 'x' || c == 'z' || c == 'Z' || c == 'O' || c == 'V')
+  }
+
   /** Full layout dispatch -> epoch-nanos column (null on parse failure,
     * which the operator wrapper turns into the on_error path).
+    *
+    * `location`: IANA zone applied to ZONE-LESS layouts, like Go's
+    * `time.ParseInLocation` (`helper/time.go` Location config) — a layout
+    * that parses a zone from the input ignores it.
     */
   def parseToNanos(value: Column, layoutType: String, layout: String,
-      sourceIsNumeric: Boolean = false): Column = layoutType match {
-    case "epoch" => epochToNanos(value, layout, sourceIsNumeric)
-    case "strptime" =>
-      unix_micros(try_to_timestamp(value.cast("string"), lit(strptimeToJava(layout)))) * lit(1000L)
-    case "gotime" =>
-      unix_micros(try_to_timestamp(value.cast("string"), lit(gotimeToJava(layout)))) * lit(1000L)
-    case other => throw new IllegalArgumentException(s"unsupported layout type: $other")
+      sourceIsNumeric: Boolean = false, location: Option[String] = None): Column = {
+    def withLoc(javaPattern: String): Column = {
+      val parsed = try_to_timestamp(value.cast("string"), lit(javaPattern))
+      location match {
+        case Some(loc) if !hasZone(javaPattern) =>
+          // parsed wall-clock (session TZ = UTC) reinterpreted as zone `loc`
+          unix_micros(to_utc_timestamp(parsed, loc)) * lit(1000L)
+        case _ => unix_micros(parsed) * lit(1000L)
+      }
+    }
+    layoutType match {
+      case "epoch" => epochToNanos(value, layout, sourceIsNumeric)
+      case "strptime" => withLoc(strptimeToJava(layout))
+      case "gotime" => withLoc(gotimeToJava(layout))
+      case other => throw new IllegalArgumentException(s"unsupported layout type: $other")
+    }
   }
 }

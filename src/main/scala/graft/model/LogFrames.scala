@@ -35,4 +35,12 @@ object LogFrames {
     val missing = defaults.filterNot { case (n, _) => present.contains(n) }
     if (missing.isEmpty) df else df.withColumns(missing.toMap)
   }
+
+  /** A minimal LogRow frame from raw body strings (tests, adapters). */
+  def fromBodies(spark: org.apache.spark.sql.SparkSession, bodies: Seq[String]): DataFrame = {
+    import spark.implicits._
+    withDefaults(bodies.zipWithIndex
+      .map { case (b, i) => (s"c$i", i, b) }
+      .toDF("conv_id", "turn_idx", "body"))
+  }
 }

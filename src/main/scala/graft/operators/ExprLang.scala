@@ -17,7 +17,8 @@ import graft.functions.RegexNamedGroups
   * `testdata/pipeline_test_config.yaml`):
   * `== != < <= > >= && || ! and or not in matches`, nil literals, string /
   * number / bool literals, lists, `?.` nil-safe access, bracket keys,
-  * `type(x)`, `int(x)`, `float(x)`, `string(x)`, `len(x)`.
+  * `type(x)`, `int(x)`, `float(x)`, `string(x)`, `len(x)`,
+  * `like(s, pat)` / `ilike(s, pat)` (SQL LIKE, `helper/like.go`), `env(n)`.
   *
   * `matches` patterns are RE2; named groups are rewritten to Java syntax via
   * [[RegexNamedGroups.scan]].
@@ -44,10 +45,15 @@ object ExprLang {
         while (i < n && src.charAt(i) != c) {
           if (src.charAt(i) == '\\' && i + 1 < n) {
             val e = src.charAt(i + 1)
-            sb.append(e match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other
-            })
+            e match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r')
+              case '\\' | '"' | '\'' => sb.append(e)
+              // unknown escape: PRESERVE the backslash (Go strconv.Unquote
+              // rejects these loudly; silently dropping it corrupted
+              // single-escaped regex classes like \s and \d in `matches`)
+              case other => sb.append('\\').append(other)
+            }
             i += 2
           } else { sb.append(src.charAt(i)); i += 1 }
         }
@@ -188,13 +194,59 @@ object ExprLang {
       case TIdent("false") => CBool(lit(false))
       case TIdent("nil") => LNil
       case TIdent(fn) if peek.contains(TOp("(")) && isFunc(fn) =>
-        next(); val arg = parseExpr(); expectOp(")"); applyFunc(fn, arg)
+        next()
+        val args = scala.collection.mutable.ListBuffer.empty[V]
+        if (!peek.contains(TOp(")"))) {
+          args += parseExpr()
+          while (peek.contains(TOp(","))) { next(); args += parseExpr() }
+        }
+        expectOp(")")
+        applyFuncN(fn, args.toSeq)
       case TIdent(root) => parsePath(root)
       case other => fail(s"unexpected token $other")
     }
 
     private def isFunc(n: String): Boolean =
-      Set("type", "int", "float", "string", "len", "isJSON", "unquote").contains(n)
+      Set("type", "int", "float", "string", "len", "isJSON", "unquote",
+        "like", "ilike", "env").contains(n)
+
+    private def applyFuncN(fn: String, args: Seq[V]): V = (fn, args) match {
+      // like/ilike: SQL LIKE tiering — the reference pre-compiles constant
+      // patterns into exact/prefix/suffix/contains fast paths with an RE2
+      // fallback (helper/like.go:37-128, ilike.go:17-60); Catalyst's
+      // LikeSimplification rule performs exactly that tiering on the
+      // built-in like/ilike operators, so translation is all that's needed
+      case ("like", Seq(s, LStr(pat))) => CBool(asStr(s).like(toSparkLike(pat)))
+      case ("ilike", Seq(s, LStr(pat))) => CBool(asStr(s).ilike(toSparkLike(pat)))
+      case ("like" | "ilike", other) =>
+        fail(s"$fn needs (value, literal pattern), got $other")
+      // env(): resolved at plan build like the reference's os.Getenv slot
+      // (helper/expr.go:24); unset -> "" exactly like Go
+      case ("env", Seq(LStr(name))) => LStr(sys.env.getOrElse(name, ""))
+      case ("env", other) => fail(s"env needs a literal name, got $other")
+      case (_, Seq(arg)) => applyFunc(fn, arg)
+      case (_, other) => fail(s"$fn expects one argument, got ${other.size}")
+    }
+
+    /** LIKE-pattern escape translation (helper/like.go:37): the reference
+      * accepts `\x` as literal x for ANY x; Spark's LIKE rejects escapes
+      * other than \% \_ \\, so unescape the rest driver-side.
+      */
+    private def toSparkLike(p: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '\\' && i + 1 < p.length) {
+          val e = p.charAt(i + 1)
+          if (e == '%' || e == '_' || e == '\\') sb.append('\\').append(e)
+          else sb.append(e)
+          i += 2
+        } else if (c == '\\') { sb.append("\\\\"); i += 1 } // trailing lone \
+        else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
     private def applyFunc(fn: String, arg: V): V = fn match {
       case "type" => arg match {
@@ -247,8 +299,12 @@ object ExprLang {
         case _ =>
           val (lc, rc) = coerce(l, r)
           op match {
-            case "==" => lc === rc
-            case "!=" => !(lc === rc) // null-safe-ish: null != x stays null like expr-lang false-y
+            // null-safe (<=>): expr-lang compares nil like a value — nil ==
+            // nil is true, nil != non-nil is TRUE (a plain =!= would yield
+            // NULL, coalesced to false, silently excluding rows the
+            // reference's negative route/if filters include)
+            case "==" => lc <=> rc
+            case "!=" => !(lc <=> rc)
             case "<" => lc < rc
             case "<=" => lc <= rc
             case ">" => lc > rc

@@ -53,7 +53,8 @@ final case class ParserExtras(
     scopeName: Option[FieldRef] = None
 )
 
-final case class TimeParserSpec(parseFrom: FieldRef, layoutType: String, layout: String)
+final case class TimeParserSpec(parseFrom: FieldRef, layoutType: String, layout: String,
+    location: Option[String] = None)
 final case class SeveritySpec(
     parseFrom: FieldRef,
     preset: String = "",
@@ -184,7 +185,8 @@ object Ops {
           .otherwise(TimeFormats.parseToNanos(
             col("attributes_string").getItem(k), "epoch", spec.layout, sourceIsNumeric = false))
       case f =>
-        TimeFormats.parseToNanos(FieldCols.readString(f), spec.layoutType, spec.layout)
+        TimeFormats.parseToNanos(FieldCols.readString(f), spec.layoutType, spec.layout,
+          location = spec.location)
     }
     val ok = FieldCols.exists(spec.parseFrom) && parsed.isNotNull
     (ok, parsed, Seq("timestamp" -> parsed))

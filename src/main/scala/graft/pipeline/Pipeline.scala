@@ -36,33 +36,56 @@ object Pipeline {
     val ops = spec.ops
     val ids = ops.map(_.id).toSet
 
-    // which ops are terminal (emit points)? an op is terminal if nothing
-    // flows out of it: explicit empty `output` on last op, or a NoopOp used
-    // as a sink, or simply the last op in the chain.
-    def outputsOf(i: Int): Seq[String] = {
-      val op = ops(i)
-      op match {
-        case r: RouterOp => Nil // handled per-route
+    // effective outputs, resolved against CONFIG order (an op without an
+    // explicit `output:` flows to the next op in the config, stanza default)
+    val effOutputs: Map[String, Seq[String]] = ops.zipWithIndex.map { case (op, i) =>
+      op.id -> (op match {
+        case r: RouterOp => (r.routes.flatMap(_.output) ++ r.default).distinct
         case _ =>
           if (op.common.output.nonEmpty) op.common.output
           else if (i + 1 < ops.length) Seq(ops(i + 1).id)
           else Nil
+      })
+    }.toMap
+    effOutputs.values.flatten.foreach(o =>
+      require(ids.contains(o), s"unknown operator id in output: $o"))
+
+    // topological order (Kahn, config order among ready ops): the reference
+    // executes the operator DAG regardless of config order, so an `output:`
+    // pointing at an EARLIER operator must still run after its producers —
+    // compiling in config order would silently no-op it (its reach condition
+    // would be registered after it was compiled)
+    val sorted: Seq[Op] = {
+      val indeg = scala.collection.mutable.Map(ops.map(_.id -> 0): _*)
+      for (outs <- effOutputs.values; o <- outs) indeg(o) += 1
+      val done = scala.collection.mutable.ArrayBuffer.empty[Op]
+      val emitted = scala.collection.mutable.Set.empty[String]
+      var progress = true
+      while (done.size < ops.size && progress) {
+        progress = false
+        ops.foreach { op =>
+          if (!emitted.contains(op.id) && indeg(op.id) == 0) {
+            done += op; emitted += op.id; progress = true
+            effOutputs(op.id).foreach(o => indeg(o) -= 1)
+          }
+        }
       }
+      require(done.size == ops.size,
+        s"operator DAG has a cycle among: ${ops.map(_.id).filterNot(emitted).mkString(", ")}")
+      done.toSeq
     }
 
     val reach = scala.collection.mutable.LinkedHashMap.empty[String, Column]
-    def addReach(id: String, c: Column): Unit = {
-      require(ids.contains(id), s"unknown operator id in output: $id")
+    def addReach(id: String, c: Column): Unit =
       reach(id) = reach.get(id).map(_ || c).getOrElse(c)
-    }
 
     var df = input
     var firstRouterDone = false
     val tails = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
 
-    ops.zipWithIndex.foreach { case (op, i) =>
+    sorted.foreach { op =>
       val r: Column =
-        if (i == 0) lit(true)
+        if (op.id == ops.head.id) lit(true) // pipeline entry = first in config
         else reach.getOrElse(op.id, lit(false))
 
       op match {
@@ -81,7 +104,7 @@ object Pipeline {
           }
         case _ =>
           df = Ops.applyOp(df, op, r)
-          val outs = outputsOf(i)
+          val outs = effOutputs(op.id)
           if (outs.isEmpty) tails += (op.id -> r)
           else outs.foreach(o => addReach(o, r))
       }
@@ -99,10 +122,10 @@ object Pipeline {
     // tree and Catalyst's ConstantFolding goes quadratic on the merged giant
     // expressions (observed: >20 min of driver CPU planning the 13-operator
     // flagship; with the fence: <1 s). The fence is also a whole-stage
-    // codegen boundary (one full UnsafeRow materialization per row); callers
-    // that instead exclude CollapseProject on the session (see
-    // [[graft.SparkEntry.configure]]) can pass fence=false to keep the whole
-    // pipeline in one codegen stage.
+    // codegen boundary (one full UnsafeRow materialization per row);
+    // fence=false exists for callers that want one codegen stage and accept
+    // the planning cost (measured: excluding CollapseProject alone does NOT
+    // tame it — the quadratic folding happens on other merged trees too).
     if (fence) out.observe("graft_pipeline", count(lit(1)).as("emitted_rows")) else out
   }
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.LogFrames
+import graft.operators.ExprLang
+import graft.pipeline.{Pipeline, PipelineSpec}
+import graft.operators._
+
+/** Expression-language golden tests: like/ilike tiering semantics (mirroring
+  * the reference `helper/like.go` / `ilike.go` tiers and escapes), env(),
+  * expr-lang nil comparison semantics, string-escape preservation, and
+  * out-of-config-order DAG wiring.
+  */
+class ExprLangSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Evaluate a boolean route expression against rows with the given body. */
+  private def evalBool(expr: String, bodies: Seq[String]): Seq[Boolean] = {
+    val df = LogFrames.fromBodies(spark, bodies)
+    df.select(ExprLang.boolExpr(expr).as("b")).collect().toSeq.map(_.getBoolean(0))
+  }
+
+  private def evalAttr(expr: String, attrs: Seq[Map[String, String]]): Seq[Boolean] = {
+    val df = LogFrames.withDefaults(
+      attrs.zipWithIndex.map { case (m, i) => (s"c$i", i, m) }
+        .toDF("conv_id", "turn_idx", "attributes_string"))
+    df.select(ExprLang.boolExpr(expr).as("b")).collect().toSeq.map(_.getBoolean(0))
+  }
+
+  test("like: every tier of the reference's pattern classification") {
+    val bodies = Seq("error", "error at line 3", "an error", "prefix mid suffix", "other")
+    // exact
+    assert(evalBool("like(body, \"error\")", bodies) ==
+      Seq(true, false, false, false, false))
+    // prefix
+    assert(evalBool("like(body, \"error%\")", bodies) ==
+      Seq(true, true, false, false, false))
+    // suffix
+    assert(evalBool("like(body, \"%error\")", bodies) ==
+      Seq(true, false, true, false, false))
+    // contains
+    assert(evalBool("like(body, \"%error%\")", bodies) ==
+      Seq(true, true, true, false, false))
+    // prefix+suffix
+    assert(evalBool("like(body, \"prefix%suffix\")", bodies) ==
+      Seq(false, false, false, true, false))
+    // '_' wildcard -> regexp tier ("err_r" matches "error": _ is one char)
+    assert(evalBool("like(body, \"err_r\")", bodies) ==
+      Seq(true, false, false, false, false))
+    assert(evalBool("like(body, \"_rror\")", bodies) ==
+      Seq(true, false, false, false, false))
+  }
+
+  test("like escapes: \\% and \\_ are literals, \\x is x") {
+    assert(evalBool("like(body, \"100\\\\%\")", Seq("100%", "1000")) == Seq(true, false))
+    assert(evalBool("like(body, \"a\\\\_b\")", Seq("a_b", "axb")) == Seq(true, false))
+    // \x -> literal x (reference: any escaped char is that char)
+    assert(evalBool("like(body, \"\\\\xyz\")", Seq("xyz", "ayz")) == Seq(true, false))
+  }
+
+  test("ilike: case-insensitive across tiers") {
+    val bodies = Seq("ERROR at foo", "no match")
+    assert(evalBool("ilike(body, \"error%\")", bodies) == Seq(true, false))
+    assert(evalBool("ilike(body, \"%AT FOO\")", bodies) == Seq(true, false))
+    assert(evalBool("ilike(body, \"%aT f%\")", bodies) == Seq(true, false))
+    assert(evalBool("ilike(body, \"err_r%\")", bodies) == Seq(true, false))
+  }
+
+  test("env(): resolved at plan build; unset -> empty string like os.Getenv") {
+    // PATH is always set in this environment
+    val path = sys.env("PATH")
+    assert(evalBool(s"""env("PATH") == "${path.replace("\\", "\\\\")}"""", Seq("x")) == Seq(true))
+    assert(evalBool("""env("GRAFT_DEFINITELY_UNSET_VAR_42") == """"", Seq("x")) == Seq(true))
+  }
+
+  test("nil comparison: != on a missing field is TRUE (expr-lang semantics)") {
+    val rows = Seq(Map("x" -> "y"), Map.empty[String, String])
+    // explicit nil form (presence test)
+    assert(evalAttr("attributes.x != nil", rows) == Seq(true, false))
+    // value comparison with the field MISSING: expr-lang nil != "z" is true;
+    // a non-null-safe translation would yield NULL -> false
+    assert(evalAttr("attributes.x != \"z\"", rows) == Seq(true, true))
+    assert(evalAttr("attributes.x == \"y\"", rows) == Seq(true, false))
+    // negated equality under null: !(nil == "y") must be true, not NULL
+    assert(evalAttr("!(attributes.x == \"y\")", rows) == Seq(false, true))
+  }
+
+  test("string escapes: unknown escape sequences keep the backslash") {
+    // a config writing matches "\d+" (single-escaped) must reach the regex
+    // engine as \d+, not d+
+    assert(evalBool("body matches \"^\\d+$\"", Seq("123", "abc")) == Seq(true, false))
+    assert(evalBool("body matches \"a\\sb\"", Seq("a b", "ab")) == Seq(true, false))
+    // known escapes still translate
+    assert(evalBool("body == \"a\\tb\"", Seq("a\tb", "ab")) == Seq(true, false))
+  }
+
+  test("DAG: output pointing at an EARLIER operator still executes it") {
+    // config order: entry -> late -> early(sink); `late` outputs to `early`,
+    // which appears BEFORE it in config. Compiling in config order would
+    // silently no-op `early`; the toposort runs it after `late`.
+    val spec = PipelineSpec(Seq(
+      AddOp(Common("entry", output = Seq("late")), FieldRef.Attr(Seq("a")), "1"),
+      AddOp(Common("early", output = Seq("sink")), FieldRef.Attr(Seq("b")), "2"),
+      AddOp(Common("late", output = Seq("early")), FieldRef.Attr(Seq("c")), "3"),
+      NoopOp(Common("sink"))
+    ))
+    val out = Pipeline.compile(spec)(LogFrames.fromBodies(spark, Seq("x")))
+    val m = attrs(out).head._1
+    assert(m == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+  }
+
+  test("DAG: cycles are rejected loudly") {
+    val spec = PipelineSpec(Seq(
+      AddOp(Common("a", output = Seq("b")), FieldRef.Attr(Seq("a")), "1"),
+      AddOp(Common("b", output = Seq("a")), FieldRef.Attr(Seq("b")), "2")
+    ))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.compile(spec)(LogFrames.fromBodies(spark, Seq("x")))
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("strptime: %z accepts +0000 and Z (Go Z0700), %j is the -07:00 zone") {
+    val df = Seq("2024-03-01T10:00:00+0000", "2024-03-01T10:00:00Z", "2024-03-01T10:00:00+00:00")
+      .toDF("s")
+    val parsed = df.select(graft.functions.TimeFormats
+      .parseToNanos(col("s"), "strptime", "%Y-%m-%dT%H:%M:%S%z").as("ns"))
+      .collect().map(r => Option(r.get(0)))
+    assert(parsed(0).contains(1709287200000000000L))
+    assert(parsed(1).contains(1709287200000000000L))
+    assert(parsed(2).isEmpty) // colon form is NOT Z0700 — must fail like Go
+    val j = Seq("2024-03-01T10:00:00+05:30").toDF("s")
+      .select(graft.functions.TimeFormats
+        .parseToNanos(col("s"), "strptime", "%Y-%m-%dT%H:%M:%S%j").as("ns"))
+      .collect().head.getLong(0)
+    assert(j == 1709287200000000000L - 5L * 3600 * 1000000000L - 30L * 60 * 1000000000L)
+  }
+
+  test("time_parser location: zone-less layouts parse in the given zone") {
+    val df = Seq("2024-03-01 10:00:00").toDF("s")
+    def at(loc: Option[String]): Long = df.select(graft.functions.TimeFormats
+      .parseToNanos(col("s"), "strptime", "%Y-%m-%d %H:%M:%S", location = loc).as("ns"))
+      .collect().head.getLong(0)
+    val utc = at(None)
+    val kolkata = at(Some("Asia/Kolkata")) // UTC+5:30, no DST
+    assert(utc - kolkata == 5L * 3600 * 1000000000L + 30L * 60 * 1000000000L)
+    // layouts WITH a zone ignore location
+    val withZone = Seq("2024-03-01T10:00:00Z").toDF("s")
+      .select(graft.functions.TimeFormats
+        .parseToNanos(col("s"), "strptime", "%Y-%m-%dT%H:%M:%S%z",
+          location = Some("Asia/Kolkata")).as("ns"))
+      .collect().head.getLong(0)
+    assert(withZone == 1709287200000000000L)
+  }
+}
