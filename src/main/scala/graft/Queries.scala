@@ -221,12 +221,59 @@ object Queries {
     "q_attribute_keys" -> ((s, d) => {
       val main = Exporter.logsV2(eventsAsLogs(s, d))
       Exporter.attributeKeys(main).unionAll(Exporter.resourceKeys(main))
+    }),
+
+    // metadataexporter analogue: 6-hour-window (resource fp, attr fp,
+    // string-valued attrs) rows (SURVEY §2.5; attribute_writer.go:38-100)
+    "q_attr_metadata" -> ((s, d) => {
+      val main = Exporter.logsV2(eventsAsLogs(s, d))
+      graft.pipeline.Metadata.attributesMetadata(main)
+        .select(col("rounded_unix_milli"),
+          col("resource_fingerprint"), col("attr_fingerprint"),
+          element_at(col("attrs"), "event_type").as("event_type"),
+          element_at(col("resource_attrs"), "user_id").as("user_id"))
     })
   )
+
+  /** DuckDB byte list of a VARCHAR's UTF-8 encoding. */
+  private def bytesSql(s: String): String =
+    s"list_transform(generate_series(1, octet_length(encode($s))), " +
+      s"i -> CAST('0x' || substr(hex(encode($s)), i*2-1, 2) AS INT))"
+
+  /** DuckDB FNV-1a 64 (wrapping multiply via HUGEINT mod 2^64) over the
+    * concatenation of `parts` with 0xFF separators after each — the
+    * reference's FingerprintHash byte stream (hash.go:32-52). Result is the
+    * SIGNED 64-bit reinterpretation, matching the Spark kernel's LongType.
+    */
+  private def fnvSignedSql(parts: Seq[String]): String = {
+    val byteList = parts.map(p => s"list_concat(${bytesSql(p)}, [255])")
+      .reduce((a, b) => s"list_concat($a, $b)")
+    s"""(SELECT CAST(CAST(u AS HUGEINT)
+       |  - CASE WHEN u >= CAST('9223372036854775808' AS UBIGINT)
+       |         THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT)
+       | FROM (SELECT CAST(list_reduce(
+       |    list_prepend(CAST('14695981039346656037' AS HUGEINT), $byteList),
+       |    (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |                 * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+       |    AS UBIGINT) AS u))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_router" ->
       s"""SELECT $routeCase AS route, count(*) AS n FROM events GROUP BY 1""",
+
+    "q_attr_metadata" -> {
+      val vstr = "CASE WHEN value = trunc(value) " +
+        "THEN CAST(CAST(value AS BIGINT) AS VARCHAR) ELSE CAST(value AS VARCHAR) END"
+      val attrFp = fnvSignedSql(Seq("'event_type'", "event_type", "'value'", vstr))
+      val resFp = fnvSignedSql(Seq("'user_id'", "CAST(user_id AS VARCHAR)"))
+      s"""SELECT DISTINCT
+         |  (epoch_ms(ts) // 21600000) * 21600000 AS rounded_unix_milli,
+         |  $resFp AS resource_fingerprint,
+         |  $attrFp AS attr_fingerprint,
+         |  event_type, CAST(user_id AS VARCHAR) AS user_id
+         |FROM events""".stripMargin
+    },
 
     // the constructed body has a known shape, so the oracle asserts the
     // exact canonical (sorted-key) strings: literal "a.b.c" beats nested

@@ -67,6 +67,8 @@ object Fingerprint {
 
   private val offset64 = -3750763034362895579L // 14695981039346656037 as signed
   private val prime64 = 1099511628211L
+  /** FNV offset basis exposed for sibling kernels (uint64 bits as Long). */
+  val offset64Public: Long = offset64
 
   def hashAdd(h0: Long, s: String): Long = {
     var h = h0
@@ -156,6 +158,147 @@ final class FingerprintWorker extends Serializable {
     if (cache.size < 65536) cache.put(cacheKey, result)
     result
   }
+}
+
+/** FNV-1a 64 over a BINARY column, continuing from a caller-provided seed
+  * state (used by the tail sampler to fold a salt prefix in driver-side —
+  * `internal/sampling/probabilistic.go:76-83` hashTraceID).
+  */
+object FnvBytesKernel extends Serializable {
+  def hash(bytes: Array[Byte], seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 1099511628211L
+      i += 1
+    }
+    h
+  }
+}
+
+case class FnvOverBytes(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    FnvBytesKernel.hash(input.asInstanceOf[Array[Byte]], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, input =>
+      s"graft.functions.FnvBytesKernel$$.MODULE$$.hash($input, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): FnvOverBytes =
+    copy(child = newChild)
+}
+
+object FnvOverBytes {
+  def apply(c: Column, seed: Long): Column =
+    ExpressionUtils.column(FnvOverBytes(ExpressionUtils.expression(c), seed))
+}
+
+/** Attribute-metadata kernel (`exporter/metadataexporter/attribute_writer.go:58-79`
+  * + `utils/fingerprint/hash.go:32-52` FingerprintHash +
+  * `exporter.go:81-89` flattenJSONToStringMap):
+  *  - fingerprint = FNV-1a over name-sorted `k`,0xFF,`%v(value)`,0xFF of ALL
+  *    (non-skipped) attributes regardless of type;
+  *  - the stored map keeps ONLY string-valued attributes (numbers/bools are
+  *    in the fingerprint but dropped from the map — faithful to
+  *    flattenJSONToStringMap's `case string` switch).
+  * Input is a struct of the three typed maps; output
+  * struct(fprint BIGINT /*uint64 bits*/, attrs MAP<STRING,STRING>).
+  */
+final class AttrsMetaWorker(skipKeys: Array[String]) extends Serializable {
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+
+  @transient private lazy val skip: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    skipKeys.foreach(s.add)
+    s
+  }
+
+  /** Go `%v` of a float64: integral prints without decimals. */
+  private def goNum(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  def compute(row: org.apache.spark.sql.catalyst.InternalRow): org.apache.spark.sql.catalyst.InternalRow = {
+    if (row == null) return null
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
+    def addMap(idx: Int, render: Any => String, isString: Boolean): Unit = {
+      if (!row.isNullAt(idx)) {
+        val m = row.getMap(idx)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          val k = keys.getUTF8String(i).toString
+          if (!skip.contains(k)) {
+            val v =
+              if (vals.isNullAt(i)) ""
+              else render(idx match {
+                case 0 => vals.getUTF8String(i)
+                case 1 => vals.getDouble(i)
+                case 2 => vals.getBoolean(i)
+              })
+            entries += ((k, v, isString))
+          }
+          i += 1
+        }
+      }
+    }
+    addMap(0, v => v.toString, isString = true)
+    addMap(1, v => goNum(v.asInstanceOf[Double]), isString = false)
+    addMap(2, v => v.toString, isString = false)
+
+    val sorted = entries.sortBy(_._1)
+    var sum = if (sorted.isEmpty) Fingerprint.offset64Public else {
+      var h = Fingerprint.offset64Public
+      sorted.foreach { case (k, v, _) =>
+        h = Fingerprint.hashAdd(h, k)
+        h = Fingerprint.hashAddByte(h, 0xff)
+        h = Fingerprint.hashAdd(h, v)
+        h = Fingerprint.hashAddByte(h, 0xff)
+      }
+      h
+    }
+    val strEntries = sorted.filter(_._3)
+    val mapData = new ArrayBasedMapData(
+      new GenericArrayData(strEntries.map(e => UTF8String.fromString(e._1): Any).toArray),
+      new GenericArrayData(strEntries.map(e => UTF8String.fromString(e._2): Any).toArray))
+    org.apache.spark.sql.catalyst.InternalRow(sum, mapData)
+  }
+}
+
+/** `attrs_meta(struct(strings, numbers, bools))` — see [[AttrsMetaWorker]]. */
+case class AttrsMeta(child: Expression, skipKeys: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  private lazy val worker = new AttrsMetaWorker(skipKeys.toArray)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fprint", LongType),
+    StructField("attrs", MapType(StringType, StringType, valueContainsNull = false))))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    worker.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[AttrsMetaWorker].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"""
+         |${ev.value} = $w.compute($input);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AttrsMeta =
+    copy(child = newChild)
+}
+
+object AttrsMeta {
+  def of(strings: Column, numbers: Column, bools: Column,
+      skipKeys: Seq[String] = Nil): Column =
+    ExpressionUtils.column(AttrsMeta(
+      ExpressionUtils.expression(
+        org.apache.spark.sql.functions.struct(strings, numbers, bools)),
+      skipKeys))
 }
 
 /** `resource_fingerprint(map)` -> hierarchy-labeled FNV-1a fingerprint. */

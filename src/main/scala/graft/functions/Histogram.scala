@@ -33,4 +33,41 @@ object Histogram {
       .groupBy(keys :+ col("bucket_idx") :+ col("bucket_le"): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Base-2 exponential histogram, the spanmetrics expHistograms shape
+    * (`processor.go:1087-1103` feeding the OTel `structure.Histogram` with
+    * `DefaultMaxSize` = 160 buckets, auto-downscaled so every observation
+    * fits): bucket i at scale s covers `(2^(i/2^s), 2^((i+1)/2^s)]`, i.e.
+    * index = ceil(log2(v) * 2^s) - 1.
+    *
+    * Spark restatement of the auto-scaling: the per-key scale is the largest
+    * s <= maxScale with `(idx(max) - idx(min) + 1) <= maxSize` — computed
+    * from a per-key min/max aggregate instead of the reference's one-by-one
+    * downscale-on-overflow (same final scale, since downscaling halves the
+    * index range until it fits). Two shuffles total: the min/max pre-pass
+    * and the (key, bucket) count; both have map-side partials. Zero and
+    * negative values land in the spec's zero bucket (`bucket_idx` NULL,
+    * `zero_count` semantics).
+    */
+  def exponential(df: DataFrame, value: Column, keyCols: Seq[String],
+      maxSize: Int = 160, maxScale: Int = 20): DataFrame = {
+    val keys = keyCols.map(col)
+    val pos = df.withColumn("__pos", when(value.cast("double") > 0, value.cast("double")))
+    val ranges = pos.groupBy(keys: _*)
+      .agg(min(col("__pos")).as("__min"), max(col("__pos")).as("__max"))
+      .withColumn("__span", log2(col("__max")) - log2(col("__min")))
+      .withColumn("scale",
+        when(col("__min").isNull, lit(maxScale)) // all-zero key: scale moot
+          .otherwise(least(lit(maxScale),
+            floor(log2((lit(maxSize) - 1) / greatest(col("__span"), lit(1e-9))))
+              .cast("int"))))
+      .select(keys :+ col("scale"): _*)
+    val withScale = pos.join(ranges, keyCols) // same-key join, AQE-broadcast
+    withScale
+      .withColumn("bucket_idx",
+        when(col("__pos").isNotNull,
+          ceil(log2(col("__pos")) * pow(lit(2.0), col("scale"))).cast("long") - 1))
+      .groupBy(keys :+ col("scale") :+ col("bucket_idx"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -41,7 +41,8 @@ final class JsonTypedMapsWorker(
     maxDepth: Int,
     enablePaths: Boolean,
     pathPrefix: String,
-    unquoteFirst: Boolean
+    unquoteFirst: Boolean,
+    flattenArrays: Boolean = false // utils/flatten/flatten.go:24-30 rule
 ) extends Serializable {
   import scala.jdk.CollectionConverters._
 
@@ -88,6 +89,15 @@ final class JsonTypedMapsWorker(
           val newKey = if (enablePaths && parent.nonEmpty) s"$parent.$k" else k
           walk(newKey, node.get(k), depth + 1)
         }
+      } else if (flattenArrays && node.isArray) {
+        // the metadata flattener's array-index rule
+        // (utils/flatten/flatten.go:24-30): element i lands at `parent.i`
+        var i = 0
+        node.elements().asScala.foreach { el =>
+          val newKey = if (enablePaths && parent.nonEmpty) s"$parent.$i" else i.toString
+          walk(newKey, el, depth + 1)
+          i += 1
+        }
       } else put(parent, node)
     }
 
@@ -113,11 +123,13 @@ case class JsonTypedMaps(
     maxDepth: Int = 1,
     enablePaths: Boolean = false,
     pathPrefix: String = "",
-    unquoteFirst: Boolean = true
+    unquoteFirst: Boolean = true,
+    flattenArrays: Boolean = false
 ) extends UnaryExpression {
 
   private lazy val worker =
-    new JsonTypedMapsWorker(flatten, maxDepth, enablePaths, pathPrefix, unquoteFirst)
+    new JsonTypedMapsWorker(flatten, maxDepth, enablePaths, pathPrefix, unquoteFirst,
+      flattenArrays)
 
   override def dataType: DataType = JsonKernels.typedMapsSchema
   override def nullable: Boolean = true
@@ -141,9 +153,11 @@ case class JsonTypedMaps(
 object JsonTypedMaps {
   def apply(c: Column): Column = of(c)
   def of(c: Column, flatten: Boolean = false, maxDepth: Int = 1,
-      enablePaths: Boolean = false, pathPrefix: String = ""): Column =
+      enablePaths: Boolean = false, pathPrefix: String = "",
+      flattenArrays: Boolean = false): Column =
     ExpressionUtils.column(JsonTypedMaps(
-      ExpressionUtils.expression(c), flatten, maxDepth, enablePaths, pathPrefix))
+      ExpressionUtils.expression(c), flatten, maxDepth, enablePaths, pathPrefix,
+      flattenArrays = flattenArrays))
 }
 
 /** Body canonicalization worker for the `normalize` operator

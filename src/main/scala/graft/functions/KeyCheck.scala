@@ -53,3 +53,35 @@ object KeyCheck {
       ((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')) &&
         c != 'I' && c != 'L' && c != 'O' && c != 'U')
 }
+
+/** `is_random_key(str)` as a codegen expression — the exporter's tag sinks
+  * apply this predicate to every exploded tag row
+  * (`exporter/clickhouselogsexporter/exporter.go:893`); a Scala UDF here
+  * forces a BatchEvalUDF node and breaks whole-stage codegen on the hot
+  * explode path.
+  */
+case class IsRandomKey(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    KeyCheck.isRandomKey(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, input =>
+      s"graft.functions.KeyCheck$$.MODULE$$.isRandomKey($input.toString())")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): IsRandomKey =
+    copy(child = newChild)
+}
+
+object IsRandomKey {
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      IsRandomKey(org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
+}

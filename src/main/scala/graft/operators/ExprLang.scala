@@ -100,7 +100,11 @@ object ExprLang {
   private def asStr(v: V): Column = v match {
     case Field(r) => FieldCols.readString(r)
     case CStr(c) => c
-    case CNum(c) => c.cast("string")
+    // Go %v: integral float64 prints without decimals (same rule as
+    // FieldCols.stringifyNumber)
+    case CNum(c) =>
+      when(c === c.cast("long").cast("double"), c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
     case CBool(c) => c.cast("string")
     case LStr(s) => lit(s)
     case LNum(d, true) => lit(d.toLong.toString)
@@ -208,7 +212,7 @@ object ExprLang {
 
     private def isFunc(n: String): Boolean =
       Set("type", "int", "float", "string", "len", "isJSON", "unquote",
-        "like", "ilike", "env").contains(n)
+        "like", "ilike", "env", "HexToInt").contains(n)
 
     private def applyFuncN(fn: String, args: Seq[V]): V = (fn, args) match {
       // like/ilike: SQL LIKE tiering — the reference pre-compiles constant
@@ -224,6 +228,13 @@ object ExprLang {
       // (helper/expr.go:24); unset -> "" exactly like Go
       case ("env", Seq(LStr(name))) => LStr(sys.env.getOrElse(name, ""))
       case ("env", other) => fail(s"env needs a literal name, got $other")
+      // OTTL HexToInt (`signoztransformprocessor/ottlfunctions/func_hex_to_int.go`):
+      // lowercase, strip one "0x" prefix, ParseInt base 16; invalid -> null
+      // (the statement's error path)
+      case ("HexToInt", Seq(arg)) =>
+        val norm = regexp_replace(graft.functions.FastLower(asStr(arg)), "^0x", "")
+        CNum(when(norm.rlike("^[0-9a-f]{1,15}$"),
+          conv(norm, 16, 10).cast("long")).cast("double"))
       case (_, Seq(arg)) => applyFunc(fn, arg)
       case (_, other) => fail(s"$fn expects one argument, got ${other.size}")
     }

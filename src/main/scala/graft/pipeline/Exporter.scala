@@ -135,50 +135,53 @@ object Exporter {
     }
   }
 
-  private val isRandomKeyUdf = udf((k: String) => k != null && KeyCheck.isRandomKey(k))
-
   /** All candidate tag rows before filtering: (unix_milli, tag_key, tag_type,
     * tag_data_type, string_value, number_value). Deduped like the TTL caches
     * dedup repeats within a window.
+    *
+    * Built as ONE array-concat + ONE explode over a single scan of the
+    * upstream — round 1's seven `unionAll` branches recomputed the whole
+    * pipeline per branch whenever the upstream wasn't cached (and
+    * attributeKeys/resourceKeys each re-derived it again).
     */
   private def tagRows(logsV2: DataFrame): DataFrame = {
     // hour-rounded from the record ts (deterministic stand-in for
     // `(time.Now().UnixMilli()/3600000)*3600000`, exporter.go:929)
     val unixMilli = expr("((timestamp div 1000000) div 3600000) * 3600000")
 
-    def explodeMap(m: Column, tagType: String, dataType: String,
-        strVal: Column => Column, numVal: Column => Column): DataFrame =
-      logsV2.select(unixMilli.as("unix_milli"), explode(map_entries(m)).as("e"))
-        .select(col("unix_milli"),
-          col("e.key").as("tag_key"),
-          lit(tagType).as("tag_type"),
-          lit(dataType).as("tag_data_type"),
-          strVal(col("e.value")).as("string_value"),
-          numVal(col("e.value")).cast("double").as("number_value"))
+    val nullStr = lit(null).cast("string")
+    val nullNum = lit(null).cast("double")
+    def row(key: Column, tagType: String, dataType: String,
+        strVal: Column, numVal: Column): Column =
+      struct(key.as("tag_key"), lit(tagType).as("tag_type"),
+        lit(dataType).as("tag_data_type"),
+        strVal.as("string_value"), numVal.cast("double").as("number_value"))
 
-    val nullStr = (_: Column) => lit(null).cast("string")
-    val nullNum = (_: Column) => lit(null).cast("double")
+    def fromMap(m: Column, tagType: String, dataType: String,
+        strVal: Column => Column, numVal: Column => Column): Column =
+      transform(map_entries(m), e =>
+        row(e.getField("key"), tagType, dataType,
+          strVal(e.getField("value")), numVal(e.getField("value"))))
 
-    val attrStr = explodeMap(col("attributes_string"), "tag", "string", identity, nullNum)
-    val attrNum = explodeMap(col("attributes_number"), "tag", "float64", nullStr, identity)
-    val attrBool = explodeMap(col("attributes_bool"), "tag", "bool", nullStr, nullNum)
-    // resource attrs are force-stringified (exporter.go:656, forceStringValues=true)
-    val res = explodeMap(col("resources_string"), "resource", "string", identity, nullNum)
-    // scope attrs likewise (exporter.go:667); scope keys go to tag_attributes
-    // but to NEITHER key sink (exporter.go:887-919 switch)
-    val scope = explodeMap(col("scope_string"), "scope", "string", identity, nullNum)
-    // logfields: severity_text/severity_number (exporter.go:741)
-    val lfStr = logsV2.select(unixMilli.as("unix_milli"),
-      lit("severity_text").as("tag_key"), lit("logfield").as("tag_type"),
-      lit("string").as("tag_data_type"), col("severity_text").as("string_value"),
-      lit(null).cast("double").as("number_value"))
-    val lfNum = logsV2.select(unixMilli.as("unix_milli"),
-      lit("severity_number").as("tag_key"), lit("logfield").as("tag_type"),
-      lit("float64").as("tag_data_type"), lit(null).cast("string").as("string_value"),
-      col("severity_number").cast("double").as("number_value"))
+    val all = concat(
+      fromMap(col("attributes_string"), "tag", "string", identity, _ => nullNum),
+      fromMap(col("attributes_number"), "tag", "float64", _ => nullStr, identity),
+      fromMap(col("attributes_bool"), "tag", "bool", _ => nullStr, _ => nullNum),
+      // resource attrs are force-stringified (exporter.go:656,
+      // forceStringValues=true)
+      fromMap(col("resources_string"), "resource", "string", identity, _ => nullNum),
+      // scope attrs likewise (exporter.go:667); scope keys go to
+      // tag_attributes but to NEITHER key sink (exporter.go:887-919 switch)
+      fromMap(col("scope_string"), "scope", "string", identity, _ => nullNum),
+      // logfields: severity_text/severity_number (exporter.go:741)
+      array(
+        row(lit("severity_text"), "logfield", "string", col("severity_text"), nullNum),
+        row(lit("severity_number"), "logfield", "float64", nullStr,
+          col("severity_number").cast("double"))))
 
-    attrStr.unionAll(attrNum).unionAll(attrBool).unionAll(res).unionAll(scope)
-      .unionAll(lfStr).unionAll(lfNum)
+    logsV2.select(unixMilli.as("unix_milli"), explode(all).as("e"))
+      .select(col("unix_milli"), col("e.tag_key"), col("e.tag_type"),
+        col("e.tag_data_type"), col("e.string_value"), col("e.number_value"))
   }
 
   /** tag_attributes_v2 sink rows (keycheck + value length + skip-set applied,
@@ -188,7 +191,7 @@ object Exporter {
     val rows = tagRows(logsV2)
       .dropDuplicates("unix_milli", "tag_key", "tag_type", "tag_data_type",
         "string_value", "number_value")
-      .filter(!isRandomKeyUdf(col("tag_key")))
+      .filter(!graft.functions.IsRandomKey(col("tag_key")))
       .filter(col("string_value").isNull ||
         length(col("string_value")) <= cfg.maxAttributeValueLength)
     if (cfg.skipKeys.isEmpty) rows
@@ -200,17 +203,19 @@ object Exporter {
     * tag/resource tag types; scope+logfield keys are emitted to neither
     * (exporter.go:887-919 switch).
     */
+  // dedup BEFORE the keycheck predicate: the regex battery then runs once
+  // per distinct (name, datatype), not once per exploded tag row
   def attributeKeys(logsV2: DataFrame): DataFrame =
     tagRows(logsV2).filter(col("tag_type") === "tag")
       .select(col("tag_key").as("name"), col("tag_data_type").as("datatype"))
-      .filter(!isRandomKeyUdf(col("name")))
       .dropDuplicates()
+      .filter(!graft.functions.IsRandomKey(col("name")))
 
   def resourceKeys(logsV2: DataFrame): DataFrame =
     tagRows(logsV2).filter(col("tag_type") === "resource")
       .select(col("tag_key").as("name"), col("tag_data_type").as("datatype"))
-      .filter(!isRandomKeyUdf(col("name")))
       .dropDuplicates()
+      .filter(!graft.functions.IsRandomKey(col("name")))
 
   /** Usage metering: per-route record counts + byte sizes
     * (usage/common.go:56-63, flushed per tenant/exporter).

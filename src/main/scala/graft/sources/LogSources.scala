@@ -53,4 +53,51 @@ object LogSources {
   def fromTextLines(df: DataFrame, textCol: Column): DataFrame =
     LogFrames.withDefaults(
       df.select(explode(split(textCol, "\n")).as("body")))
+
+  /** Heroku logplex syslog regex (`bodyparser/heroku.go:18`), verbatim
+    * (RE2 named groups are rewritten to Java syntax by the extractor).
+    */
+  val herokuRegex: String =
+    "^<(?P<priority>\\d|\\d{2}|1[1-8]\\d|19[01])>(?P<version>\\d{1,2})\\s" +
+      "(?P<timestamp>-|[^\\s]+)\\s(?P<hostname>[\\S]{1,255})\\s" +
+      "(?P<appname>[\\S]{1,48})\\s(?P<procid>[\\S]{1,128})\\s" +
+      "(?P<msgid>[\\S]{1,32})(?:\\s(?P<msg>.+))?$"
+
+  /** `heroku` body parser (`bodyparser/heroku.go:44-106`): octet-counting
+    * frame split, then the syslog regex per frame. Matched frames put
+    * {priority, version, hostname, appname, procid} into resource attrs and
+    * {timestamp (raw, unparsed — like the reference), msgid} into
+    * attributes, body = msg; unmatched frames keep the whole line as body
+    * with empty attrs (heroku.go:54-58).
+    */
+  def fromHeroku(df: DataFrame, payloadCol: Column): DataFrame = {
+    val lines = df.select(
+      explode(graft.functions.OctetSplit(payloadCol)).as("__line"))
+    val parsed = graft.functions.RegexExtractNamedGroups(col("__line"), herokuRegex)
+    val p = col("__p")
+    LogFrames.withDefaults(lines
+      .withColumn("__p", parsed)
+      .select(
+        when(p.isNotNull, coalesce(p.getItem("msg"), lit("")))
+          .otherwise(col("__line")).as("body"),
+        when(p.isNotNull, map(
+          lit("timestamp"), coalesce(p.getItem("timestamp"), lit("")),
+          lit("msgid"), coalesce(p.getItem("msgid"), lit(""))))
+          .otherwise(map().cast(LogSchema.mapSS)).as("attributes_string"),
+        when(p.isNotNull, map(
+          lit("priority"), p.getItem("priority"),
+          lit("version"), p.getItem("version"),
+          lit("hostname"), p.getItem("hostname"),
+          lit("appname"), p.getItem("appname"),
+          lit("procid"), p.getItem("procid")))
+          .otherwise(map().cast(LogSchema.mapSS)).as("resources_string")))
+  }
+
+  /** `google` body parser: the reference's GCloud parser is an explicit
+    * no-op returning empty logs (`bodyparser/google.go:8-10`) — mirrored
+    * here as an empty LogRow frame.
+    */
+  def fromGoogle(df: DataFrame, payloadCol: Column): DataFrame =
+    LogFrames.withDefaults(
+      df.select(payloadCol.cast("string").as("body")).limit(0))
 }

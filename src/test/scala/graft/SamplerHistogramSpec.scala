@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Histogram
+import graft.streaming.TailSampler
+import graft.streaming.TailSampler.{NumericFilter, Policy, StringFilter}
+
+/** Golden tests for the tail-sampler policy tree (mirroring
+  * `signoztailsampler/evaluator_test.go` cases), the exponential histogram,
+  * HexToInt, and the metadata flattener's array-index rule.
+  */
+class SamplerHistogramSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(attrs: Map[String, String]*): org.apache.spark.sql.DataFrame =
+    graft.model.LogFrames.withDefaults(
+      attrs.zipWithIndex.map { case (m, i) =>
+        (s"c$i", i, f"deadbeefdeadbeefdeadbeefdeadbe$i%02x", m)
+      }.toDF("conv_id", "turn_idx", "trace_id", "attributes_string"))
+
+  private def decide(policies: Seq[Policy], attrs: Map[String, String]*): Seq[Int] =
+    rows(attrs: _*).select(TailSampler.decision(policies,
+      col("trace_id"), col("attributes_string"), col("attributes_number")).as("d"))
+      .collect().toSeq.map(_.getInt(0))
+
+  test("policy filter gates sampling; no match -> NoResult -> default sample") {
+    // TestEvalPolicy: source=unknown, 100% -> Sampled when attr matches
+    val p = Policy("test-policy", samplingPercentage = 100,
+      stringFilters = Seq(StringFilter("source", Seq("unknown"))))
+    // matching trace -> sampled by the policy; non-matching -> NoResult ->
+    // processor default (sample) — assert via evaluate() directly
+    val d = rows(Map("source" -> "unknown"), Map("source" -> "other"))
+      .select(TailSampler.evaluate(p, col("trace_id"),
+        col("attributes_string"), col("attributes_number")).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(1, -1))
+  }
+
+  test("sampling percentage 0 -> NotSampled, 100 -> Sampled (TestEvalPolicyWithZeroPercent)") {
+    def p(pct: Double) = Policy("p", pct,
+      stringFilters = Seq(StringFilter("source", Seq("unknown"))))
+    assert(decide(Seq(p(100)), Map("source" -> "unknown")) == Seq(1))
+    assert(decide(Seq(p(0)), Map("source" -> "unknown")) == Seq(0))
+    // 99%: overwhelmingly sampled (the reference test accepts rare misses)
+    val many = (0 until 50).map(_ => Map("source" -> "unknown"))
+    val sampled = decide(Seq(p(99)), many: _*).count(_ == 1)
+    assert(sampled >= 45)
+  }
+
+  test("sub-policy wins over root sampler (TestEvalSubPolicy)") {
+    val root = Policy("root", samplingPercentage = 0,
+      stringFilters = Seq(StringFilter("source", Seq("unknown"))),
+      subPolicies = Seq(
+        Policy("sub", samplingPercentage = 100,
+          stringFilters = Seq(StringFilter("host", Seq("hostA"))))))
+    // sub matches -> Sampled; sub misses -> root's 0% -> NotSampled
+    assert(decide(Seq(root),
+      Map("source" -> "unknown", "host" -> "hostA"),
+      Map("source" -> "unknown", "host" -> "other")) == Seq(1, 0))
+  }
+
+  test("filterOp AND: any failed filter -> NoResult (TestEvalPolicyWithAndFilter)") {
+    val root = Policy("root", samplingPercentage = 0,
+      stringFilters = Seq(StringFilter("source", Seq("unknown"))),
+      subPolicies = Seq(
+        Policy("sub", samplingPercentage = 100, filterOp = "and",
+          stringFilters = Seq(
+            StringFilter("host", Seq("hostA")),
+            StringFilter("region", Seq("us-east-1"))))))
+    assert(decide(Seq(root),
+      Map("source" -> "unknown", "host" -> "hostA", "region" -> "us-east-1"),
+      Map("source" -> "unknown", "host" -> "hostA"), // missing region -> sub NoResult
+      Map("source" -> "unknown", "host" -> "other", "region" -> "us-east-1")
+    ) == Seq(1, 0, 0))
+  }
+
+  test("priority orders sub-policies; numeric filter; invert match") {
+    val root = Policy("root", samplingPercentage = 0,
+      stringFilters = Seq(StringFilter("source", Seq("unknown"))),
+      subPolicies = Seq(
+        Policy("low", samplingPercentage = 0, priority = 2,
+          stringFilters = Seq(StringFilter("env", Seq("prod")))),
+        Policy("high", samplingPercentage = 100, priority = 1,
+          stringFilters = Seq(StringFilter("env", Seq("prod"))))))
+    // both subs match; priority 1 wins -> Sampled
+    assert(decide(Seq(root), Map("source" -> "unknown", "env" -> "prod")) == Seq(1))
+
+    val num = Policy("n", samplingPercentage = 100,
+      numericFilters = Seq(NumericFilter("status", 400, 599)))
+    val df = graft.model.LogFrames.withDefaults(Seq(
+      ("c0", 0, "aa", Map("status" -> 404.0)),
+      ("c1", 1, "bb", Map("status" -> 200.0)))
+      .toDF("conv_id", "turn_idx", "trace_id", "attributes_number"))
+    val d = df.select(TailSampler.evaluate(num, col("trace_id"),
+      col("attributes_string"), col("attributes_number")).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(1, -1))
+
+    val inv = Policy("i", samplingPercentage = 100,
+      stringFilters = Seq(StringFilter("source", Seq("internal"), invert = true)))
+    val dInv = rows(Map("source" -> "internal"), Map("source" -> "ext"))
+      .select(TailSampler.evaluate(inv, col("trace_id"),
+        col("attributes_string"), col("attributes_number")).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(dInv == Seq(-1, 1)) // inverted: matches everything EXCEPT internal
+  }
+
+  test("probabilistic threshold matches Go big.Float scaling") {
+    assert(TailSampler.thresholdBits(100.0) == -1L) // MaxUint64
+    assert(TailSampler.thresholdBits(50.0) == Long.MaxValue) // 2^63 - 1 (floor)
+    assert(TailSampler.thresholdBits(0.0) == 0L)
+  }
+
+  test("exponential histogram: hand-computed buckets") {
+    // values 1..8 for one key; min=1, max=8 -> span=3 octaves;
+    // scale = floor(log2(159/3)) = 5; index = ceil(log2(v)*32) - 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 8.0, 0.0, -1.0).map(("k", _)).toDF("key", "v")
+    val out = Histogram.exponential(df, col("v"), Seq("key"))
+      .collect().map(r => (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toMap
+    val scale = Histogram.exponential(df, col("v"), Seq("key"))
+      .select("scale").head().getInt(0)
+    assert(scale == 5)
+    def idx(v: Double): Long =
+      math.ceil(math.log(v) / math.log(2.0) * (1L << scale)).toLong - 1
+    assert(out(Some(idx(2.0))) == 1L)
+    assert(out(Some(idx(3.0))) == 1L)
+    assert(out(Some(idx(8.0))) == 1L)
+    assert(out(None) == 2L) // zero bucket: 0.0 and -1.0
+    // all buckets fit in maxSize at the chosen scale
+    val idxs = out.keys.flatten
+    assert(idxs.max - idxs.min + 1 <= 160)
+  }
+
+  test("HexToInt: OTTL semantics incl. 0x prefix and error path") {
+    val df = graft.model.LogFrames.fromBodies(spark,
+      Seq("0xFF", "ff", "0X1a", "nothex", ""))
+    val vals = df.select(graft.operators.ExprLang.stringExpr("HexToInt(body)").as("v"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(vals(0).contains("255") && vals(1).contains("255") && vals(2).contains("26"))
+    assert(vals(3).isEmpty && vals(4).isEmpty)
+  }
+
+  test("metadata flattener: array-index rule (utils/flatten/flatten.go:24-30)") {
+    import org.apache.spark.sql.catalyst.util.MapData
+    val w = new graft.functions.JsonTypedMapsWorker(
+      flatten = true, maxDepth = 10, enablePaths = true, pathPrefix = "",
+      unquoteFirst = false, flattenArrays = true)
+    val row = w.parse(UTF8String.fromString(
+      """{"a": [{"b": 1}, "s"], "c": {"d": [true]}}"""))
+    val strings = row.getMap(0)
+    val numbers = row.getMap(1)
+    val bools = row.getMap(2)
+    def keysOf(m: MapData): Set[String] =
+      (0 until m.numElements()).map(i => m.keyArray().getUTF8String(i).toString).toSet
+    assert(keysOf(numbers) == Set("a.0.b"))
+    assert(keysOf(strings) == Set("a.1"))
+    assert(keysOf(bools) == Set("c.d.0"))
+  }
+}
