@@ -110,10 +110,18 @@ object FieldCols {
     case BodyPath(keys) => bodyJson(keys)
     case Attr(keys) =>
       val k = attrKey(keys)
-      coalesce(
+      val flat = coalesce(
         col("attributes_string").getItem(k),
         stringifyNumber(col("attributes_number").getItem(k)),
         col("attributes_bool").getItem(k).cast("string"))
+      // nested path fallback: a non-flattened json_parser stores nested
+      // objects as serialized JSON under the head key (JsonExprs put);
+      // the reference keeps real map[string]any entries that field refs
+      // traverse — read through the serialized value to match
+      if (keys.length == 1) flat
+      else coalesce(flat,
+        get_json_object(col("attributes_string").getItem(keys.head),
+          jsonPath(keys.tail)))
     case Resource(keys) => col("resources_string").getItem(attrKey(keys))
     case Top(n) => col(n).cast("string")
     case AttrsRoot | ResourceRoot =>
@@ -141,9 +149,12 @@ object FieldCols {
     case BodyPath(keys) => bodyJson(keys).isNotNull
     case Attr(keys) =>
       val k = attrKey(keys)
-      map_contains_key(col("attributes_string"), k) ||
+      val flat = map_contains_key(col("attributes_string"), k) ||
         map_contains_key(col("attributes_number"), k) ||
         map_contains_key(col("attributes_bool"), k)
+      if (keys.length == 1) flat
+      else flat || get_json_object(col("attributes_string").getItem(keys.head),
+        jsonPath(keys.tail)).isNotNull
     case Resource(keys) => map_contains_key(col("resources_string"), attrKey(keys))
     case Top(n) => col(n).isNotNull
     case AttrsRoot | ResourceRoot => lit(true)

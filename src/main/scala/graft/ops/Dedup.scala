@@ -81,11 +81,12 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
     val withBands = reps
-      // two projections so shingle hashing runs once per row; CollapseProject
-      // keeps them separate (multi-referenced non-cheap alias)
-      .select(col("id"), shingleHashes(col("__text"), shingleN).as("__sh"))
+      // one codegen kernel (shingle -> md5 -> k minima -> band keys);
+      // semantically identical to lshBandKeys(minhashSignature(
+      // shingleHashes(...))) but without the interpreted higher-order
+      // lambda chain (see graft.functions.MinHashKernel)
       .select(col("id"),
-        explode(lshBandKeys(minhashSignature(col("__sh"), k), bands, rowsPerBand))
+        explode(graft.functions.MinHashBands(col("__text"), shingleN, k, bands))
           .as("band"))
     val capped =
       if (maxBandGroup <= 0) withBands

@@ -53,11 +53,24 @@ object Multimodal {
         lit(64).as("declared_w"), lit(64).as("declared_h")).as("meta"))
 
   /** Repartition so each task holds at most ~targetBytes of media payload.
-    * Uses the actual per-row byte length — no stats pass, fully distributed.
+    * `totalBytes` sizes the partition count; pass it when known (table
+    * stats / manifest), or use [[mediaPartitionedAuto]] which measures it
+    * with one cheap `sum(length(media))` aggregate first.
     */
   def mediaPartitioned(media: DataFrame, totalBytes: Long, targetBytes: Long): DataFrame = {
     val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
     media.repartition(parts, col("doc_id"))
+  }
+
+  /** Byte-budget partitioning with a measured total: one aggregate over the
+    * actual per-row payload lengths (columnar scan of one column), then the
+    * hash repartition. The stats pass reads only the media column's sizes —
+    * at 100 TB that's the parquet column-size metadata path, not the data.
+    */
+  def mediaPartitionedAuto(media: DataFrame, targetBytes: Long): DataFrame = {
+    val total = media.agg(sum(coalesce(length(col("media")).cast("long"), lit(0L))))
+      .collect().head.getLong(0)
+    mediaPartitioned(media, total, targetBytes)
   }
 
   /** Decode + feature-extract stage. STUB decoder (see [[FakeDecode]]). */

@@ -62,8 +62,7 @@ class ExporterSpec extends SparkSuite {
       Fingerprint.calculate(Map("role" -> "user")))
     // 30-min buckets split c1 (ts 1704067200) and c2 (ts 1704069000)
     val buckets = main.select("ts_bucket_start").distinct().as[Long].collect().sorted
-    assert(buckets.toSeq == Seq(1704066300L, 1704068100L).map(b => b / 1800 * 1800).distinct ||
-      buckets.length == 2)
+    assert(buckets.toSeq == Seq(1704067200L, 1704069000L).map(t => t / 1800 * 1800))
   }
 
   test("resource sink dedups per bucket and anti-joins existing") {

@@ -95,6 +95,20 @@ class ExprLangSpec extends SparkSuite {
     assert(evalBool("body == \"a\\tb\"", Seq("a\tb", "ab")) == Seq(true, false))
   }
 
+  test("nested attribute addressing reads through serialized JSON values") {
+    // a non-flattened json_parser stores {"a": {"b": "deep"}} as
+    // attributes.a = "{\"b\":\"deep\"}"; attributes.a.b must resolve
+    val df = LogFrames.withDefaults(
+      Seq(("c0", 0, Map("a" -> """{"b":"deep"}""")))
+        .toDF("conv_id", "turn_idx", "attributes_string"))
+    val got = df.select(
+      graft.operators.FieldCols.readString(FieldRef.parse("attributes.a.b")).as("v"),
+      graft.operators.FieldCols.exists(FieldRef.parse("attributes.a.b")).as("e"),
+      graft.operators.FieldCols.exists(FieldRef.parse("attributes.a.zz")).as("m"))
+      .collect().head
+    assert(got.getString(0) == "deep" && got.getBoolean(1) && !got.getBoolean(2))
+  }
+
   test("DAG: output pointing at an EARLIER operator still executes it") {
     // config order: entry -> late -> early(sink); `late` outputs to `early`,
     // which appears BEFORE it in config. Compiling in config order would
