@@ -217,11 +217,10 @@ object Queries {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // exporter: attribute/resource key metadata (SURVEY §2.4)
-    "q_attribute_keys" -> ((s, d) => {
-      val main = Exporter.logsV2(eventsAsLogs(s, d))
-      Exporter.attributeKeys(main).unionAll(Exporter.resourceKeys(main))
-    }),
+    // exporter: attribute/resource key metadata (SURVEY §2.4); one shared
+    // tagRows scan for both sinks
+    "q_attribute_keys" -> ((s, d) =>
+      Exporter.allKeys(Exporter.logsV2(eventsAsLogs(s, d)))),
 
     // metadataexporter analogue: 6-hour-window (resource fp, attr fp,
     // string-valued attrs) rows (SURVEY §2.5; attribute_writer.go:38-100)

@@ -217,6 +217,17 @@ object Exporter {
       .dropDuplicates()
       .filter(!graft.functions.IsRandomKey(col("name")))
 
+  /** Both key sinks from ONE tagRows pass (multiset-equal to
+    * `attributeKeys unionAll resourceKeys`, which scans the upstream twice).
+    */
+  def allKeys(logsV2: DataFrame): DataFrame =
+    tagRows(logsV2).filter(col("tag_type").isin("tag", "resource"))
+      .select(col("tag_type"), col("tag_key").as("name"),
+        col("tag_data_type").as("datatype"))
+      .dropDuplicates()
+      .filter(!graft.functions.IsRandomKey(col("name")))
+      .select("name", "datatype")
+
   /** Usage metering: per-route record counts + byte sizes
     * (usage/common.go:56-63, flushed per tenant/exporter).
     */
