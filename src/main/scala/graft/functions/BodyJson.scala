@@ -26,9 +26,15 @@ object JsonCanon {
       keys.map(k => s"${quote(k)}:${sortedJson(o.get(k))}").mkString("{", ",", "}")
     case a if a.isArray =>
       a.elements().asScala.map(sortedJson).mkString("[", ",", "]")
+    // text nodes go through quote() (Jackson's TextNode.toString would emit
+    // < > & raw, diverging from Go)
+    case t if t.isTextual => quote(t.asText())
     case other => other.toString
   }
 
+  // Go's json.Marshal HTML-escapes '<' '>' '&' to the \u00XX forms below by
+  // default (encoding/json escapeHTML=true in Marshal), so those three must
+  // be escaped here too for byte equality.
   def quote(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
@@ -37,6 +43,9 @@ object JsonCanon {
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
+      case '<' => sb.append("\\u003c")
+      case '>' => sb.append("\\u003e")
+      case '&' => sb.append("\\u0026")
       case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }

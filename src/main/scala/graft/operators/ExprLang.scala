@@ -230,11 +230,16 @@ object ExprLang {
       case ("env", other) => fail(s"env needs a literal name, got $other")
       // OTTL HexToInt (`signoztransformprocessor/ottlfunctions/func_hex_to_int.go`):
       // lowercase, strip one "0x" prefix, ParseInt base 16; invalid -> null
-      // (the statement's error path)
+      // (the statement's error path). Like Go's ParseInt(s,16,64), 16-digit
+      // values are accepted up to 7fffffffffffffff (overflow -> error -> null).
+      // Domain deviation (documented): this expression language is
+      // double-valued throughout, so results above 2^53 lose low-bit
+      // precision relative to the reference's int64.
       case ("HexToInt", Seq(arg)) =>
         val norm = regexp_replace(graft.functions.FastLower(asStr(arg)), "^0x", "")
-        CNum(when(norm.rlike("^[0-9a-f]{1,15}$"),
-          conv(norm, 16, 10).cast("long")).cast("double"))
+        val inRange = norm.rlike("^[0-9a-f]{1,15}$") ||
+          (norm.rlike("^[0-9a-f]{16}$") && norm <= lit("7fffffffffffffff"))
+        CNum(when(inRange, conv(norm, 16, 10).cast("long")).cast("double"))
       case (_, Seq(arg)) => applyFunc(fn, arg)
       case (_, other) => fail(s"$fn expects one argument, got ${other.size}")
     }

@@ -63,9 +63,12 @@ object Multimodal {
   }
 
   /** Byte-budget partitioning with a measured total: one aggregate over the
-    * actual per-row payload lengths (columnar scan of one column), then the
-    * hash repartition. The stats pass reads only the media column's sizes —
-    * at 100 TB that's the parquet column-size metadata path, not the data.
+    * actual per-row payload lengths, then the hash repartition. The stats
+    * pass does read the media column's data (`sum(length(media))` is a
+    * columnar scan, not a metadata-only read) but aggregates it map-side to
+    * one long per partition; with table-level size stats available (catalog
+    * or parquet footer sums) prefer passing `totalBytes` to
+    * [[mediaPartitioned]] and skipping the scan entirely.
     */
   def mediaPartitionedAuto(media: DataFrame, targetBytes: Long): DataFrame = {
     val total = media.agg(sum(coalesce(length(col("media")).cast("long"), lit(0L))))

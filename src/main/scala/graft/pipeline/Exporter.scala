@@ -157,11 +157,19 @@ object Exporter {
         lit(dataType).as("tag_data_type"),
         strVal.as("string_value"), numVal.cast("double").as("number_value"))
 
+    // coalesce each branch to an empty array: concat() null-propagates, so
+    // without it a single NULL map column (e.g. a frame from an external
+    // adapter built without LogFrames.withDefaults) would silently null the
+    // whole concat and drop EVERY tag row for that record, including the
+    // severity logfield rows
     def fromMap(m: Column, tagType: String, dataType: String,
-        strVal: Column => Column, numVal: Column => Column): Column =
-      transform(map_entries(m), e =>
+        strVal: Column => Column, numVal: Column => Column): Column = {
+      val rows = transform(map_entries(m), e =>
         row(e.getField("key"), tagType, dataType,
           strVal(e.getField("value")), numVal(e.getField("value"))))
+      coalesce(rows, array().cast("array<struct<tag_key:string,tag_type:string," +
+        "tag_data_type:string,string_value:string,number_value:double>>"))
+    }
 
     val all = concat(
       fromMap(col("attributes_string"), "tag", "string", identity, _ => nullNum),
@@ -265,11 +273,23 @@ object Exporter {
   def fanOut(pipelineOut: DataFrame, cfg: ExporterConfig = ExporterConfig(),
       existingResources: Option[DataFrame] = None): Map[String, DataFrame] = {
     val main = logsV2(pipelineOut, cfg)
+    // both key sinks hang off ONE tagRows derivation (tag_type retained,
+    // filtered per sink) instead of two independent attributeKeys /
+    // resourceKeys plans — with a cached upstream each sink's job then scans
+    // the cache once through a shared explode+dedup shape rather than
+    // re-deriving tagRows twice from scratch
+    val keys = tagRows(main).filter(col("tag_type").isin("tag", "resource"))
+      .select(col("tag_type"), col("tag_key").as("name"),
+        col("tag_data_type").as("datatype"))
+      .dropDuplicates()
+      .filter(!graft.functions.IsRandomKey(col("name")))
     Map(
       "logs_v2" -> main,
       "logs_v2_resource" -> resources(main, existingResources),
       "tag_attributes_v2" -> tagAttributes(main, cfg),
-      "logs_attribute_keys" -> attributeKeys(main),
-      "logs_resource_keys" -> resourceKeys(main))
+      "logs_attribute_keys" ->
+        keys.filter(col("tag_type") === "tag").select("name", "datatype"),
+      "logs_resource_keys" ->
+        keys.filter(col("tag_type") === "resource").select("name", "datatype"))
   }
 }

@@ -26,6 +26,13 @@ class BodyJsonSpec extends SparkSuite {
     assert(promote("not json", "a.b").isEmpty)
   }
 
+  test("HTML characters escape like Go json.Marshal (escapeHTML default)") {
+    val Some((v2, p)) = promote(
+      """{"msg":"a<b>&c","q<k":"v"}""", "msg")
+    assert(v2 == "{\"msg\":\"a\\u003cb\\u003e\\u0026c\",\"q\\u003ck\":\"v\"}")
+    assert(p == "{\"msg\":\"a\\u003cb\\u003e\\u0026c\"}")
+  }
+
   test("simple literal key match") {
     val Some((_, p)) = promote(
       """{"message":"test log","level":"info","user.id":"123"}""", "user.id")

@@ -94,6 +94,18 @@ class ExporterSpec extends SparkSuite {
     assert(rkeys == Set("role"))
   }
 
+  test("a NULL typed map drops only its branch of tag rows, not the record") {
+    // a frame from an external adapter without withDefaults can carry NULL
+    // maps; concat() null-propagates, so un-coalesced branches would drop
+    // ALL tag rows for the record including the severity logfields
+    val nulled = sampleLogs.withColumn("attributes_bool",
+      lit(null).cast(graft.model.LogSchema.mapSB))
+    val tags = Exporter.tagAttributes(Exporter.logsV2(nulled))
+    val keys = tags.select("tag_key").as[String].collect().toSet
+    assert(keys.contains("severity_text") && keys.contains("severity_number"))
+    assert(keys.contains("status") && keys.contains("role"))
+  }
+
   test("age cutoff filter") {
     val cfg = ExporterConfig(oldestAllowedTsNanos = 1704067201L * 1000000000L)
     val main = Exporter.logsV2(sampleLogs, cfg)
