@@ -28,9 +28,12 @@ object DataQueries {
     // exact dedup: hash-groupBy on content digest
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
-    // MinHash+LSH candidate pairs (the near-dup scale path)
+    // MinHash+LSH candidate pairs (the near-dup scale path); the hot-band
+    // cap is ON (all-pairs within the first 256 per band + star edges to
+    // the anchor beyond) and the oracle replicates it exactly
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashCandidates(docs(s, d), shingleN = 3, k = 16, bands = 4)
+      Dedup.minhashCandidates(docs(s, d), shingleN = 3, k = 16, bands = 4,
+        maxBandGroup = 256)
         .agg(count(lit(1)).as("n"))),
 
     // exact n-gram Jaccard (verification-scale: all-pairs is quadratic, so
@@ -41,10 +44,11 @@ object DataQueries {
         .agg(count(lit(1)).as("n"),
           sum((col("jaccard") * 1000000).cast("long")).as("sum_jaccard_e6"))),
 
-    // SimHash near-dup (capped like q_ngram_jaccard — banding on 16-bit
-    // chunks is quadratic in collisions)
+    // SimHash near-dup (input-capped like q_ngram_jaccard; the hot-chunk
+    // group cap is ON and the oracle replicates it)
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d).filter(col("doc_id") < 5000), maxDist = 16)
+      Dedup.simhashPairs(docs(s, d).filter(col("doc_id") < 5000), maxDist = 16,
+        maxChunkGroup = 256)
         .agg(count(lit(1)).as("n"))),
 
     // embedding cosine near-dup via hyperplane LSH buckets (threshold 0.25:
@@ -69,6 +73,35 @@ object DataQueries {
       val e = embs(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0), k = 10, planes = 6)
+    }),
+
+    // ANN over the persisted signature index: the probe-bucket filter is a
+    // partition-column predicate, so non-matching bucket files are never
+    // read — the query path itself asserts inputFiles ⊆ probe buckets
+    "q_ann_indexed" -> ((s, d) => {
+      val e = embs(s, d)
+      val idx = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/" +
+        s"graft_sig_index_${new java.io.File(d).getName}"
+      Similarity.buildSigIndex(e.filter(col("vec_id") =!= 0), idx, planes = 6)
+      val q = e.filter(col("vec_id") === 0)
+      val res = Similarity.lshTopKIndexed(s, idx, q, k = 10, planes = 6)
+      // force execution of THIS DataFrame's plan so the scan metrics fill
+      // (inputFiles ignores partition filters; the scan's own numFiles is
+      // the pruned truth), then assert only probe-bucket files were read
+      res.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = res.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      val touched = scans.map(_.metrics("numFiles").value).sum
+      val total = s.read.parquet(idx).inputFiles.length
+      val nProbe = 7 // planes=6: exact bucket + 6 hamming-1 neighbors
+      require(scans.nonEmpty && touched > 0 && touched <= nProbe && touched < total,
+        s"signature index partition pruning failed: read $touched of $total files")
+      res
     }),
 
     // token counting: whitespace + BPE-ish regex
@@ -198,17 +231,29 @@ object DataQueries {
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS exemplar
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // the hot-band cap (256) is replicated: all-pairs among the first 256
+    // per band + one star edge to the band anchor for every member beyond
     "q_dedup_minhash" ->
       s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text
          |              FROM documents GROUP BY text),
          |sh AS (SELECT doc_id,
          |            list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM reps),
          |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
-         |bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig)
-         |SELECT count(*) AS n FROM (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id)""".stripMargin,
+         |bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig),
+         |ranked AS (SELECT doc_id, band,
+         |             row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn,
+         |             min(doc_id) OVER (PARTITION BY band) AS anchor
+         |           FROM bands),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM ranked l JOIN ranked r ON l.band = r.band AND l.doc_id < r.doc_id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION
+         |  SELECT anchor AS a, doc_id AS b FROM ranked WHERE rn > 256)
+         |SELECT count(*) AS n FROM (SELECT DISTINCT a, b FROM pairs)""".stripMargin,
 
+    // chunk-level candidate generation with the hot-chunk-group cap (256)
+    // replicated exactly like q_dedup_minhash's band cap
     "q_dedup_simhash" ->
       s"""WITH reps AS (SELECT min(doc_id) AS id, text
          |              FROM documents WHERE doc_id < 5000 GROUP BY text),
@@ -225,13 +270,24 @@ object DataQueries {
          |                ELSE CAST(0 AS UBIGINT) END)),
          |           0) AS UBIGINT) AS sim
          |         FROM hs),
-         |cand AS (SELECT l.id AS a, r.id AS b, l.sim AS sa, r.sim AS sb
-         |         FROM sims l JOIN sims r ON l.id < r.id AND (
-         |              (l.sim & 65535) = (r.sim & 65535)
-         |           OR ((l.sim >> 16) & 65535) = ((r.sim >> 16) & 65535)
-         |           OR ((l.sim >> 32) & 65535) = ((r.sim >> 32) & 65535)
-         |           OR ((l.sim >> 48) & 65535) = ((r.sim >> 48) & 65535)))
-         |SELECT count(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 16""".stripMargin,
+         |chunksq AS (SELECT id, sim, t.c AS chunk,
+         |              (sim >> (t.c * 16)) & 65535 AS bits
+         |            FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+         |ranked AS (SELECT id, sim, chunk, bits,
+         |             row_number() OVER (PARTITION BY chunk, bits ORDER BY id) AS rn,
+         |             min(id) OVER (PARTITION BY chunk, bits) AS anchor,
+         |             first_value(sim) OVER (PARTITION BY chunk, bits ORDER BY id) AS anchor_sim
+         |           FROM chunksq),
+         |cand AS (
+         |  SELECT l.id AS a, r.id AS b, l.sim AS sa, r.sim AS sb
+         |  FROM ranked l JOIN ranked r
+         |    ON l.chunk = r.chunk AND l.bits = r.bits AND l.id < r.id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION
+         |  SELECT anchor AS a, id AS b, anchor_sim AS sa, sim AS sb
+         |  FROM ranked WHERE rn > 256),
+         |dcand AS (SELECT DISTINCT a, b, sa, sb FROM cand)
+         |SELECT count(*) AS n FROM dcand WHERE bit_count(xor(sa, sb)) <= 16""".stripMargin,
 
     "q_embedding_neardup" -> {
       val sig = sigSql("embedding", 6, 64)
@@ -247,6 +303,20 @@ object DataQueries {
     },
 
     "q_ann_lsh" -> {
+      val sig = sigSql("embedding", 6, 64)
+      val cos = cosineSql("d.embedding", "(SELECT qv FROM q)")
+      s"""WITH q AS (SELECT embedding AS qv, $sig AS qsig
+         |           FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT vec_id, embedding, $sig AS sig
+         |      FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, $cos AS cosine
+         |FROM d WHERE bit_count(xor(d.sig, (SELECT qsig FROM q))) <= 1
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // same result set as q_ann_lsh — membership in the probe-bucket set
+    // (exact + hamming-1 multiprobe) is exactly hamming(sig, qsig) <= 1
+    "q_ann_indexed" -> {
       val sig = sigSql("embedding", 6, 64)
       val cos = cosineSql("d.embedding", "(SELECT qv FROM q)")
       s"""WITH q AS (SELECT embedding AS qv, $sig AS qsig

@@ -76,6 +76,43 @@ object Queries {
         .select(col("event_id"), col("attributes_number").getItem("kval").cast("long").as("kval"))
     }),
 
+    // grok_parser with the full base dictionary: %{COMBINEDAPACHELOG} over a
+    // deterministically constructed access-log body — exercises the
+    // composite pattern path (IPORHOST/HTTPDUSER/HTTPDATE/QS expansion)
+    // rather than a single-token pattern
+    "q_grok_apache" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val ev = read(s, d, "events")
+      val logs = LogFrames.withDefaults(ev.select(
+        col("event_id"),
+        concat(
+          lit("10.0."), (col("event_id") % 256).cast("string"), lit("."),
+          (col("user_id") % 200 + 1).cast("string"),
+          lit(" - user"), col("user_id").cast("string"),
+          lit(" [10/Oct/2000:13:55:36 -0700] \"GET /item/"),
+          col("event_id").cast("string"),
+          lit(" HTTP/1.1\" "),
+          (lit(200) + (col("event_id") % 4) * 100).cast("string"),
+          lit(" "), (col("event_id") % 10000).cast("string"),
+          lit(" \"http://ref.example/start.html\" \"agent/1.0 (test)\"")).as("body")))
+      val spec = PipelineSpec(Seq(
+        GrokParserOp(Common("apache"), "%{COMBINEDAPACHELOG}"),
+        NoopOp(Common("noop"))))
+      val a = col("attributes_string")
+      Pipeline.compile(spec)(logs).select(
+        col("event_id"),
+        a.getItem("clientip").as("clientip"),
+        a.getItem("auth").as("auth"),
+        a.getItem("timestamp").as("ts_raw"),
+        a.getItem("verb").as("verb"),
+        a.getItem("request").as("request"),
+        a.getItem("httpversion").as("httpversion"),
+        a.getItem("response").as("response"),
+        a.getItem("bytes").as("bytes"),
+        a.getItem("referrer").as("referrer"),
+        a.getItem("agent").as("agent"))
+    }),
+
     // json_parser: body JSON -> typed attributes (SURVEY §2.1 #3)
     "q_json_parser" -> ((s, d) => {
       val spec = PipelineSpec(Seq(JsonParserOp(Common("json")), NoopOp(Common("noop"))))
@@ -298,6 +335,23 @@ object Queries {
 
     "q_json_parser" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS kval
+        |FROM events""".stripMargin,
+
+    // the constructed access-log line has a known shape, so the oracle
+    // reconstructs each captured field directly from the source columns
+    "q_grok_apache" ->
+      """SELECT event_id,
+        |  '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.'
+        |          || CAST(user_id % 200 + 1 AS VARCHAR) AS clientip,
+        |  'user' || CAST(user_id AS VARCHAR) AS auth,
+        |  '10/Oct/2000:13:55:36 -0700' AS ts_raw,
+        |  'GET' AS verb,
+        |  '/item/' || CAST(event_id AS VARCHAR) AS request,
+        |  '1.1' AS httpversion,
+        |  CAST(200 + (event_id % 4) * 100 AS VARCHAR) AS response,
+        |  CAST(event_id % 10000 AS VARCHAR) AS bytes,
+        |  '"http://ref.example/start.html"' AS referrer,
+        |  '"agent/1.0 (test)"' AS agent
         |FROM events""".stripMargin,
 
     "q_field_ops" ->

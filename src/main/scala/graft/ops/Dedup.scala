@@ -60,20 +60,60 @@ object Dedup {
       md5(concat(lit(b.toString), lit("|"),
         concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
 
+  /** Deterministic hot-group guard shared by the LSH candidate generators:
+    * within each key group (a band / a simhash chunk), the first
+    * `cap` members by id emit ALL pairs among themselves, and every member
+    * beyond the cap emits ONE star pair to the group's min-id anchor. A
+    * group of g near-identical docs therefore emits O(cap² + g) pairs
+    * instead of O(g²), while every member keeps at least one candidate edge
+    * to the anchor — connected-component recall is intact on the capped
+    * path (a pure row_number cut-off would silently orphan the tail).
+    */
+  private def cappedPairs(keyed: DataFrame, keyCols: Seq[String], cap: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val key = keyCols.map(col)
+    val all: DataFrame => DataFrame = { side =>
+      val l = side.as("l")
+      val r = side.as("r")
+      val cond = keyCols.map(c => col(s"l.$c") === col(s"r.$c"))
+        .reduce(_ && _) && col("l.id") < col("r.id")
+      l.join(r, cond).select(
+        col("l.id").as("a") +: col("r.id").as("b") +:
+          carry.flatMap(c => Seq(col(s"l.$c").as(s"${c}_a"), col(s"r.$c").as(s"${c}_b"))): _*)
+    }
+    if (cap <= 0) all(keyed)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(key: _*).orderBy(col("id"))
+      val ranked = keyed
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__anchor", first(col("id")).over(wOrd))
+      val anchored = carry.foldLeft(ranked)((df, c) =>
+        df.withColumn(s"__anchor_$c", first(col(c)).over(wOrd)))
+      val head = anchored.filter(col("__rn") <= cap)
+        .select((("id" +: keyCols) ++ carry).map(col): _*)
+      val star = anchored.filter(col("__rn") > cap).select(
+        col("__anchor").as("a") +: col("id").as("b") +:
+          carry.flatMap(c => Seq(col(s"__anchor_$c").as(s"${c}_a"),
+            col(c).as(s"${c}_b"))): _*)
+      all(head).unionByName(star)
+    }
+  }
+
   /** Candidate near-dup pairs via MinHash+LSH (a < b), deduped across bands.
     *
     * Scale shape: exact duplicates are collapsed to their min-id
     * representative BEFORE banding — identical texts share every band, so a
     * group of g copies would otherwise emit O(g²) pairs per band carrying
     * zero information (on a dedup-heavy corpus, the whole cost). After the
-    * collapse, one shuffle on band keys; optionally `maxBandGroup` caps any
-    * still-hot band (ordered by id, deterministic) so a pathological shared
-    * band can't go quadratic.
+    * collapse, one shuffle on band keys; `maxBandGroup` (ON by default)
+    * bounds any still-hot band of near-identical-but-distinct texts via
+    * [[cappedPairs]] (all-pairs within the cap + star edges to the anchor
+    * beyond it), so a pathological shared band cannot go quadratic.
     */
   def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      maxBandGroup: Int = 0): DataFrame = {
-    val rowsPerBand = k / bands
+      maxBandGroup: Int = 256): DataFrame = {
     // identical texts -> identical md5 -> one representative (min id); the
     // aggregate is map-side partial so duplicate-heavy input collapses
     // before the exchange
@@ -88,19 +128,7 @@ object Dedup {
       .select(col("id"),
         explode(graft.functions.MinHashBands(col("__text"), shingleN, k, bands))
           .as("band"))
-    val capped =
-      if (maxBandGroup <= 0) withBands
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band")).orderBy(col("id"))
-        withBands.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= maxBandGroup).drop("__rn")
-      }
-    val l = capped.as("l")
-    val r = capped.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+    cappedPairs(withBands, Seq("band"), maxBandGroup).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
@@ -127,10 +155,11 @@ object Dedup {
   /** SimHash near-dup: 64-bit simhash over whitespace tokens (md5-derived
     * bit votes); near-dups = hamming distance <= maxDist via banded equality
     * on 4 x 16-bit chunks (any equal chunk -> candidate, exact hamming
-    * verified after).
+    * verified after). `maxChunkGroup` (ON by default) bounds hot chunk
+    * groups exactly like minhash's band cap ([[cappedPairs]]).
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxChunkGroup: Int = 256): DataFrame = {
     // same exact-dup collapse as minhashCandidates: identical texts share
     // every chunk, so a hot group would emit O(g²) candidate pairs
     val withSim = docs
@@ -143,13 +172,9 @@ object Dedup {
           shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).as("bits"))): _*))
         .as("c"))
       .select(col("id"), col("sim"), col("c.chunk"), col("c.bits"))
-    val cand = chunks.as("l").join(chunks.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.bits") === col("r.bits") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.sim").as("sa"), col("r.sim").as("sb"))
-      .distinct()
-    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+    val cand = cappedPairs(chunks, Seq("chunk", "bits"), maxChunkGroup,
+      carry = Seq("sim")).distinct()
+    cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
   }

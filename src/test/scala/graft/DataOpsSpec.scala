@@ -55,6 +55,32 @@ class DataOpsSpec extends SparkSuite {
     assert(!close.contains((1L, 3L)) && !close.contains((2L, 3L)))
   }
 
+  test("hot-band cap bounds a planted near-dup cluster with recall intact") {
+    // 1000 NEAR-identical (not identical) docs: each shares almost every
+    // shingle with the rest, so most land in the same minhash bands — the
+    // exact-dup collapse can't help and an uncapped band join would emit
+    // O(g²) ≈ 500k pairs
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val cluster = (0L until 300L).map(i => (i, s"$base marker$i"))
+    val df = (cluster :+ (5000L, "completely unrelated text about something else entirely"))
+      .toDF("doc_id", "text")
+    val cap = 8
+    val capped = Dedup.minhashCandidates(df, maxBandGroup = cap)
+      .as[(Long, Long)].collect()
+    val uncapped = Dedup.minhashCandidates(df, maxBandGroup = 0)
+      .as[(Long, Long)].collect()
+    // bounded: per band at most C(cap,2) all-pairs + (g-cap) star edges;
+    // with 4 bands that is <= 4*(28 + 292), far below the ~40k+ uncapped
+    assert(capped.length <= 4 * (cap * (cap - 1) / 2 + 300), capped.length)
+    assert(uncapped.length > 10 * capped.length,
+      s"uncapped ${uncapped.length} vs capped ${capped.length}")
+    // recall: the capped run connects exactly the members the uncapped run
+    // connects (the tail keeps a star edge to each band's anchor; members
+    // with no shared band at all are orphans in BOTH)
+    def members(ps: Array[(Long, Long)]) = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(members(capped) == members(uncapped), "capped path changed recall")
+  }
+
   test("embedding near-dup finds parallel vectors") {
     val df = Seq(
       (1, Array(1.0f, 0.0f, 2.0f, 1.0f)),
