@@ -100,4 +100,109 @@ object LogSources {
   def fromGoogle(df: DataFrame, payloadCol: Column): DataFrame =
     LogFrames.withDefaults(
       df.select(payloadCol.cast("string").as("body")).limit(0))
+
+  /** Kafka receiver adapter (`receiver/signozkafkareceiver`): maps a frame
+    * with the Spark Kafka source schema (`value` binary, `timestamp`
+    * timestamp, plus key/topic/partition/offset) into LogRow frames under
+    * the reference's per-encoding log unmarshalers:
+    *
+    *  - `raw` (`raw_unmarshaler.go:17-21`): one record per message, body =
+    *    the value bytes verbatim;
+    *  - `text` (`text_unmarshaler.go:23-37`): one record per message, body =
+    *    the UTF-8 decoded value (non-UTF-8 encodings are out of scope here),
+    *    observed timestamp set at receive — deterministically the Kafka
+    *    message timestamp instead of `time.Now()`;
+    *  - `json` / `default` / `heroku`: the httplogreceiver body parsers
+    *    applied to the value payload (the reference routes HTTP bodies
+    *    through the same parsers; a Kafka topic carrying those payloads is
+    *    the same mapping over a different transport).
+    *
+    * Works identically on a batch frame and a `readStream` Kafka source —
+    * the plan is stateless per row.
+    */
+  def fromKafka(df: DataFrame, encoding: String = "raw"): DataFrame = {
+    val value = col("value").cast("string")
+    val otsNanos =
+      if (df.columns.contains("timestamp"))
+        unix_micros(col("timestamp").cast("timestamp")) * 1000L
+      else lit(0L)
+    encoding match {
+      case "raw" | "text" =>
+        LogFrames.withDefaults(df.select(
+          value.as("body"), otsNanos.as("observed_timestamp")))
+      case "json" => fromJsonBody(df, value)
+      case "default" => fromTextLines(df, value)
+      case "heroku" => fromHeroku(df, value)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported kafka log encoding: $other")
+    }
+  }
+
+  private val cwLogSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("messageType",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("owner",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("logGroup",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("logStream",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("subscriptionFilters",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("logEvents",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("timestamp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("message",
+          org.apache.spark.sql.types.StringType)))))))
+
+  /** `toEpochNano` replication (cwlog/logsbuilder.go:57-69): an epoch of any
+    * digit count scales to 19 digits by multiplying with 10^(19-digits) —
+    * done with an exact long-multiplier lookup, not floating-point pow.
+    */
+  private def cwEpochNanos(epoch: Column): Column = {
+    val mult = typedlit((1 to 19).map(c => math.pow(10, 19 - c).toLong).toArray)
+    val digits = when(epoch === 0L, 1).otherwise(length(epoch.cast("string")))
+    epoch * element_at(mult, digits.cast("int"))
+  }
+
+  /** AWS Firehose cwlogs receiver adapter
+    * (`receiver/signozawsfirehosereceiver/internal/unmarshaler/cwlog/
+    * unmarshaler.go:41-95` + `logsbuilder.go`): each delivered record is
+    * gunzipped, split on newlines, each datum parsed as a CloudWatch
+    * subscription JSON envelope; invalid datums (unparseable, or missing
+    * owner/logGroup/logStream) are skipped. Each log event becomes one
+    * LogRow: body = message, timestamp = toEpochNano(event ts), resource
+    * attrs {cloud.account.id, aws.cloudwatch.log_group_name,
+    * aws.cloudwatch.log_stream_name}.
+    */
+  def fromFirehoseCwLogs(df: DataFrame, recordCol: Column,
+      gzipped: Boolean = true): DataFrame = {
+    val raw = if (gzipped) graft.functions.Gunzip(recordCol) else recordCol
+    val datums = df
+      .select(explode(split(raw.cast("string"), "\n")).as("__datum"))
+      .filter(length(col("__datum")) > 0)
+      .select(from_json(col("__datum"), cwLogSchema).as("__cw"))
+    val cw = col("__cw")
+    val valid = datums.filter(
+      cw.isNotNull &&
+        coalesce(cw.getField("owner"), lit("")) =!= "" &&
+        coalesce(cw.getField("logGroup"), lit("")) =!= "" &&
+        coalesce(cw.getField("logStream"), lit("")) =!= "")
+    val events = valid.select(
+      cw.getField("owner").as("__owner"),
+      cw.getField("logGroup").as("__group"),
+      cw.getField("logStream").as("__stream"),
+      explode(cw.getField("logEvents")).as("__e"))
+    LogFrames.withDefaults(events.select(
+      coalesce(col("__e.message"), lit("")).as("body"),
+      cwEpochNanos(coalesce(col("__e.timestamp"), lit(0L))).as("timestamp"),
+      map(
+        lit("cloud.account.id"), col("__owner"),
+        lit("aws.cloudwatch.log_group_name"), col("__group"),
+        lit("aws.cloudwatch.log_stream_name"), col("__stream"))
+        .as("resources_string")))
+  }
 }

@@ -1,10 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.pipeline.{Exporter, ExporterConfig, Pipeline, PipelineSpec}
 import graft.sources.Transcripts
+
+/** One flushed meter delta: the per-dimension count/size accumulated since
+  * the previous flush, plus the running totals carried in state (lets a test
+  * assert delta temporality: the deltas per key sum to the cumulative).
+  */
+final case class MeterDelta(dimensions: String, log_count: Long, log_size: Long,
+    cumulative_count: Long, cumulative_size: Long)
 
 /** Structured Streaming variants of the pipeline stages.
   *
@@ -43,6 +51,41 @@ object StreamJobs {
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), windowLen), col("route"), col("role"))
       .agg(count(lit(1)).as("n_records"), sum(col("record_size")).as("n_bytes"))
+
+  /** EXACT meter-connector delta-flush semantics
+    * (`connectors/signozmeterconnector/connector.go:137-163` exportMetrics +
+    * resetState + `UpdateLogMeterMetrics`): the reference accumulates
+    * per-dimension count/size sums in memory and a wall-clock ticker flushes
+    * them as DELTA monotonic sums, then purges the state. Here every
+    * micro-batch trigger is the flush tick: `flatMapGroupsWithState` keyed
+    * by the dimension tuple accumulates the batch's count/size, emits one
+    * delta row per key that saw data, and keeps only the running totals in
+    * state — exactly the timer-flushed delta, with the trigger interval
+    * playing the ticker's role. (The windowed [[meter]] remains the
+    * event-time approximation for watermarked pipelines.)
+    */
+  def meterDeltas(logsV2: DataFrame, dimCols: Seq[String] = Seq("route"))
+      : Dataset[MeterDelta] = {
+    val spark = logsV2.sparkSession
+    import spark.implicits._
+    val keyed = logsV2.select(
+      concat_ws("\u0001", dimCols.map(col): _*).as("_1"),
+      col("record_size").cast("long").as("_2")).as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), MeterDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var c = 0L
+          var s = 0L
+          rows.foreach { r => c += 1; s += r._2 }
+          val (pc, ps) = state.getOption.getOrElse((0L, 0L))
+          val nc = pc + c
+          val ns = ps + s
+          state.update((nc, ns))
+          if (c == 0) Iterator.empty
+          else Iterator(MeterDelta(key, c, s, nc, ns))
+      }
+  }
 
   /** Streaming resource sink rows with cross-batch dedup inside the
     * watermark horizon (the rfCache TTL analogue).

@@ -90,4 +90,80 @@ class LogSourcesSpec extends SparkSuite {
   test("google parser mirrors the reference's no-op (empty logs)") {
     assert(LogSources.fromGoogle(Seq("anything").toDF("p"), col("p")).count() == 0)
   }
+
+  private def kafkaFrame(values: Seq[String]) = {
+    val tsMicros = 1700000000000000L
+    values.zipWithIndex.map { case (v, i) =>
+      ("k".getBytes("UTF-8"), v.getBytes("UTF-8"), "logs-topic", 0, i.toLong,
+        new java.sql.Timestamp(tsMicros / 1000))
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp")
+  }
+
+  test("kafka adapter: raw/text one record per message, observed ts from kafka") {
+    val rows = LogSources.fromKafka(kafkaFrame(Seq("hello", "world")), "raw")
+      .orderBy("body").select("body", "observed_timestamp").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("hello", "world"))
+    assert(rows.forall(_.getLong(1) == 1700000000000000000L))
+    // text behaves identically for UTF-8 payloads
+    assert(LogSources.fromKafka(kafkaFrame(Seq("a\nb")), "text").count() == 1)
+  }
+
+  test("kafka adapter: value bytes route through the body parsers") {
+    val json = """[{"body": "from kafka", "severity_number": 9}]"""
+    val viaJson = LogSources.fromKafka(kafkaFrame(Seq(json)), "json")
+      .select("body", "severity_number").collect().head
+    assert(viaJson.getString(0) == "from kafka" && viaJson.getInt(1) == 9)
+
+    val viaLines = LogSources.fromKafka(kafkaFrame(Seq("l1\nl2")), "default")
+      .select("body").collect().map(_.getString(0)).toSeq
+    assert(viaLines == Seq("l1", "l2"))
+
+    val heroku = "151 <190>1 2023-10-12T07:25:48.393741+00:00 host app otel-collector.1 - " +
+      "2023-10-12T07:25:48.393Z\tinfo\tservice/telemetry.go:104\tSetting up own telemetry..."
+    val viaHeroku = LogSources.fromKafka(kafkaFrame(Seq(heroku)), "heroku")
+      .select("resources_string").collect().head.getMap[String, String](0).toMap
+    assert(viaHeroku("appname") == "app")
+
+    intercept[IllegalArgumentException] {
+      LogSources.fromKafka(kafkaFrame(Seq("x")), "otlp_proto")
+    }
+  }
+
+  private def gzip(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8"))
+    gz.close()
+    bos.toByteArray
+  }
+
+  test("firehose cwlogs: gunzip, newline split, invalid datums skipped, ts scaled") {
+    // two datums in one record: one valid (2 events, ms + s precision
+    // timestamps), one invalid (missing owner) -> skipped like the reference
+    val valid =
+      """{"messageType":"DATA_MESSAGE","owner":"111122223333",
+        |"logGroup":"my-group","logStream":"my-stream","subscriptionFilters":["f"],
+        |"logEvents":[
+        |  {"id":"1","timestamp":1700000000123,"message":"first"},
+        |  {"id":"2","timestamp":1700000001,"message":"second"}]}"""
+        .stripMargin.replace("\n", "")
+    val invalid = """{"messageType":"DATA_MESSAGE","logGroup":"g","logStream":"s","logEvents":[{"id":"3","timestamp":1,"message":"dropped"}]}"""
+    val record = gzip(valid + "\n" + invalid)
+    val out = LogSources.fromFirehoseCwLogs(
+      Seq(Tuple1(record)).toDF("record"), col("record"))
+      .orderBy("body").select("body", "timestamp", "resources_string").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "first")
+    // 13-digit ms epoch -> x 10^6 (toEpochNano, logsbuilder.go:57-69)
+    assert(out(0).getLong(1) == 1700000000123L * 1000000L)
+    // 10-digit s epoch -> x 10^9
+    assert(out(1).getString(0) == "second" && out(1).getLong(1) == 1700000001L * 1000000000L)
+    assert(out(0).getMap[String, String](2).toMap == Map(
+      "cloud.account.id" -> "111122223333",
+      "aws.cloudwatch.log_group_name" -> "my-group",
+      "aws.cloudwatch.log_stream_name" -> "my-stream"))
+    // a corrupt (non-gzip) record contributes nothing
+    val corrupt = Seq(Tuple1("not gzip".getBytes("UTF-8"))).toDF("record")
+    assert(LogSources.fromFirehoseCwLogs(corrupt, col("record")).count() == 0)
+  }
 }

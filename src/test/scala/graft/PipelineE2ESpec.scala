@@ -101,6 +101,42 @@ class PipelineE2ESpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("meter delta-flush: per-trigger deltas sum to the batch aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (route, record_size) rows fed over 3 micro-batches = 3 flush ticks
+    val in = MemoryStream[(String, Long)]
+    val logsShaped = in.toDF().toDF("route", "record_size")
+    val deltas = StreamJobs.meterDeltas(logsShaped, dimCols = Seq("route"))
+    val q = deltas.writeStream.outputMode("append")
+      .format("memory").queryName("graft_meter_deltas").start()
+    val batches = Seq(
+      Seq(("r1", 10L), ("r1", 20L), ("r2", 5L)),
+      Seq(("r1", 1L)),
+      Seq(("r2", 7L), ("r2", 8L)))
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table("graft_meter_deltas")
+        .orderBy("dimensions", "cumulative_count").collect()
+      // r1: flush1 (2 records, 30 bytes), flush2 (1, 1); r2: flush1 (1, 5),
+      // flush3 (2, 15) — a tick with no data for a key emits nothing
+      val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+      assert(got == Seq(
+        ("r1", 2L, 30L, 2L, 30L),
+        ("r1", 1L, 1L, 3L, 31L),
+        ("r2", 1L, 5L, 1L, 5L),
+        ("r2", 2L, 15L, 3L, 20L)))
+      // delta temporality: per-key deltas sum to the plain batch aggregate
+      val all = batches.flatten
+      for (k <- Seq("r1", "r2")) {
+        val deltaSum = got.filter(_._1 == k).map(_._3).sum
+        assert(deltaSum == all.filter(_._1 == k).map(_._2).sum)
+        assert(got.filter(_._1 == k).map(_._2).sum == all.count(_._1 == k))
+      }
+    } finally q.stop()
+  }
+
   test("probabilistic sampling is deterministic and roughly proportional") {
     val s = StreamJobs.sampleByKey(transcripts, "conv_id", 0.25)
     val n = s.select("conv_id").distinct().count()
