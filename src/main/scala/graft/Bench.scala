@@ -20,6 +20,9 @@ import graft.sources.Transcripts
   *     = rate_4N / (4 * rate_N); target >= 0.8.
   *  2. per-query wall time over `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS`
   *     (the driver's headline numbers).
+  *  3. scale-up evidence (`"scaleup"` section): flagship + dedup/ANN family
+  *     at ~100x the sf0.1 testdata with in-session small-scale counterparts
+  *     for a rows-vs-time linearity check ([[ScaleUp]]).
   *
   * Scaling runs first so part 2's heap churn (27 queries incl. the LSH
   * self-joins) can't bleed into the scaling JVMs' parent, and subprocess
@@ -157,7 +160,7 @@ object Bench {
     val efficiencyBest = if (roundEffs.nonEmpty) roundEffs.max else 0.0
     val efficiencyBestOf = if (rateN > 0) rate4N / (4.0 * rateN) else 0.0
 
-    // part 2: per-query timings
+    // part 2 + 3 share one session
     val spark = session(cpus)
     // untimed session warmup so the first query doesn't absorb codegen/JIT
     // infrastructure startup
@@ -169,6 +172,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // part 3: scale-up evidence — flagship + dedup/ANN family at ~100x the
+    // sf0.1 testdata (>=1 GB transcripts, 500k docs, 200k vectors), each op
+    // also timed at the small scale in-session for a rows-vs-time linearity
+    // check (see graft.ScaleUp). SPARK_GRAFT_SCALEUP=0 skips.
+    val scaleupJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "1") == "0") "{}"
+      else try {
+        ScaleUp.section(spark,
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scaleup",
+          bigDocs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_DOCS", "500000").toLong,
+          bigVecs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_VECS", "200000").toLong,
+          bigConvs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_CONVS", "6000000").toLong)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaleup failed: $e")
+        "{}"
+      }
     spark.stop()
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -186,6 +206,6 @@ object Bench {
         s""""samples_n_sec":${arr(sN.toSeq)},"samples_4n_sec":${arr(s4N.toSeq)},""" +
         s""""method":"FIXED $rounds paired rounds (no early stop): one pinned fresh-JVM run at N then 4N back-to-back per round (same host phase); headline efficiency = MEDIAN per-round paired ratio; best round and global best-of secondary; every raw sample reported"}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaleup":$scaleupJson}""")
   }
 }

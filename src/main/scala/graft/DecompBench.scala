@@ -14,10 +14,15 @@ object DecompBench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // the 67 MB bench input must split into >= cores tasks, or every
+      // stage is task-count-bound (default 128m packing -> ~3 tasks) and
+      // the per-stage speedup measures file packing, not the host
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val input = spark.read.parquet("/tmp/graft_bench_transcripts")
+      val input = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_DECOMP_INPUT",
+        "/tmp/graft_bench_transcripts"))
       def frame: DataFrame = stage match {
         case "scan" => input.select(xxhash64(col("conv_id"), col("turn_idx"), col("text")).as("h"))
         case "adapt" => Transcripts.toLogFrame(input)
@@ -42,11 +47,13 @@ object DecompBench {
             .select(xxhash64(col("route"), col("severity_number"), col("ts_bucket_start"),
               col("resource_fingerprint"), col("id"), size(col("attributes_string"))).as("h"))
       }
-      // warm
-      frame.limit(50000).agg(sum(col("h"))).collect()
-      val t0 = System.nanoTime()
+      // warm on the full plan, then min of 2 timed passes
       frame.agg(sum(col("h"))).collect()
-      (System.nanoTime() - t0) / 1e9
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        frame.agg(sum(col("h"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     } finally spark.stop()
   }
 

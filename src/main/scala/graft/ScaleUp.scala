@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.pipeline.{Exporter, Pipeline}
+import graft.sources.{DataGen, Transcripts}
+
+/** Scale-up evidence: the flagship pipeline and the dedup/ANN family run at
+  * ~100x the driver testdata (sf0.1 = 5k docs / 2k vectors / 17 MB; here
+  * 500k docs / 200k vectors / a >=1 GB transcript table), with the SAME
+  * operation also timed at the small scale in the same session so the
+  * artifact carries a direct rows-ratio vs time-ratio linearity check. A
+  * time ratio well below the rows ratio (sublinear) is the pass condition —
+  * fixed per-query overhead amortizes away and no shuffle path degrades
+  * super-linearly.
+  *
+  * Used by [[Bench]] (the `scaleup` JSON section) and runnable standalone:
+  * `runMain graft.ScaleUp`.
+  */
+object ScaleUp {
+
+  final case class OpResult(name: String, rowsSmall: Long, secSmall: Double,
+      rowsBig: Long, secBig: Double, out: Long) {
+    def json: String = {
+      val rowRatio = rowsBig.toDouble / math.max(1L, rowsSmall)
+      val timeRatio = secBig / math.max(1e-9, secSmall)
+      f""""$name":{"rows_small":$rowsSmall,"sec_small":$secSmall%.2f,""" +
+        f""""rows_big":$rowsBig,"sec_big":$secBig%.2f,""" +
+        f""""row_ratio":$rowRatio%.1f,"time_ratio":$timeRatio%.1f,""" +
+        f""""linearity":${timeRatio / rowRatio}%.3f,"out":$out}"""
+    }
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Write-once cache of a generated table (keyed by the caller's path). */
+  private def materialize(spark: SparkSession, path: String, files: Int)(
+      gen: => DataFrame): DataFrame = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      gen.repartition(files).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private def dirBytes(path: String): Long = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+  }
+
+  /** One op at both scales: warm once on the small input (codegen + JIT),
+    * then TWO small/big back-to-back rounds — each round's sides share the
+    * host phase (this VM swings multi-x on minute timescales), and min per
+    * side discards a slow-phase round.
+    */
+  private def op(name: String, small: DataFrame, big: DataFrame,
+      rowsSmall: Long, rowsBig: Long)(run: DataFrame => Long): OpResult = {
+    run(small) // warm
+    var out = 0L
+    val rounds = (1 to 2).map { _ =>
+      val (_, sSec) = timed(run(small))
+      val (o, bSec) = timed(run(big))
+      out = o
+      (sSec, bSec)
+    }
+    val sSec = rounds.map(_._1).min
+    val bSec = rounds.map(_._2).min
+    val r = OpResult(name, rowsSmall, sSec, rowsBig, bSec, out)
+    System.err.println(f"[scaleup] $name: small=${sSec}%.2fs big=${bSec}%.2fs " +
+      f"(rows x${rowsBig.toDouble / math.max(1L, rowsSmall)}%.0f, " +
+      f"time x${bSec / math.max(1e-9, sSec)}%.1f) out=$out")
+    r
+  }
+
+  /** Runs everything; returns the `scaleup` JSON object (one line). */
+  def section(spark: SparkSession, workDir: String,
+      smallDocs: Long = 5000L, bigDocs: Long = 500000L,
+      smallVecs: Long = 2000L, bigVecs: Long = 200000L,
+      smallConvs: Long = 400000L, bigConvs: Long = 6000000L): String = {
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    // 2m splits keep BOTH sides of the ratio fully parallel at 32 cores:
+    // the 67 MB small input stays ~32 tasks (default 128m packing coalesced
+    // it to ~3, leaving 29 cores idle and inflating the small-side time),
+    // and the ~1 GB big input gets ~512 x 2 MB tasks (~0.1 s fixed cost per
+    // task is noise on a tens-of-seconds job)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    try sectionInner(spark, workDir, smallDocs, bigDocs, smallVecs, bigVecs,
+      smallConvs, bigConvs)
+    finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+  }
+
+  private def sectionInner(spark: SparkSession, workDir: String,
+      smallDocs: Long, bigDocs: Long, smallVecs: Long, bigVecs: Long,
+      smallConvs: Long, bigConvs: Long): String = {
+
+    def docsAt(n: Long, files: Int) =
+      materialize(spark, s"$workDir/docs_$n", files)(DataGen.documents(spark, n))
+    def vecsAt(n: Long, files: Int) =
+      materialize(spark, s"$workDir/vecs_$n", files)(DataGen.embeddings(spark, n))
+    def convsAt(n: Long, files: Int) =
+      materialize(spark, s"$workDir/transcripts_$n", files)(
+        Transcripts.generate(spark, n, seed = 42L))
+
+    val (smallD, bigD) = (docsAt(smallDocs, 4), docsAt(bigDocs, 64))
+    val (smallV, bigV) = (vecsAt(smallVecs, 4), vecsAt(bigVecs, 32))
+    val (smallT, bigT) = (convsAt(smallConvs, 32), convsAt(bigConvs, 64))
+    val results = scala.collection.mutable.ArrayBuffer.empty[OpResult]
+
+    // flagship parse -> route -> export, forced full-column evaluation
+    val turnsSmall = smallT.count()
+    val turnsBig = bigT.count()
+    results += op("flagship", smallT, bigT, turnsSmall, turnsBig) { t =>
+      ScaleRun.forceEval(Exporter.logsV2(
+        Pipeline.compile(SparkEntry.transcriptPipeline)(Transcripts.toLogFrame(t))))
+    }
+
+    // dedup family
+    results += op("dedup_exact", smallD, bigD, smallDocs, bigDocs) { d =>
+      Dedup.exact(d).agg(count(lit(1)), sum(col("n_docs")))
+        .collect().head.getLong(0)
+    }
+    results += op("dedup_minhash", smallD, bigD, smallDocs, bigDocs) { d =>
+      Dedup.minhashCandidates(d, maxBandGroup = 256)
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
+    results += op("dedup_simhash", smallD, bigD, smallDocs, bigDocs) { d =>
+      Dedup.simhashPairs(d, maxDist = 8, maxChunkGroup = 256)
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
+    results += op("embedding_neardup", smallV, bigV, smallVecs, bigVecs) { v =>
+      Dedup.embeddingNearDups(v, threshold = 0.25, planes = 12)
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
+
+    // ANN family (planes=10: 1024 buckets — a scale-appropriate fan-out
+    // that still leaves candidates at the small scale)
+    def query(v: DataFrame) = v.filter(col("vec_id") === 0)
+    def rest(v: DataFrame) = v.filter(col("vec_id") =!= 0)
+    results += op("ann_brute", smallV, bigV, smallVecs, bigVecs) { v =>
+      Similarity.bruteForceTopK(rest(v), query(v), 10).count()
+    }
+    results += op("ann_lsh", smallV, bigV, smallVecs, bigVecs) { v =>
+      Similarity.lshTopK(rest(v), query(v), 10, planes = 10).count()
+    }
+    // index build is the one-time cost; the indexed query is the payoff
+    val idxSmall = s"$workDir/sig_index_$smallVecs"
+    val idxBig = s"$workDir/sig_index_$bigVecs"
+    results += op("ann_index_build", smallV, bigV, smallVecs, bigVecs) { v =>
+      val p = if (v eq smallV) idxSmall else idxBig
+      Similarity.buildSigIndex(rest(v), p, planes = 10)
+      1L
+    }
+    results += op("ann_indexed", smallV, bigV, smallVecs, bigVecs) { v =>
+      val p = if (v eq smallV) idxSmall else idxBig
+      Similarity.lshTopKIndexed(spark, p, query(v), 10, planes = 10).count()
+    }
+
+    val bytesBig = dirBytes(s"$workDir/transcripts_$bigConvs")
+    s"""{"turns_small":$turnsSmall,"turns_big":$turnsBig,""" +
+      s""""transcripts_big_bytes":$bytesBig,""" +
+      s""""docs_big":$bigDocs,"vecs_big":$bigVecs,""" +
+      results.map(_.json).mkString("", ",", "}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val workDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scaleup"
+    val bigDocs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_DOCS", "500000").toLong
+    val bigVecs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_VECS", "200000").toLong
+    val bigConvs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_CONVS", "6000000").toLong
+    println(section(spark, workDir, bigDocs = bigDocs, bigVecs = bigVecs,
+      bigConvs = bigConvs))
+    spark.stop()
+  }
+}

@@ -89,10 +89,17 @@ object Similarity {
     * its LSH bucket. Queries against it ([[lshTopKIndexed]]) turn the probe
     * set into partition pruning — at 100 TB, a 2^planes fan-out means each
     * query touches ~ (planes+1) / 2^planes of the data.
+    *
+    * The shuffle on `sig` before the write is load-bearing: without it,
+    * EVERY write task holds writers for up to 2^planes dynamic partitions
+    * (tasks x buckets small files, and the per-task writer churn measured
+    * 20x+ super-linear on this host). Clustered by sig, each task writes
+    * only its own buckets — total files = max(buckets, shuffle partitions).
     */
   def buildSigIndex(embs: DataFrame, path: String, planes: Int = 8,
       vecCol: String = "embedding"): Unit =
     embs.withColumn("sig", hyperplaneSignature(col(vecCol), planes))
+      .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
 
   /** ANN over a signature index: literal probe-bucket filter on the
