@@ -168,6 +168,92 @@ object LogSources {
     epoch * element_at(mult, digits.cast("int"))
   }
 
+  /** ClickHouse system-tables receiver adapter
+    * (`receiver/clickhousesystemtablesreceiver/query_log.go:309-370`
+    * `toLogRecord`): one LogRow per scraped `system.query_log` row —
+    *
+    *  - timestamp = `event_time_microseconds` (nanos);
+    *  - body = `query`;
+    *  - severity: event `type` starting with "Exception" -> ERROR/17,
+    *    else INFO/9;
+    *  - EVERY input column becomes an attribute prefixed
+    *    `clickhouse.query_log.<col>` — numerics to the number map, booleans
+    *    to the bool map, timestamps as RFC3339 strings, arrays joined with
+    *    commas (the reference's slice rule), everything else stringified;
+    *  - `log_comment` holding a JSON object is flattened to typed
+    *    `clickhouse.query_log.log_comment.<key>` attributes (non-JSON
+    *    comments stay one string attribute);
+    *  - plus the literal `source = clickhouse` attribute.
+    *
+    * The input is any DataFrame with query_log-shaped columns (a JDBC scrape
+    * or an exported parquet); the scrape-window bookkeeping the reference
+    * does (min/max event ts per poll) is a plain
+    * `filter($"event_time" > lastScrapedTs)` on the caller's side.
+    */
+  def fromClickhouseQueryLog(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pre = "clickhouse.query_log."
+    val strKV = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val numKV = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val boolKV = scala.collection.mutable.ArrayBuffer.empty[Column]
+    df.schema.fields.filter(_.name != "log_comment").foreach { f =>
+      val k = lit(pre + f.name)
+      val c = col(f.name)
+      f.dataType match {
+        case _: NumericType => numKV += k += c.cast("double")
+        case BooleanType => boolKV += k += c
+        case TimestampType | TimestampNTZType =>
+          // Go's time.RFC3339 ("Z" at zero offset); session TZ is UTC
+          strKV += k += date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        case ArrayType(_, _) =>
+          strKV += k += concat_ws(",", c.cast("array<string>"))
+        case StringType => strKV += k += coalesce(c, lit(""))
+        case _ => strKV += k += c.cast("string")
+      }
+    }
+    strKV += lit("source") += lit("clickhouse")
+
+    val hasComment = df.columns.contains("log_comment")
+    val commentTyped =
+      if (hasComment)
+        graft.functions.JsonTypedMaps.of(col("log_comment"),
+          flatten = true, maxDepth = 10, enablePaths = true,
+          pathPrefix = s"${pre}log_comment")
+      else lit(null)
+    val strBase = map(strKV.toSeq: _*)
+    val numBase =
+      if (numKV.isEmpty) map().cast(LogSchema.mapSD) else map(numKV.toSeq: _*)
+    val boolBase =
+      if (boolKV.isEmpty) map().cast(LogSchema.mapSB) else map(boolKV.toSeq: _*)
+    val (attrsStr, attrsNum, attrsBool) =
+      if (!hasComment) (strBase, numBase, boolBase)
+      else {
+        // JSON-object comment -> typed flattened attrs; otherwise the raw
+        // comment string under its plain column attribute
+        val parsed = commentTyped
+        val fallback = map(lit(pre + "log_comment"),
+          coalesce(col("log_comment"), lit("")))
+        (when(parsed.isNotNull,
+          map_concat(strBase, parsed.getField("strings")))
+          .otherwise(map_concat(strBase, fallback)),
+          when(parsed.isNotNull, map_concat(numBase, parsed.getField("numbers")))
+            .otherwise(numBase),
+          when(parsed.isNotNull, map_concat(boolBase, parsed.getField("bools")))
+            .otherwise(boolBase))
+      }
+
+    val isException = col("type").startsWith("Exception")
+    LogFrames.withDefaults(df.select(
+      coalesce(col("query"), lit("")).as("body"),
+      (unix_micros(col("event_time_microseconds").cast("timestamp")) * 1000L)
+        .as("timestamp"),
+      when(isException, lit(17)).otherwise(lit(9)).as("severity_number"),
+      when(isException, lit("ERROR")).otherwise(lit("INFO")).as("severity_text"),
+      attrsStr.as("attributes_string"),
+      attrsNum.as("attributes_number"),
+      attrsBool.as("attributes_bool")))
+  }
+
   /** AWS Firehose cwlogs receiver adapter
     * (`receiver/signozawsfirehosereceiver/internal/unmarshaler/cwlog/
     * unmarshaler.go:41-95` + `logsbuilder.go`): each delivered record is

@@ -129,6 +129,42 @@ class LogSourcesSpec extends SparkSuite {
     }
   }
 
+  test("clickhouse query_log adapter: attrs prefixed+typed, severity, log_comment flatten") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:05")
+    val df = Seq(
+      ("ch-host", "QueryFinish", ts, 42L, 1000L, Seq("db1", "db2"),
+        """{"team":"infra","retries":2}""", "SELECT 1"),
+      ("ch-host", "ExceptionWhileProcessing", ts, 7L, 0L, Seq.empty[String],
+        "plain comment", "SELECT bad")
+    ).toDF("hostname", "type", "event_time_microseconds", "query_duration_ms",
+      "read_rows", "databases", "log_comment", "query")
+    val rows = LogSources.fromClickhouseQueryLog(df)
+      .orderBy("body")
+      .select("body", "timestamp", "severity_text", "severity_number",
+        "attributes_string", "attributes_number")
+      .collect()
+    val ok = rows(0)
+    assert(ok.getString(0) == "SELECT 1")
+    assert(ok.getLong(1) == ts.getTime * 1000000L)
+    assert(ok.getString(2) == "INFO" && ok.getInt(3) == 9)
+    val attrs = ok.getMap[String, String](4).toMap
+    assert(attrs("clickhouse.query_log.hostname") == "ch-host")
+    assert(attrs("clickhouse.query_log.type") == "QueryFinish")
+    assert(attrs("clickhouse.query_log.event_time_microseconds") == "2024-01-01T00:00:05Z")
+    assert(attrs("clickhouse.query_log.databases") == "db1,db2") // slice -> comma join
+    assert(attrs("clickhouse.query_log.log_comment.team") == "infra") // JSON flatten
+    assert(attrs("source") == "clickhouse")
+    val nums = ok.getMap[String, Double](5).toMap
+    assert(nums("clickhouse.query_log.query_duration_ms") == 42.0)
+    assert(nums("clickhouse.query_log.read_rows") == 1000.0)
+    assert(nums("clickhouse.query_log.log_comment.retries") == 2.0)
+
+    val bad = rows(1)
+    assert(bad.getString(2) == "ERROR" && bad.getInt(3) == 17)
+    val badAttrs = bad.getMap[String, String](4).toMap
+    assert(badAttrs("clickhouse.query_log.log_comment") == "plain comment")
+  }
+
   private def gzip(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
