@@ -72,6 +72,65 @@ object RegexNamedGroups {
   }
 
   def namedGroupCount(pattern: String): Int = scan(pattern).names.size
+
+  /** Detects the very common delimiter-split extraction shape
+    * `^(?P<a>[^D]*)D(?P<b>[^D]*)D...(?P<z>[^D]*)$` (all groups named, one
+    * consistent single-byte delimiter `D`, e.g. the tab-separated flagship
+    * pattern) and returns the delimiter byte, or -1. Such a pattern is
+    * byte-for-byte equivalent to "split on D into exactly k parts": no
+    * group can span a delimiter and the anchors pin both ends, so
+    * [[NamedGroupMatcher]] can extract with one byte scan — no
+    * java.util.regex machinery, no char decoding (regex search measured
+    * ~10% of flagship CPU, concentrated here).
+    */
+  def splitDelim(pattern: String): Int = {
+    // one literal char, possibly escaped; None on regex machinery
+    def decode(s: String, i: Int): Option[(Char, Int)] =
+      if (i >= s.length) None
+      else if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        val e = s.charAt(i + 1)
+        val c = e match {
+          case 't' => '\t'
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case x if !Character.isLetterOrDigit(x) => x
+          case _ => return None
+        }
+        Some((c, i + 2))
+      } else if (".[]{}()*+?|^$\\".indexOf(s.charAt(i).toInt) >= 0) None
+      else Some((s.charAt(i), i + 1))
+
+    val p = pattern
+    if (p.length < 2 || p.charAt(0) != '^' || p.charAt(p.length - 1) != '$') return -1
+    var i = 1
+    val end = p.length - 1
+    var delim = -2 // not chosen yet
+    var expectGroup = true
+    var groups = 0
+    while (i < end) {
+      if (expectGroup) {
+        if (!p.startsWith("(?P<", i)) return -1
+        val gt = p.indexOf('>', i)
+        if (gt < 0 || gt >= end) return -1
+        i = gt + 1
+        if (!p.startsWith("[^", i)) return -1
+        val (c, ni) = decode(p, i + 2).getOrElse(return -1)
+        i = ni
+        if (!p.startsWith("]*)", i)) return -1
+        i += 3
+        if (delim == -2) delim = c.toInt
+        else if (delim != c.toInt) return -1
+        groups += 1
+        expectGroup = false
+      } else {
+        val (c, ni) = decode(p, i).getOrElse(return -1)
+        if (c.toInt != delim) return -1
+        i = ni
+        expectGroup = true
+      }
+    }
+    if (expectGroup || groups < 2 || delim < 0 || delim >= 128) -1 else delim
+  }
 }
 
 /** Serializable per-task matcher: compiled once, reused across rows. */
@@ -85,11 +144,15 @@ final class NamedGroupMatcher(val pattern: String) extends Serializable {
   @transient private lazy val namedIdx: Array[Int] =
     scanned.namesByIndex.zipWithIndex.collect { case (Some(_), i) => i + 1 }.toArray
 
+  // delimiter-split fast path (see RegexNamedGroups.splitDelim); -1 = regex
+  @transient private lazy val fastDelim: Int = RegexNamedGroups.splitDelim(pattern)
+
   /** Leftmost match; null if no match (caller maps that to the error path).
     * All named groups are present; non-participating groups get "".
     */
   def extract(input: UTF8String): MapData = {
     if (input == null) return null
+    if (fastDelim >= 0) return extractSplit(input)
     val m = compiled.matcher(input.toString)
     if (!m.find()) return null
     val vals = new Array[Any](namedIdx.length)
@@ -99,6 +162,36 @@ final class NamedGroupMatcher(val pattern: String) extends Serializable {
       vals(i) = UTF8String.fromString(if (g == null) "" else g)
       i += 1
     }
+    new ArrayBasedMapData(
+      new GenericArrayData(keyArray.asInstanceOf[Array[Any]]),
+      new GenericArrayData(vals))
+  }
+
+  /** One pass over the UTF-8 bytes: split on the delimiter into exactly
+    * k parts (more OR fewer delimiters than k-1 means the equivalent
+    * anchored regex would not match -> null). The delimiter is ASCII
+    * (enforced by splitDelim), so byte scanning is UTF-8 safe, and parts
+    * are zero-decode byte slices.
+    */
+  private def extractSplit(input: UTF8String): MapData = {
+    val n = keyArray.length
+    val bytes = input.getBytes
+    val d = fastDelim.toByte
+    val vals = new Array[Any](n)
+    var part = 0
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == d) {
+        if (part >= n - 1) return null // more delimiters than groups
+        vals(part) = UTF8String.fromBytes(bytes, start, i - start)
+        part += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    if (part != n - 1) return null // too few delimiters
+    vals(part) = UTF8String.fromBytes(bytes, start, bytes.length - start)
     new ArrayBasedMapData(
       new GenericArrayData(keyArray.asInstanceOf[Array[Any]]),
       new GenericArrayData(vals))

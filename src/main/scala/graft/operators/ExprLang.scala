@@ -129,6 +129,45 @@ object ExprLang {
   }
 
   // -- parser (recursive descent) --------------------------------------------
+  /** A pattern that is just anchors + literal text (escapes like \t or
+    * escaped punctuation allowed) -> (anchoredStart, anchoredEnd, literal).
+    * Anything with real regex machinery (classes, quantifiers, alternation,
+    * \s-style escapes) returns None and takes the rlike path.
+    */
+  def literalizeRegex(pat: String): Option[(Boolean, Boolean, String)] = {
+    var i = 0
+    var j = pat.length
+    var aStart = false
+    var aEnd = false
+    if (i < j && pat.charAt(i) == '^') { aStart = true; i += 1 }
+    if (j > i && pat.charAt(j - 1) == '$') {
+      // only an UNESCAPED trailing $ anchors
+      var k = j - 2
+      var bs = 0
+      while (k >= i && pat.charAt(k) == '\\') { bs += 1; k -= 1 }
+      if (bs % 2 == 0) { aEnd = true; j -= 1 }
+    }
+    val sb = new StringBuilder
+    val meta = ".[]{}()*+?|^$"
+    while (i < j) {
+      val c = pat.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= j) return None
+        val e = pat.charAt(i + 1)
+        e match {
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case _ if !java.lang.Character.isLetterOrDigit(e) => sb.append(e)
+          case _ => return None // \s \d \w \b \1 ... are real regex
+        }
+        i += 2
+      } else if (meta.indexOf(c.toInt) >= 0) return None
+      else { sb.append(c); i += 1 }
+    }
+    Some((aStart, aEnd, sb.toString))
+  }
+
   private class P(var toks: List[Tok], src: String) {
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = { val t = toks.head; toks = toks.tail; t }
@@ -175,7 +214,19 @@ object ExprLang {
             case LStr(s) => s
             case other => fail(s"matches needs a literal pattern, got $other")
           }
-          CBool(asStr(l).rlike(RegexNamedGroups.scan(pat).javaPattern))
+          // regex-free tiering for literal-only patterns (the same spirit as
+          // RE2's literal optimizations and the reference's LIKE fast paths):
+          // route predicates like `body matches "\t"` / `"^status: "` run as
+          // contains/startsWith instead of a per-row Pattern search — regex
+          // search was ~10% of flagship CPU, mostly on these predicates
+          val s = asStr(l)
+          CBool(ExprLang.literalizeRegex(pat) match {
+            case Some((true, true, litr)) => s === lit(litr)
+            case Some((true, false, litr)) => s.startsWith(litr)
+            case Some((false, true, litr)) => s.endsWith(litr)
+            case Some((false, false, litr)) => s.contains(litr)
+            case None => s.rlike(RegexNamedGroups.scan(pat).javaPattern)
+          })
         case Some(TIdent("in")) =>
           next(); val r = parseAtom(); CBool(inOp(l, r))
         case _ => l

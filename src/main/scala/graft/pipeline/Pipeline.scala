@@ -116,16 +116,27 @@ object Pipeline {
       when(cond, lit(id)).otherwise(acc)
     }
     val out = df.withColumn("sink", sinkCol).filter(col("sink").isNotNull)
-    // CollectMetrics barrier: (a) a free emitted-rows metric per execution,
-    // (b) an optimizer fence — without it CollapseProject merges downstream
+    // Optimizer fence — without it CollapseProject merges downstream
     // consumers (exporter projections) into the operator chain's expression
     // tree and Catalyst's ConstantFolding goes quadratic on the merged giant
     // expressions (observed: >20 min of driver CPU planning the 13-operator
-    // flagship; with the fence: <1 s). The fence is also a whole-stage
-    // codegen boundary (one full UnsafeRow materialization per row);
-    // fence=false exists for callers that want one codegen stage and accept
-    // the planning cost (measured: excluding CollapseProject alone does NOT
-    // tame it — the quadratic folding happens on other merged trees too).
-    if (fence) out.observe("graft_pipeline", count(lit(1)).as("emitted_rows")) else out
+    // flagship; with the fence: <1 s; excluding CollapseProject alone does
+    // NOT tame it — the quadratic folding happens on other merged trees
+    // too). Round 1 fenced with `observe()`; CollectMetricsExec is not
+    // codegen-capable, so that cost one full UnsafeRow materialization per
+    // row. [[graft.functions.OptimizerFence]] (identity expression flagged
+    // non-deterministic on every column) blocks the same inlining with ZERO
+    // runtime cost — the plan stays one whole-stage-codegen region.
+    // fence=false keeps the unfenced plan for callers that accept the
+    // planning blowup.
+    if (fence) {
+      // GRAFT_FENCE=observe restores the round-1 CollectMetrics fence — a
+      // diagnostic escape hatch for same-window A/B of the two fences
+      if (sys.env.get("GRAFT_FENCE").contains("observe"))
+        out.observe("graft_pipeline", count(lit(1)).as("emitted_rows"))
+      else
+        out.select(out.columns.map(c =>
+          graft.functions.OptimizerFence(col(c)).as(c)): _*)
+    } else out
   }
 }

@@ -67,6 +67,59 @@ class ExprLangSpec extends SparkSuite {
     assert(evalBool("ilike(body, \"err_r%\")", bodies) == Seq(true, false))
   }
 
+  test("matches literal tiering: literal-only patterns skip regex, semantics intact") {
+    import graft.operators.ExprLang.literalizeRegex
+    assert(literalizeRegex("\\t") == Some((false, false, "\t")))
+    assert(literalizeRegex("^status: ") == Some((true, false, "status: ")))
+    assert(literalizeRegex("done$") == Some((false, true, "done")))
+    assert(literalizeRegex("^exact$") == Some((true, true, "exact")))
+    assert(literalizeRegex("a\\.b") == Some((false, false, "a.b")))
+    assert(literalizeRegex("price\\$$") == Some((false, true, "price$")))
+    assert(literalizeRegex("^\\s*\\{").isEmpty) // \s is real regex
+    assert(literalizeRegex("a|b").isEmpty)
+    assert(literalizeRegex("x[yz]").isEmpty)
+    assert(literalizeRegex("a.*").isEmpty)
+    // end-to-end: the same route predicates still route identically
+    val df = graft.model.LogFrames.fromBodies(spark,
+      Seq("a\tb", "status: 200", "no match here", "has status: inside"))
+    def n(e: String): Long =
+      df.filter(graft.operators.ExprLang.boolExpr(e)).count()
+    assert(n("body matches \"\\t\"") == 1)
+    assert(n("body matches \"^status: \"") == 1)
+    assert(n("body matches \"status: \"") == 2)
+    assert(n("body matches \"here$\"") == 1)
+  }
+
+  test("delimiter-split fast path equals the regex semantics") {
+    import graft.functions.{NamedGroupMatcher, RegexNamedGroups}
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(RegexNamedGroups.splitDelim(SparkEntry.hotrodRegexFast) == '\t'.toInt)
+    assert(RegexNamedGroups.splitDelim(SparkEntry.hotrodRegex) == -1) // (.*) form
+    assert(RegexNamedGroups.splitDelim("^a=(?P<a>.+);b=(?P<b>.+)$") == -1)
+    assert(RegexNamedGroups.splitDelim( // mixed delimiters -> no fast path
+      "^(?P<a>[^,]*),(?P<b>[^;]*);(?P<c>[^,]*)$") == -1)
+    assert(RegexNamedGroups.splitDelim("^(?P<a>[^,]*),(?P<b>[^,]*)$") == ','.toInt)
+
+    val m = new NamedGroupMatcher(SparkEntry.hotrodRegexFast)
+    def ex(s: String): Option[Map[String, String]] =
+      Option(m.extract(UTF8String.fromString(s))).map { md =>
+        (0 until md.numElements()).map(i =>
+          md.keyArray().getUTF8String(i).toString ->
+            md.valueArray().getUTF8String(i).toString).toMap
+      }
+    val got = ex("2024-01-01T00:00:00Z\tINFO\tsvc/a.go:1\tmsg here\t{\"k\":1}").get
+    assert(got == Map("ts" -> "2024-01-01T00:00:00Z", "log_level" -> "INFO",
+      "location" -> "svc/a.go:1", "msg" -> "msg here", "data_json" -> "{\"k\":1}"))
+    // empty fields keep positions; unicode survives byte slicing
+    assert(ex("\t\t\t\t").get == Map("ts" -> "", "log_level" -> "",
+      "location" -> "", "msg" -> "", "data_json" -> ""))
+    assert(ex("ü\tβ\t語\t🙂\tend").get("msg") == "🙂")
+    // wrong arity = regex no-match = null
+    assert(ex("only\tthree\tparts").isEmpty)
+    assert(ex("a\tb\tc\td\te\tf").isEmpty)
+    assert(ex("no tabs at all").isEmpty)
+  }
+
   test("env(): resolved at plan build; unset -> empty string like os.Getenv") {
     // PATH is always set in this environment
     val path = sys.env("PATH")
