@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 object PlatformProbe {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
+    val reps = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder().master(s"local[$cores]")
       .appName(s"platform-probe-$cores")
       .config("spark.sql.shuffle.partitions", cores)
@@ -25,7 +26,7 @@ object PlatformProbe {
       def df = spark.range(0, 2000000000L, 1, 256)
         .select(sum(xxhash64(col("id"), col("id") + 1, col("id") + 2)).as("s"))
       df.collect() // warm: codegen + JIT
-      val times = (1 to 3).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
       }
       println(f"CPUPROBE cores=$cores bestSec=${times.min}%.2f " +
