@@ -157,8 +157,12 @@ object Bench {
     // upward-biased estimator that sampled until noise produced a pass);
     // the best round and the global best-of are secondary fields, with
     // every raw sample in the artifact.
+    // inner=1: each JVM's timed best rides on one warm + one timed pass on
+    // the N side (ABBA gives two N JVMs per round, and the 5-round median
+    // absorbs per-JVM noise) and three timed passes on the wall-equalized
+    // 4N side — keeps a full 5-round run near the driver's time budget
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-    val repsInJvm = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "2").toInt
+    val repsInJvm = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "1").toInt
     var rows = 0L
     val sN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val s4N = scala.collection.mutable.ArrayBuffer.empty[Double]
