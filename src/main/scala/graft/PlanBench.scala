@@ -46,10 +46,13 @@ object PlanBench {
     val ep = time("plan logsV2+barrier")(main0.queryExecution.executedPlan)
     println("[plan] executed plan string size: " + ep.toString.length)
     val planStr = ep.toString
-    println("[plan] wholestage spans: " +
-      "WholeStageCodegen".r.findAllIn(planStr).length +
-      ", codegen-disabled spans: " + planStr.linesIterator.count(_.contains("codegen id")) +
-      ", top: " + planStr.linesIterator.take(3).mkString(" | "))
+    val codegenIds = "\\*\\((\\d+)\\)".r.findAllMatchIn(planStr).map(_.group(1)).toSet
+    val interpretedNodes = planStr.linesIterator
+      .count(l => l.contains("+- ") && !l.contains("*("))
+    println("[plan] wholestage regions: " + codegenIds.size +
+      " " + codegenIds.toSeq.sorted.mkString("[", ",", "]") +
+      ", non-codegen operators: " + interpretedNodes +
+      ", top: " + planStr.linesIterator.take(1).mkString)
     // does the big projection actually compile? trigger one partition
     time("run logsV2 count")(println("[plan] rows=" + main0.count()))
     spark.stop()

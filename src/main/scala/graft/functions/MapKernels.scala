@@ -126,3 +126,71 @@ object MergeMaps {
       ExpressionUtils.expression(old), ExpressionUtils.expression(winner),
       ExpressionUtils.expression(d1), ExpressionUtils.expression(d2)))
 }
+
+/** Sorted-key compact JSON of a MAP<STRING,STRING> — what Go's
+  * `json.Marshal` emits for the resource labels column
+  * (`exporter/clickhouselogsexporter/exporter.go:656-661`), byte-for-byte
+  * incl. the escapeHTML default ([[JsonCanon.quote]]).
+  *
+  * Replaces `to_json(map_from_entries(array_sort(map_entries(m), <lambda>)))`:
+  * ArraySort-with-comparator is a HigherOrderFunction = CodegenFallback, and
+  * ONE fallback expression kicks the ENTIRE enclosing projection out of
+  * whole-stage codegen — the exporter's final projection (fingerprint,
+  * ids, record sizes, everything) was silently running interpreted because
+  * of this single labels column.
+  */
+object MapSortedJsonKernel extends Serializable {
+  def toJson(m: MapData): UTF8String = {
+    if (m == null) return null
+    val n = m.numElements()
+    if (n == 0) return UTF8String.fromString("{}")
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    val idx = Array.range(0, n)
+    val ks = new Array[String](n)
+    var i = 0
+    while (i < n) { ks(i) = keys.getUTF8String(i).toString; i += 1 }
+    // insertion sort on the (small) resource map
+    i = 1
+    while (i < n) {
+      val ki = ks(idx(i))
+      val ii = idx(i)
+      var j = i - 1
+      while (j >= 0 && ks(idx(j)) > ki) { idx(j + 1) = idx(j); j -= 1 }
+      idx(j + 1) = ii
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n * 24)
+    sb.append('{')
+    i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      val k = idx(i)
+      sb.append(JsonCanon.quote(ks(k))).append(':')
+      if (vals.isNullAt(k)) sb.append("null")
+      else sb.append(JsonCanon.quote(vals.getUTF8String(k).toString))
+      i += 1
+    }
+    sb.append('}')
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `map_sorted_json(map)` — see [[MapSortedJsonKernel]]; NULL for NULL. */
+case class MapSortedJson(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MapSortedJsonKernel.toJson(input.asInstanceOf[MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, input =>
+      s"graft.functions.MapSortedJsonKernel$$.MODULE$$.toJson($input)")
+  override protected def withNewChildInternal(newChild: Expression): MapSortedJson =
+    copy(child = newChild)
+}
+
+object MapSortedJson {
+  def apply(c: Column): Column =
+    ExpressionUtils.column(MapSortedJson(ExpressionUtils.expression(c)))
+}

@@ -39,11 +39,13 @@ final case class ExporterConfig(
 object Exporter {
 
   /** Sorted-key compact JSON of a string map — what Go's `json.Marshal`
-    * produces for the resource labels column (exporter.go:656-661).
+    * produces for the resource labels column (exporter.go:656-661), via a
+    * codegen kernel: the previous `array_sort(<comparator>)` form was a
+    * CodegenFallback higher-order function and dragged the WHOLE exporter
+    * projection out of whole-stage codegen (see
+    * [[graft.functions.MapSortedJsonKernel]]).
     */
-  def sortedMapJson(m: Column): Column =
-    when(m.isNull, lit(null).cast("string"))
-      .otherwise(coalesce(to_json(map_from_entries(array_sort(map_entries(m)))), lit("{}")))
+  def sortedMapJson(m: Column): Column = graft.functions.MapSortedJson(m)
 
   /** The main logs_v2-shaped sink (v2_squashed_logs_migration.go:163-209). */
   def logsV2(pipelineOut0: DataFrame, cfg: ExporterConfig = ExporterConfig()): DataFrame = {
