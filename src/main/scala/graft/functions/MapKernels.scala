@@ -194,3 +194,79 @@ object MapSortedJson {
   def apply(c: Column): Column =
     ExpressionUtils.column(MapSortedJson(ExpressionUtils.expression(c)))
 }
+
+/** One typed map -> an array of tag-attribute rows
+  * `struct(tag_key, tag_type, tag_data_type, string_value, number_value)` —
+  * the codegen replacement for `transform(map_entries(m), <struct lambda>)`
+  * in the exporter's tagRows: `transform` is a CodegenFallback HOF and one
+  * of them de-codegens the whole tag projection. A NULL map yields an empty
+  * array (the concat() null-propagation guard, built in).
+  *
+  * `mode`: 0 = string values (string_value = v), 1 = double values
+  * (number_value = v), 2 = boolean values (both value columns NULL — the
+  * exporter emits bool tags as type-only rows).
+  */
+final class TagRowsWorker(tagType: String, dataType: String, mode: Int)
+    extends Serializable {
+  private val tagTypeU = UTF8String.fromString(tagType)
+  private val dataTypeU = UTF8String.fromString(dataType)
+
+  def rows(m: MapData): GenericArrayData = {
+    if (m == null) return new GenericArrayData(Array.empty[Any])
+    val n = m.numElements()
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sv: Any =
+        if (mode == 0 && !vals.isNullAt(i)) vals.getUTF8String(i) else null
+      val nv: Any =
+        if (mode == 1 && !vals.isNullAt(i)) java.lang.Double.valueOf(vals.getDouble(i))
+        else null
+      out(i) = InternalRow(keys.getUTF8String(i), tagTypeU, dataTypeU, sv, nv)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class MapToTagRows(child: Expression, tagType: String, dataTypeName: String,
+    mode: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  private lazy val worker = new TagRowsWorker(tagType, dataTypeName, mode)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tag_key", StringType, nullable = false),
+    StructField("tag_type", StringType, nullable = false),
+    StructField("tag_data_type", StringType, nullable = false),
+    StructField("string_value", StringType),
+    StructField("number_value", DoubleType))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    worker.rows(child.eval(input).asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val w = ctx.addReferenceObj("worker", worker, classOf[TagRowsWorker].getName)
+    val c = child.genCode(ctx)
+    val gad = classOf[GenericArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $gad ${ev.value} = $w.rows(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MapToTagRows =
+    copy(child = newChild)
+}
+
+object MapToTagRows {
+  def apply(m: Column, tagType: String, dataType: String, mode: Int): Column =
+    ExpressionUtils.column(MapToTagRows(
+      ExpressionUtils.expression(m), tagType, dataType, mode))
+}

@@ -39,7 +39,9 @@ object TextOps {
     val punctRatio = when(nChars > 0, round(nPunct.cast("double") / nChars, 6)).otherwise(0.0)
     val nAlpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
     val alphaRatio = when(nChars > 0, round(nAlpha.cast("double") / nChars, 6)).otherwise(0.0)
-    val nStop = size(filter(words, w => w.isin(stopwords: _*)))
+    // codegen kernel: filter() is a CodegenFallback HOF and would drag this
+    // whole projection out of whole-stage codegen
+    val nStop = graft.functions.CountInSet(words, stopwords)
     val stopRatio = when(nWords > 0, round(nStop.cast("double") / nWords, 6)).otherwise(0.0)
     // composite: alpha-heavy, some stopwords, not punctuation-heavy,
     // reasonable word lengths
@@ -68,7 +70,7 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(split(graft.functions.FastLower(text), "\\s+"), w => w.isin(markers: _*)))
+    graft.functions.CountInSet(split(graft.functions.FastLower(text), "\\s+"), markers)
 
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) => lang -> langScore(text, markers) }

@@ -159,30 +159,22 @@ object Exporter {
         lit(dataType).as("tag_data_type"),
         strVal.as("string_value"), numVal.cast("double").as("number_value"))
 
-    // coalesce each branch to an empty array: concat() null-propagates, so
-    // without it a single NULL map column (e.g. a frame from an external
-    // adapter built without LogFrames.withDefaults) would silently null the
-    // whole concat and drop EVERY tag row for that record, including the
-    // severity logfield rows
-    def fromMap(m: Column, tagType: String, dataType: String,
-        strVal: Column => Column, numVal: Column => Column): Column = {
-      val rows = transform(map_entries(m), e =>
-        row(e.getField("key"), tagType, dataType,
-          strVal(e.getField("value")), numVal(e.getField("value"))))
-      coalesce(rows, array().cast("array<struct<tag_key:string,tag_type:string," +
-        "tag_data_type:string,string_value:string,number_value:double>>"))
-    }
-
+    // MapToTagRows: one codegen kernel per map (transform() is a
+    // CodegenFallback HOF and would de-codegen the whole tag projection);
+    // a NULL map contributes an EMPTY array, so a frame from an external
+    // adapter built without LogFrames.withDefaults cannot null-propagate
+    // through concat() and drop the record's other tag rows
+    import graft.functions.MapToTagRows
     val all = concat(
-      fromMap(col("attributes_string"), "tag", "string", identity, _ => nullNum),
-      fromMap(col("attributes_number"), "tag", "float64", _ => nullStr, identity),
-      fromMap(col("attributes_bool"), "tag", "bool", _ => nullStr, _ => nullNum),
+      MapToTagRows(col("attributes_string"), "tag", "string", mode = 0),
+      MapToTagRows(col("attributes_number"), "tag", "float64", mode = 1),
+      MapToTagRows(col("attributes_bool"), "tag", "bool", mode = 2),
       // resource attrs are force-stringified (exporter.go:656,
       // forceStringValues=true)
-      fromMap(col("resources_string"), "resource", "string", identity, _ => nullNum),
+      MapToTagRows(col("resources_string"), "resource", "string", mode = 0),
       // scope attrs likewise (exporter.go:667); scope keys go to
       // tag_attributes but to NEITHER key sink (exporter.go:887-919 switch)
-      fromMap(col("scope_string"), "scope", "string", identity, _ => nullNum),
+      MapToTagRows(col("scope_string"), "scope", "string", mode = 0),
       // logfields: severity_text/severity_number (exporter.go:741)
       array(
         row(lit("severity_text"), "logfield", "string", col("severity_text"), nullNum),
