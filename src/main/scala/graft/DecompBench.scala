@@ -59,13 +59,18 @@ object DecompBench {
 
   def main(args: Array[String]): Unit = {
     val stages = Seq("scan", "adapt", "route", "pipeline", "full")
-    val results = for (stage <- stages; cores <- Seq(8, 32)) yield {
+    val coreLevels = sys.env.getOrElse("SPARK_GRAFT_DECOMP_CORES", "8,32")
+      .split(",").toSeq.map(_.trim.toInt)
+    val results = for (stage <- stages; cores <- coreLevels) yield {
       val sec = run(cores, stage)
       println(f"[decomp] stage=$stage cores=$cores sec=$sec%.1f")
       (stage, cores, sec)
     }
-    results.grouped(2).foreach { case Seq((st, _, t8), (_, _, t32)) =>
-      println(f"[decomp] $st speedup(8->32)=${t8 / t32}%.2f")
+    results.grouped(coreLevels.size).foreach { g =>
+      val st = g.head._1
+      val lo = g.head._3
+      val hi = g.last._3
+      println(f"[decomp] $st speedup(${coreLevels.head}->${coreLevels.last})=${lo / hi}%.2f")
     }
   }
 }

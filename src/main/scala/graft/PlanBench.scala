@@ -53,6 +53,9 @@ object PlanBench {
       " " + codegenIds.toSeq.sorted.mkString("[", ",", "]") +
       ", non-codegen operators: " + interpretedNodes +
       ", top: " + planStr.linesIterator.take(1).mkString)
+    planStr.linesIterator
+      .filter(l => l.contains("+- ") && !l.contains("*("))
+      .foreach(l => println("[plan] NON-CODEGEN: " + l.trim))
     // does the big projection actually compile? trigger one partition
     time("run logsV2 count")(println("[plan] rows=" + main0.count()))
     spark.stop()

@@ -270,3 +270,133 @@ object MapToTagRows {
     ExpressionUtils.column(MapToTagRows(
       ExpressionUtils.expression(m), tagType, dataType, mode))
 }
+
+/** Keep-or-drop map entries by a CONSTANT key set — the codegen replacement
+  * for `map_filter(m, k => k.isin(...))` (a CodegenFallback HOF; one of
+  * them de-codegens the enclosing projection). Fast path: when filtering
+  * drops nothing (the usual case — e.g. removing an absent key), the input
+  * MapData is returned as-is, zero allocation.
+  */
+final class MapFilterKeysWorker(keys: Array[String], keep: Boolean,
+    valueType: DataType) extends Serializable {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](keys.length * 2)
+    keys.foreach(k => s.add(UTF8String.fromString(k)))
+    s
+  }
+  def filter(m: MapData): MapData = {
+    if (m == null) return null
+    val n = m.numElements()
+    val ks = m.keyArray()
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(ks.getUTF8String(i))) matches += 1
+      i += 1
+    }
+    val kept = if (keep) matches else n - matches
+    if (kept == n) return m // nothing filtered out
+    val vs = m.valueArray()
+    val outK = new Array[Any](kept)
+    val outV = new Array[Any](kept)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val in = set.contains(ks.getUTF8String(i))
+      if (in == keep) {
+        outK(o) = ks.getUTF8String(i)
+        outV(o) = if (vs.isNullAt(i)) null else vs.get(i, valueType)
+        o += 1
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(outK), new GenericArrayData(outV))
+  }
+}
+
+case class MapFilterKeys(child: Expression, keys: Seq[String], keep: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val worker = new MapFilterKeysWorker(keys.toArray, keep,
+    child.dataType.asInstanceOf[MapType].valueType)
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    worker.filter(input.asInstanceOf[MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[MapFilterKeysWorker].getName)
+    defineCodeGen(ctx, ev, input => s"$w.filter($input)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MapFilterKeys =
+    copy(child = newChild)
+}
+
+object MapFilterKeys {
+  def apply(m: Column, keys: Seq[String], keep: Boolean): Column =
+    ExpressionUtils.column(MapFilterKeys(
+      ExpressionUtils.expression(m), keys, keep))
+}
+
+/** Grok typed-capture conversion: a MAP<STRING,STRING> whose keys are all
+  * declared numeric captures -> MAP<STRING,DOUBLE>, parsing `int`-typed
+  * keys with integral semantics (non-integral -> null, like the non-ANSI
+  * string->long cast) and `float`-typed keys as doubles. Replaces the
+  * `transform_values(map_filter(...), <when-chain cast lambda>)` pair —
+  * both CodegenFallback HOFs.
+  */
+final class MapGrokNumericWorker(intKeys: Array[String]) extends Serializable {
+  @transient private lazy val ints: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](intKeys.length * 2)
+    intKeys.foreach(k => s.add(UTF8String.fromString(k)))
+    s
+  }
+  def convert(m: MapData): MapData = {
+    if (m == null) return null
+    val n = m.numElements()
+    val ks = m.keyArray()
+    val vs = m.valueArray()
+    val outK = new Array[Any](n)
+    val outV = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val k = ks.getUTF8String(i)
+      outK(i) = k
+      outV(i) =
+        if (vs.isNullAt(i)) null
+        else {
+          val v = vs.getUTF8String(i)
+          if (ints.contains(k)) {
+            val w = new UTF8String.LongWrapper
+            if (v.toLong(w)) java.lang.Double.valueOf(w.value.toDouble) else null
+          } else {
+            // double parse with cast semantics: trim + Java parse, null on fail
+            try java.lang.Double.valueOf(v.toString.trim.toDouble)
+            catch { case _: NumberFormatException => null }
+          }
+        }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(outK), new GenericArrayData(outV))
+  }
+}
+
+case class MapGrokNumeric(child: Expression, intKeys: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val worker = new MapGrokNumericWorker(intKeys.toArray)
+  override def dataType: DataType =
+    MapType(StringType, org.apache.spark.sql.types.DoubleType, valueContainsNull = true)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    worker.convert(input.asInstanceOf[MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[MapGrokNumericWorker].getName)
+    defineCodeGen(ctx, ev, input => s"$w.convert($input)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MapGrokNumeric =
+    copy(child = newChild)
+}
+
+object MapGrokNumeric {
+  def apply(m: Column, intKeys: Seq[String]): Column =
+    ExpressionUtils.column(MapGrokNumeric(
+      ExpressionUtils.expression(m), intKeys))
+}

@@ -180,8 +180,10 @@ object FieldCols {
 
   // ---- writes -------------------------------------------------------------
 
+  // codegen kernel, not map_filter: a CodegenFallback HOF here would drag
+  // the whole operator-chain projection out of whole-stage codegen
   private def mapWithout(m: Column, key: String): Column =
-    map_filter(m, (k, _) => k =!= key)
+    graft.functions.MapFilterKeys(m, Seq(key), keep = false)
 
   private def mapSet(m: Column, key: String, v: Column): Column =
     map_concat(mapWithout(m, key), map(lit(key), v))

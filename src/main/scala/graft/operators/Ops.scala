@@ -298,11 +298,16 @@ object Ops {
         val df1 = df.withColumn("__parsed",
           when(gate, RegexExtractNamedGroups(src, expanded.regex)))
         val ok = col("__parsed").isNotNull
-        // include/exclude filters (pkg/parser/grok/grok.go:105-131), static keys
+        // include/exclude filters (pkg/parser/grok/grok.go:105-131), static
+        // keys — MapFilterKeys/MapGrokNumeric codegen kernels instead of
+        // map_filter/transform_values (CodegenFallback HOFs that would
+        // de-codegen the whole projection)
         val keep: Column = {
           var m = col("__parsed")
-          if (include.nonEmpty) m = map_filter(m, (k, _) => k.isin(include.toSeq: _*))
-          if (exclude.nonEmpty) m = map_filter(m, (k, _) => !k.isin(exclude.toSeq: _*))
+          if (include.nonEmpty)
+            m = graft.functions.MapFilterKeys(m, include.toSeq, keep = true)
+          if (exclude.nonEmpty)
+            m = graft.functions.MapFilterKeys(m, exclude.toSeq, keep = false)
           m
         }
         val numKeys = expanded.types.keySet
@@ -310,14 +315,10 @@ object Ops {
         val (strPart, numPart) =
           if (numKeys.isEmpty) (keep, map().cast(graft.model.LogSchema.mapSD))
           else (
-            map_filter(keep, (k, _) => !k.isin(numKeys.toSeq: _*)),
-            transform_values(
-              map_filter(keep, (k, _) => k.isin(numKeys.toSeq: _*)),
-              (k, v) => numKeys.foldLeft(lit(null).cast("double")) { (acc, tk) =>
-                when(k === tk,
-                  if (expanded.types(tk) == "int") v.cast("long").cast("double") else v.cast("double"))
-                  .otherwise(acc)
-              }))
+            graft.functions.MapFilterKeys(keep, numKeys.toSeq, keep = false),
+            graft.functions.MapGrokNumeric(
+              graft.functions.MapFilterKeys(keep, numKeys.toSeq, keep = true),
+              intKeys = numKeys.toSeq.filter(k => expanded.types(k) == "int")))
         val updates = assignStringMap(parseTo,
           strPart.cast(graft.model.LogSchema.mapSS), numPart.cast(graft.model.LogSchema.mapSD))
         val df2 = gatedApply(df1, updates, gate, ok, c.onError)
@@ -391,12 +392,11 @@ object Ops {
         val tkey = FieldCols.attrKey(tk)
         val updates = Seq("attributes_string", "attributes_number", "attributes_bool").map { m =>
           val hasFrom = map_contains_key(col(m), fkey)
-          val dropKeys: Column => Column = c =>
-            map_filter(c, (k, _) =>
-              if (deleteFrom) k =!= fkey && k =!= tkey else k =!= tkey)
+          val dropSet = if (deleteFrom) Seq(fkey, tkey) else Seq(tkey)
           m -> when(hasFrom,
-            map_concat(dropKeys(col(m)), map(lit(tkey), col(m).getItem(fkey))))
-            .otherwise(map_filter(col(m), (k, _) => k =!= tkey))
+            map_concat(graft.functions.MapFilterKeys(col(m), dropSet, keep = false),
+              map(lit(tkey), col(m).getItem(fkey))))
+            .otherwise(graft.functions.MapFilterKeys(col(m), Seq(tkey), keep = false))
         }
         FieldCols.applyUpdates(df, updates, Some(g))
       case _ =>
