@@ -219,18 +219,21 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // insurance line: a complete artifact WITHOUT the scaleup section, so a
+    // insurance emit: a complete artifact WITHOUT the scaleup section, so a
     // harness timeout during the (long) part 3 still leaves a parseable
-    // result; the final line below supersedes it
-    printResult(results, sfDir, scalingJson(rows, scaleN, scale4N, sN.toSeq,
-      s4N.toSeq, roundEffs.toSeq, rounds, hostCeiling), "{}")
+    // result; the final emit below supersedes it
+    def scaling(compact: Boolean) = scalingJson(rows, scaleN, scale4N,
+      sN.toSeq, s4N.toSeq, roundEffs.toSeq, rounds, hostCeiling, compact)
+    emitResult(results, sfDir, scaling(false), scaling(true),
+      ScaleUp.ScaleupResult("{}", "{}"))
 
     // part 3: scale-up evidence — flagship + dedup/ANN family at ~100x the
     // sf0.1 testdata (>=1 GB transcripts, 500k docs, 200k vectors), each op
     // also timed at the small scale in-session for a rows-vs-time linearity
     // check (see graft.ScaleUp). SPARK_GRAFT_SCALEUP=0 skips.
-    val scaleupJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "1") == "0") "{}"
+    val scaleup =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "1") == "0")
+        ScaleUp.ScaleupResult("{}", "{}")
       else try {
         ScaleUp.section(spark,
           s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scaleup",
@@ -239,12 +242,11 @@ object Bench {
           bigConvs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_CONVS", "6000000").toLong)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaleup failed: $e")
-        "{}"
+        ScaleUp.ScaleupResult("{}", "{}")
       }
     spark.stop()
 
-    printResult(results, sfDir, scalingJson(rows, scaleN, scale4N, sN.toSeq,
-      s4N.toSeq, roundEffs.toSeq, rounds, hostCeiling), scaleupJson)
+    emitResult(results, sfDir, scaling(false), scaling(true), scaleup)
   }
 
   private def median(xs: Seq[Double]): Double =
@@ -256,14 +258,15 @@ object Bench {
 
   private def scalingJson(rows: Long, scaleN: Int, scale4N: Int,
       sN: Seq[Double], s4N: Seq[Double], roundEffs: Seq[Double],
-      rounds: Int, hostCeiling: Double): String = {
+      rounds: Int, hostCeiling: Double, compact: Boolean): String = {
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val rateN = if (sN.nonEmpty) rows / sN.min else 0.0
     val rate4N = if (s4N.nonEmpty) rows / s4N.min else 0.0
     val efficiency = median(roundEffs)
     val efficiencyBest = if (roundEffs.nonEmpty) roundEffs.max else 0.0
     val efficiencyBestOf = if (rateN > 0) rate4N / (4.0 * rateN) else 0.0
-    f"""{"turns":$rows,"cores_n":$scaleN,"turns_per_sec_n":${rateN}%.1f,""" +
+    val core =
+      f"""{"turns":$rows,"cores_n":$scaleN,"turns_per_sec_n":${rateN}%.1f,""" +
       f""""cores_4n":$scale4N,"turns_per_sec_4n":${rate4N}%.1f,""" +
       f""""efficiency":${efficiency}%.3f,""" +
       f""""median_efficiency":${efficiency}%.3f,""" +
@@ -272,16 +275,38 @@ object Bench {
       f""""host_ceiling_efficiency":$hostCeiling%.3f,""" +
       f""""normalized_efficiency":${if (hostCeiling > 0) efficiency / hostCeiling else 0.0}%.3f,""" +
       s""""rounds":$rounds,""" +
-      s""""round_efficiencies":${arr(roundEffs)},""" +
+      s""""round_efficiencies":${arr(roundEffs)}"""
+    if (compact) core + "}"
+    else core + "," +
       s""""samples_n_sec":${arr(sN)},"samples_4n_sec":${arr(s4N)},""" +
       s""""method":"FIXED $rounds mirrored (ABBA) rounds, no early stop: four pinned fresh-JVM runs per round in N,4N,4N,N order; round ratio = (sum of N bests)/(4 * sum of 4N bests) so linear host drift cancels; headline efficiency = MEDIAN per-round ratio; best round and global best-of secondary; every raw sample reported; host_ceiling = same-window pure-CPU probe"}"""
   }
 
-  private def printResult(results: Seq[(String, Double)], sfDir: String,
-      scaling: String, scaleupJson: String): Unit = {
+  /** Emit the artifact TWICE (round-3 verdict #1 — the recorded artifact
+    * must carry the claims):
+    *  - the COMPLETE JSON (raw samples + method + full scaleup rows) is
+    *    written whole to a file (`SPARK_GRAFT_BENCH_OUT`, default
+    *    /root/repo/BENCH.json) that cannot be tail-truncated;
+    *  - stdout gets ONE COMPACT line (~2 KB: headline, all 31 per-query
+    *    timings, every efficiency field, per-op scaleup essentials,
+    *    `detail_file` pointer) small enough to survive the driver's tail
+    *    capture intact, so `parsed` is never null.
+    */
+  private def emitResult(results: Seq[(String, Double)], sfDir: String,
+      scalingFull: String, scalingCompact: String,
+      scaleup: ScaleUp.ScaleupResult): Unit = {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingFull,"scaleup":${scaleup.full}}"""
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaleup":$scaleupJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingCompact,"scaleup":${scaleup.compact},"detail_file":"$outFile"}""")
   }
 }

@@ -53,9 +53,11 @@ object DataQueries {
 
     // embedding cosine near-dup via hyperplane LSH buckets (threshold 0.25:
     // the synthetic embeddings are random, so production-grade thresholds
-    // match nothing and would assert an empty set)
+    // match nothing and would assert an empty set); hot-bucket cap ON and
+    // replicated by the oracle
     "q_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(embs(s, d), threshold = 0.25, planes = 6)
+      Dedup.embeddingNearDups(embs(s, d), threshold = 0.25, planes = 6,
+        maxBucketGroup = 256)
         .agg(count(lit(1)).as("n"),
           coalesce(sum((col("cosine") * 1000000).cast("long")), lit(0L))
             .as("sum_cos_e6"))),
@@ -293,13 +295,28 @@ object DataQueries {
          |dcand AS (SELECT DISTINCT a, b, sa, sb FROM cand)
          |SELECT count(*) AS n FROM dcand WHERE bit_count(xor(sa, sb)) <= 16""".stripMargin,
 
+    // hot-bucket cap (256) replicated: all-pairs among the first 256 per
+    // sig bucket + one star edge to the bucket anchor beyond (pairs are
+    // unique — one sig per row — so UNION ALL, no dedup needed)
     "q_embedding_neardup" -> {
       val sig = sigSql("embedding", 6, 64)
-      val cos = cosineSql("l.embedding", "r.embedding")
+      val cos = cosineSql("ea", "eb")
       s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
-         |pairs AS (SELECT $cos AS cosine
-         |          FROM sigs l JOIN sigs r
-         |            ON l.sig = r.sig AND l.vec_id < r.vec_id)
+         |ranked AS (SELECT vec_id, embedding, sig,
+         |             row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS rn,
+         |             min(vec_id) OVER (PARTITION BY sig) AS anchor,
+         |             first_value(embedding) OVER (PARTITION BY sig ORDER BY vec_id)
+         |               AS anchor_emb
+         |           FROM sigs),
+         |cand AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |         l.embedding AS ea, r.embedding AS eb
+         |  FROM ranked l JOIN ranked r ON l.sig = r.sig AND l.vec_id < r.vec_id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION ALL
+         |  SELECT anchor AS a, vec_id AS b, anchor_emb AS ea, embedding AS eb
+         |  FROM ranked WHERE rn > 256),
+         |pairs AS (SELECT $cos AS cosine FROM cand)
          |SELECT count(*) AS n,
          |       CAST(COALESCE(SUM(CAST(trunc(cosine * 1000000) AS BIGINT)), 0) AS BIGINT)
          |         AS sum_cos_e6

@@ -38,7 +38,9 @@ object PlanBench {
     val opt = time("optimize routed")(routed.queryExecution.optimizedPlan)
     println("[plan] optimized routed nodes: " + nodeCount(opt))
     time("plan routed")(routed.queryExecution.executedPlan)
-    val main0 = Exporter.logsV2(routed)
+    // the FULL flagship path including the enrich stage (round-3 verdict
+    // #5's audit target: zero non-codegen operators WITH enrich in the plan)
+    val main0 = Exporter.logsV2(graft.pipeline.Enrich.roleToolEnrich(routed))
     val an2 = time("analyze logsV2+barrier")(main0.queryExecution.analyzed)
     println("[plan] analyzed logsV2 nodes: " + nodeCount(an2))
     val opt2 = time("optimize logsV2+barrier")(main0.queryExecution.optimizedPlan)

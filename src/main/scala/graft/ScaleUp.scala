@@ -31,7 +31,15 @@ object ScaleUp {
         f""""row_ratio":$rowRatio%.1f,"time_ratio":$timeRatio%.1f,""" +
         f""""linearity":${timeRatio / rowRatio}%.3f,"out":$out}"""
     }
+    /** Truncation-proof essentials for the stdout headline line. */
+    def compactJson: String = {
+      val timeRatio = secBig / math.max(1e-9, secSmall)
+      f""""$name":{"sec_big":$secBig%.2f,"time_ratio":$timeRatio%.1f,"out":$out}"""
+    }
   }
+
+  /** Full (file) and compact (stdout headline) forms of the section. */
+  final case class ScaleupResult(full: String, compact: String)
 
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -76,11 +84,11 @@ object ScaleUp {
     r
   }
 
-  /** Runs everything; returns the `scaleup` JSON object (one line). */
+  /** Runs everything; returns the `scaleup` JSON object (full + compact). */
   def section(spark: SparkSession, workDir: String,
       smallDocs: Long = 5000L, bigDocs: Long = 500000L,
       smallVecs: Long = 2000L, bigVecs: Long = 200000L,
-      smallConvs: Long = 400000L, bigConvs: Long = 6000000L): String = {
+      smallConvs: Long = 400000L, bigConvs: Long = 6000000L): ScaleupResult = {
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     // 2m splits keep BOTH sides of the ratio fully parallel at 32 cores:
     // the 67 MB small input stays ~32 tasks (default 128m packing coalesced
@@ -95,7 +103,7 @@ object ScaleUp {
 
   private def sectionInner(spark: SparkSession, workDir: String,
       smallDocs: Long, bigDocs: Long, smallVecs: Long, bigVecs: Long,
-      smallConvs: Long, bigConvs: Long): String = {
+      smallConvs: Long, bigConvs: Long): ScaleupResult = {
 
     def docsAt(n: Long, files: Int) =
       materialize(spark, s"$workDir/docs_$n", files)(DataGen.documents(spark, n))
@@ -126,6 +134,26 @@ object ScaleUp {
     results += op("dedup_minhash", smallD, bigD, smallDocs, bigDocs) { d =>
       Dedup.minhashCandidates(d, maxBandGroup = 256)
         .agg(count(lit(1))).collect().head.getLong(0)
+    }
+    // per-stage attribution for the minhash big-side ratio (round-3 verdict
+    // #2): the signature pass (exact-dup collapse + codegen banding kernel)
+    // scales with ROWS; the band-join pass scales with CANDIDATE PAIRS —
+    // separating them shows whether a high time ratio is output-driven
+    // (pairs grow faster than rows on a denser corpus) or a plan pathology
+    val minhashStages = {
+      def sig() = Dedup.minhashBandRows(bigD)
+        .agg(count(lit(1))).collect().head.getLong(0)
+      def full() = Dedup.minhashCandidates(bigD, maxBandGroup = 256)
+        .agg(count(lit(1))).collect().head.getLong(0)
+      val (_, sigSec) = timed(sig()) // both stages warm from the op() above
+      val (pairs, totSec) = timed(full())
+      val joinSec = math.max(0.0, totSec - sigSec)
+      System.err.println(f"[scaleup] dedup_minhash stages: sig=${sigSec}%.2fs " +
+        f"join=${joinSec}%.2fs pairs=$pairs " +
+        f"(${pairs / math.max(1e-9, joinSec)}%.0f pairs/s)")
+      f""""dedup_minhash_stages":{"sig_sec":$sigSec%.2f,"join_sec":$joinSec%.2f,""" +
+        f""""total_sec":$totSec%.2f,"pairs":$pairs,""" +
+        f""""pairs_per_sec":${pairs / math.max(1e-9, joinSec)}%.0f}"""
     }
     results += op("dedup_simhash", smallD, bigD, smallDocs, bigDocs) { d =>
       Dedup.simhashPairs(d, maxDist = 8, maxChunkGroup = 256)
@@ -160,10 +188,12 @@ object ScaleUp {
     }
 
     val bytesBig = dirBytes(s"$workDir/transcripts_$bigConvs")
-    s"""{"turns_small":$turnsSmall,"turns_big":$turnsBig,""" +
+    val head = s"""{"turns_small":$turnsSmall,"turns_big":$turnsBig,""" +
       s""""transcripts_big_bytes":$bytesBig,""" +
-      s""""docs_big":$bigDocs,"vecs_big":$bigVecs,""" +
-      results.map(_.json).mkString("", ",", "}")
+      s""""docs_big":$bigDocs,"vecs_big":$bigVecs,"""
+    ScaleupResult(
+      full = head + (results.map(_.json) :+ minhashStages).mkString(",") + "}",
+      compact = head + (results.map(_.compactJson) :+ minhashStages).mkString(",") + "}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -183,7 +213,7 @@ object ScaleUp {
     val bigVecs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_VECS", "200000").toLong
     val bigConvs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_CONVS", "6000000").toLong
     println(section(spark, workDir, bigDocs = bigDocs, bigVecs = bigVecs,
-      bigConvs = bigConvs))
+      bigConvs = bigConvs).full)
     spark.stop()
   }
 }

@@ -147,16 +147,19 @@ object MapSortedJsonKernel extends Serializable {
     val keys = m.keyArray()
     val vals = m.valueArray()
     val idx = Array.range(0, n)
-    val ks = new Array[String](n)
+    // keys compare as UTF8String (UTF-8 BYTE order — what Go's json.Marshal
+    // sorts by); java.lang.String '<' is UTF-16 code-unit order and diverges
+    // on supplementary-plane keys (e.g. emoji)
+    val ks = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { ks(i) = keys.getUTF8String(i).toString; i += 1 }
+    while (i < n) { ks(i) = keys.getUTF8String(i); i += 1 }
     // insertion sort on the (small) resource map
     i = 1
     while (i < n) {
       val ki = ks(idx(i))
       val ii = idx(i)
       var j = i - 1
-      while (j >= 0 && ks(idx(j)) > ki) { idx(j + 1) = idx(j); j -= 1 }
+      while (j >= 0 && ks(idx(j)).compareTo(ki) > 0) { idx(j + 1) = idx(j); j -= 1 }
       idx(j + 1) = ii
       i += 1
     }
@@ -166,7 +169,7 @@ object MapSortedJsonKernel extends Serializable {
     while (i < n) {
       if (i > 0) sb.append(',')
       val k = idx(i)
-      sb.append(JsonCanon.quote(ks(k))).append(':')
+      sb.append(JsonCanon.quote(ks(k).toString)).append(':')
       if (vals.isNullAt(k)) sb.append("null")
       else sb.append(JsonCanon.quote(vals.getUTF8String(k).toString))
       i += 1
@@ -399,4 +402,157 @@ object MapGrokNumeric {
   def apply(m: Column, intKeys: Seq[String]): Column =
     ExpressionUtils.column(MapGrokNumeric(
       ExpressionUtils.expression(m), intKeys))
+}
+
+/** Drop NULL-valued entries from a MAP<STRING,STRING> — the codegen
+  * replacement for `map_filter(m, (k, v) => v.isNotNull)` (a CodegenFallback
+  * HOF) in the enrich stage's attach maps, where unmatched lookup columns
+  * materialize as null values. Fast path: a map with no null values is
+  * returned as-is, zero allocation.
+  */
+object MapDropNullValuesKernel extends Serializable {
+  def drop(m: MapData): MapData = {
+    if (m == null) return null
+    val n = m.numElements()
+    val vs = m.valueArray()
+    var nulls = 0
+    var i = 0
+    while (i < n) { if (vs.isNullAt(i)) nulls += 1; i += 1 }
+    if (nulls == 0) return m
+    val ks = m.keyArray()
+    val outK = new Array[Any](n - nulls)
+    val outV = new Array[Any](n - nulls)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (!vs.isNullAt(i)) {
+        outK(o) = ks.getUTF8String(i)
+        outV(o) = vs.getUTF8String(i)
+        o += 1
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(outK), new GenericArrayData(outV))
+  }
+}
+
+case class MapDropNullValues(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    MapDropNullValuesKernel.drop(input.asInstanceOf[MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, input =>
+      s"graft.functions.MapDropNullValuesKernel$$.MODULE$$.drop($input)")
+  override protected def withNewChildInternal(newChild: Expression): MapDropNullValues =
+    copy(child = newChild)
+}
+
+object MapDropNullValues {
+  def apply(m: Column): Column =
+    ExpressionUtils.column(MapDropNullValues(ExpressionUtils.expression(m)))
+}
+
+/** Force-stringify the three typed attribute maps into ONE MAP<STRING,STRING>
+  * (the resource-attrs-at-the-sink rule): numbers print Go-%v style —
+  * integral doubles without decimals, everything else Double.toString (what
+  * the double->string cast emits) — and booleans as true/false. Replaces
+  * `map_concat(strings, transform_values(numbers, ...),
+  * transform_values(bools, ...))`: `transform_values` is a CodegenFallback
+  * HOF and one of them de-codegens the whole ingest projection. NULL typed
+  * maps are treated as empty; a NULL value inside a map stays NULL.
+  */
+object StringifyTypedMapsKernel extends Serializable {
+  private val TRUE = UTF8String.fromString("true")
+  private val FALSE = UTF8String.fromString("false")
+  def stringify(strings: MapData, numbers: MapData, bools: MapData): MapData = {
+    val ns = if (strings == null) 0 else strings.numElements()
+    val nn = if (numbers == null) 0 else numbers.numElements()
+    val nb = if (bools == null) 0 else bools.numElements()
+    if (nn == 0 && nb == 0) {
+      if (strings != null) return strings
+      return new ArrayBasedMapData(new GenericArrayData(new Array[Any](0)),
+        new GenericArrayData(new Array[Any](0)))
+    }
+    val outK = new Array[Any](ns + nn + nb)
+    val outV = new Array[Any](ns + nn + nb)
+    var o = 0
+    if (ns > 0) {
+      val ks = strings.keyArray(); val vs = strings.valueArray()
+      var i = 0
+      while (i < ns) {
+        outK(o) = ks.getUTF8String(i)
+        outV(o) = if (vs.isNullAt(i)) null else vs.getUTF8String(i)
+        o += 1; i += 1
+      }
+    }
+    if (nn > 0) {
+      val ks = numbers.keyArray(); val vs = numbers.valueArray()
+      var i = 0
+      while (i < nn) {
+        outK(o) = ks.getUTF8String(i)
+        outV(o) =
+          if (vs.isNullAt(i)) null
+          else {
+            val d = vs.getDouble(i)
+            val l = d.toLong
+            if (l.toDouble == d) UTF8String.fromString(java.lang.Long.toString(l))
+            else UTF8String.fromString(java.lang.Double.toString(d))
+          }
+        o += 1; i += 1
+      }
+    }
+    if (nb > 0) {
+      val ks = bools.keyArray(); val vs = bools.valueArray()
+      var i = 0
+      while (i < nb) {
+        outK(o) = ks.getUTF8String(i)
+        outV(o) =
+          if (vs.isNullAt(i)) null
+          else if (vs.getBoolean(i)) TRUE else FALSE
+        o += 1; i += 1
+      }
+    }
+    new ArrayBasedMapData(new GenericArrayData(outK), new GenericArrayData(outV))
+  }
+}
+
+case class StringifyTypedMaps(strings: Expression, numbers: Expression,
+    bools: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(strings, numbers, bools)
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = true)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    StringifyTypedMapsKernel.stringify(
+      strings.eval(input).asInstanceOf[MapData],
+      numbers.eval(input).asInstanceOf[MapData],
+      bools.eval(input).asInstanceOf[MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val sC = strings.genCode(ctx)
+    val nC = numbers.genCode(ctx)
+    val bC = bools.genCode(ctx)
+    val md = classOf[MapData].getName
+    ev.copy(code =
+      code"""
+        ${sC.code}
+        ${nC.code}
+        ${bC.code}
+        boolean ${ev.isNull} = false;
+        $md ${ev.value} = graft.functions.StringifyTypedMapsKernel$$.MODULE$$.stringify(
+          ${sC.isNull} ? null : ${sC.value},
+          ${nC.isNull} ? null : ${nC.value},
+          ${bC.isNull} ? null : ${bC.value});""")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): StringifyTypedMaps =
+    copy(strings = newChildren(0), numbers = newChildren(1), bools = newChildren(2))
+}
+
+object StringifyTypedMaps {
+  def apply(strings: Column, numbers: Column, bools: Column): Column =
+    ExpressionUtils.column(StringifyTypedMaps(
+      ExpressionUtils.expression(strings), ExpressionUtils.expression(numbers),
+      ExpressionUtils.expression(bools)))
 }

@@ -66,6 +66,14 @@ object RegexNamedGroups {
           out.append(c)
           i += 1
         }
+      } else if (c == '$' && i == n - 1) {
+        // Go RE2 '$' (no `m` flag) is END OF TEXT; Java '$' also matches
+        // before a final line terminator. Rewrite the trailing unescaped
+        // anchor to \z so "x$" does NOT match "x\n" — reference semantics,
+        // and what the delimiter-split fast path and the `matches` literal
+        // tiering (endsWith/equality) already implement.
+        out.append("\\z")
+        i += 1
       } else { out.append(c); i += 1 }
     }
     Scanned(out.toString, names.toSeq)

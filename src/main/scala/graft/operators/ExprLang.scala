@@ -287,7 +287,11 @@ object ExprLang {
       // double-valued throughout, so results above 2^53 lose low-bit
       // precision relative to the reference's int64.
       case ("HexToInt", Seq(arg)) =>
-        val norm = regexp_replace(graft.functions.FastLower(asStr(arg)), "^0x", "")
+        // leading zeros are value-neutral (Go ParseInt accepts any number of
+        // them and only errors on actual overflow) — strip them before the
+        // 15/16-digit range gate so "00ffffffffffffffff" etc. parse
+        val raw = regexp_replace(graft.functions.FastLower(asStr(arg)), "^0x", "")
+        val norm = regexp_replace(raw, "^0+(?=[0-9a-f])", "")
         val inRange = norm.rlike("^[0-9a-f]{1,15}$") ||
           (norm.rlike("^[0-9a-f]{16}$") && norm <= lit("7fffffffffffffff"))
         CNum(when(inRange, conv(norm, 16, 10).cast("long")).cast("double"))

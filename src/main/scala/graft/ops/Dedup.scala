@@ -111,23 +111,33 @@ object Dedup {
     * [[cappedPairs]] (all-pairs within the cap + star edges to the anchor
     * beyond it), so a pathological shared band cannot go quadratic.
     */
-  def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      maxBandGroup: Int = 256): DataFrame = {
+  /** The signature stage of [[minhashCandidates]]: exact-dup collapse + one
+    * codegen kernel (shingle -> md5 -> k minima -> band keys) -> exploded
+    * (id, band) rows. Public so scale harnesses can time the signature pass
+    * separately from the band join.
+    */
+  def minhashBandRows(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4): DataFrame = {
     // identical texts -> identical md5 -> one representative (min id); the
     // aggregate is map-side partial so duplicate-heavy input collapses
     // before the exchange
     val reps = docs
       .groupBy(md5(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-    val withBands = reps
-      // one codegen kernel (shingle -> md5 -> k minima -> band keys);
+    reps
       // semantically identical to lshBandKeys(minhashSignature(
       // shingleHashes(...))) but without the interpreted higher-order
       // lambda chain (see graft.functions.MinHashKernel)
       .select(col("id"),
         explode(graft.functions.MinHashBands(col("__text"), shingleN, k, bands))
           .as("band"))
+  }
+
+  def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBandGroup: Int = 256): DataFrame = {
+    val withBands = minhashBandRows(docs, textCol, idCol, shingleN, k, bands)
     cappedPairs(withBands, Seq("band"), maxBandGroup).distinct()
   }
 
@@ -181,16 +191,22 @@ object Dedup {
 
   /** Embedding cosine near-dup: pairs with cosine >= threshold among LSH
     * bucket collisions (random-hyperplane signs; deterministic seed).
+    *
+    * `maxBucketGroup` (ON by default) bounds hot buckets via [[cappedPairs]]
+    * exactly like minhash's band cap: real embedding corpora cluster, so at
+    * small `planes` one dense bucket would otherwise go O(g²) in the
+    * self-join. Within-cap members emit all pairs; beyond-cap members emit
+    * one star edge to the bucket anchor (the vectors ride along as `carry`
+    * so the cosine verify still happens without a second join).
     */
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+      idCol: String = "vec_id", threshold: Double = 0.95, planes: Int = 8,
+      maxBucketGroup: Int = 256): DataFrame = {
     val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneSignature(col(vecCol), planes).as("sig"))
-    val cand = withSig.as("l").join(withSig.as("r"),
-        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
-    cand.withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+    // one sig per row -> pairs are already unique, no cross-band distinct
+    val cand = cappedPairs(withSig, Seq("sig"), maxBucketGroup, carry = Seq("v"))
+    cand.withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }

@@ -52,26 +52,22 @@ object Enrich {
     */
   def applyRules(df: DataFrame, matchOn: Column, rules: Seq[Rule]): DataFrame = {
     if (rules.isEmpty) return df
-    val allKeys = rules.flatMap(_.attach.keys).distinct
     // winning rule index; -1 = no match
     val ruleIdx = rules.zipWithIndex.foldRight(lit(-1): Column) { case ((r, i), acc) =>
       when(matchOn.rlike(globToRegex(r.glob)), lit(i)).otherwise(acc)
     }
     val df1 = df.withColumn("__rule", ruleIdx)
-    val attachMap = map_filter(
-      map(allKeys.flatMap { k =>
-        Seq(lit(k), rules.zipWithIndex.foldRight(lit(null).cast("string"): Column) {
-          case ((r, i), acc) =>
-            r.attach.get(k) match {
-              case Some(v) => when(col("__rule") === i, lit(v)).otherwise(acc)
-              case None => acc
-            }
-        })
-      }: _*), (_, v) => v.isNotNull)
+    // each rule's attach map is a static LITERAL selected by the winning
+    // index — no nulls to filter, so no `map_filter` (a CodegenFallback HOF
+    // that would drag this whole projection out of whole-stage codegen)
+    val empty = map().cast(LogSchema.mapSS)
+    val attachMap = rules.zipWithIndex.foldRight(empty: Column) {
+      case ((r, i), acc) =>
+        val m = if (r.attach.isEmpty) empty else typedlit(r.attach)
+        when(col("__rule") === i, m).otherwise(acc)
+    }
     df1.withColumn("attributes_string",
-      graft.functions.MergeMaps(col("attributes_string"),
-        when(col("__rule") >= 0, attachMap).otherwise(map().cast(LogSchema.mapSS)),
-        map(), map()))
+      graft.functions.MergeMaps(col("attributes_string"), attachMap, map(), map()))
       .drop("__rule")
   }
 
@@ -85,9 +81,11 @@ object Enrich {
     val prefixed = lookup.select(
       col(lookupKey).as("__lk") +: attachCols.map(c => col(c).as(s"__lv_$c")): _*)
     val joined = df.join(broadcast(prefixed), dfKey === col("__lk"), "left")
-    val attach = map_filter(
-      map(attachCols.flatMap(c => Seq(lit(c), col(s"__lv_$c").cast("string"))): _*),
-      (_, v) => v.isNotNull)
+    // lookup columns can be null per row (NULL cells in the dim table);
+    // MapDropNullValues is the codegen replacement for
+    // `map_filter(m, (k, v) => v.isNotNull)` — zero-alloc when nothing drops
+    val attach = graft.functions.MapDropNullValues(
+      map(attachCols.flatMap(c => Seq(lit(c), col(s"__lv_$c").cast("string"))): _*))
     joined.withColumn("attributes_string",
       graft.functions.MergeMaps(col("attributes_string"),
         when(col("__lk").isNotNull, attach).otherwise(map().cast(LogSchema.mapSS)),

@@ -41,13 +41,14 @@ object LogSources {
       coalesce(stringifyAll(res), map().cast(LogSchema.mapSS)).as("resources_string")))
   }
 
+  // one codegen pass (Go-%v number formatting, true/false bools) replacing
+  // map_concat over two `transform_values` — CodegenFallback HOFs that
+  // de-codegen'd the whole json-body ingest projection
   private def stringifyAll(typedStruct: Column): Column =
-    map_concat(
+    graft.functions.StringifyTypedMaps(
       typedStruct.getField("strings"),
-      transform_values(typedStruct.getField("numbers"), (_, v) =>
-        when(v === v.cast("long").cast("double"), v.cast("long").cast("string"))
-          .otherwise(v.cast("string"))),
-      transform_values(typedStruct.getField("bools"), (_, v) => v.cast("string")))
+      typedStruct.getField("numbers"),
+      typedStruct.getField("bools"))
 
   /** `default` body parser: newline-split text -> one LogRow per line. */
   def fromTextLines(df: DataFrame, textCol: Column): DataFrame =
@@ -133,6 +134,9 @@ object LogSources {
       case "json" => fromJsonBody(df, value)
       case "default" => fromTextLines(df, value)
       case "heroku" => fromHeroku(df, value)
+      // the reference's DEFAULT logs encoding (`unmarshaler.go:75-84`):
+      // OTLP-protobuf LogsData bytes -> full 3-level unpack (OtlpProto)
+      case "otlp_proto" => OtlpProto.fromKafka(df)
       case other =>
         throw new IllegalArgumentException(s"unsupported kafka log encoding: $other")
     }

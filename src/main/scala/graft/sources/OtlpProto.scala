@@ -1,0 +1,375 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+import graft.model.LogFrames
+
+/** OTLP-protobuf logs decoding — the Kafka receiver's DEFAULT logs encoding
+  * (`receiver/signozkafkareceiver/unmarshaler.go:75-84` `otlp_proto` ->
+  * `plog.ProtoUnmarshaler`, `pdata_unmarshaler.go:17-19`): each message value
+  * is a serialized `LogsData` / `ExportLogsServiceRequest` (identical wire
+  * layout: `repeated ResourceLogs resource_logs = 1`), unpacked three levels
+  * deep (ResourceLogs -> ScopeLogs -> LogRecord) into LogRow columns with
+  * the engine's typed-attribute split and force-stringified resource attrs.
+  *
+  * The wire-format walk below is hand-rolled from the PUBLIC protobuf
+  * encoding spec + the public OTLP proto definitions
+  * (opentelemetry-proto `logs/v1/logs.proto`, `common/v1/common.proto`) —
+  * no generated code, no external deps. Unknown fields are skipped by wire
+  * type (forward compatible). Field numbers:
+  *
+  *  - LogsData: resource_logs=1
+  *  - ResourceLogs: resource=1, scope_logs=2, schema_url=3
+  *  - Resource: attributes=1, dropped=2
+  *  - ScopeLogs: scope=1, log_records=2, schema_url=3
+  *  - InstrumentationScope: name=1, version=2, attributes=3
+  *  - LogRecord: time_unix_nano=1 (fixed64), severity_number=2 (varint),
+  *    severity_text=3, body=5 (AnyValue), attributes=6, dropped=7,
+  *    flags=8 (fixed32), trace_id=9 (bytes), span_id=10 (bytes),
+  *    observed_time_unix_nano=11 (fixed64)
+  *  - AnyValue oneof: string=1, bool=2 (varint), int=3 (varint),
+  *    double=4 (fixed64), array=5, kvlist=6, bytes=7
+  *  - KeyValue: key=1, value=2 (AnyValue); ArrayValue: values=1;
+  *    KeyValueList: values=1 (KeyValue)
+  *
+  * Decoding runs as a typed Dataset `flatMap` (per-message imperative parse
+  * over binary payloads — the one shape Catalyst expressions don't fit);
+  * everything downstream of the adapter is back in codegen land. At scale
+  * the cost is one pass over the message bytes per record, embarrassingly
+  * parallel over Kafka partitions.
+  */
+object OtlpProto {
+
+  /** One decoded LogRecord, named to line up with [[graft.model.LogRow]]
+    * (missing columns get LogFrames.withDefaults' neutral values).
+    */
+  final case class OtlpRow(
+      timestamp: Long,
+      observed_timestamp: Long,
+      severity_number: Int,
+      severity_text: String,
+      body: String,
+      attributes_string: Map[String, String],
+      attributes_number: Map[String, Double],
+      attributes_bool: Map[String, Boolean],
+      resources_string: Map[String, String],
+      trace_id: String,
+      span_id: String,
+      trace_flags: Int,
+      scope_name: String,
+      scope_version: String,
+      scope_string: Map[String, String])
+
+  // ---- wire-format primitives ---------------------------------------------
+
+  private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0
+      var res = 0L
+      while (shift < 70) {
+        val b = buf(pos)
+        pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+    def readFixed64(): Long = {
+      var res = 0L
+      var i = 0
+      while (i < 8) { res |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      res
+    }
+    def readFixed32(): Int = {
+      var res = 0
+      var i = 0
+      while (i < 4) { res |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
+      pos += 4
+      res
+    }
+    /** Length-delimited payload -> a sub-reader over the slice. */
+    def readSlice(): Reader = {
+      val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, "truncated length-delimited field")
+      val r = new Reader(buf, pos, pos + len)
+      pos += len
+      r
+    }
+    def readString(): String = {
+      val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, "truncated string field")
+      val s = new String(buf, pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      pos += len
+      s
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, "truncated bytes field")
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => val len = readVarint().toInt; pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  // ---- AnyValue ------------------------------------------------------------
+
+  private sealed trait AV
+  private case class AVStr(s: String) extends AV
+  private case class AVBool(b: Boolean) extends AV
+  private case class AVInt(l: Long) extends AV
+  private case class AVDouble(d: Double) extends AV
+  private case class AVBytes(b: Array[Byte]) extends AV
+  private case class AVArr(vs: List[AV]) extends AV
+  private case class AVKv(vs: List[(String, AV)]) extends AV
+  private case object AVEmpty extends AV
+
+  private def parseAnyValue(r: Reader): AV = {
+    var out: AV = AVEmpty
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val field = (tag >> 3).toInt
+      val wire = (tag & 7).toInt
+      field match {
+        case 1 => out = AVStr(r.readString())
+        case 2 => out = AVBool(r.readVarint() != 0L)
+        case 3 => out = AVInt(r.readVarint())
+        case 4 => out = AVDouble(java.lang.Double.longBitsToDouble(r.readFixed64()))
+        case 5 => // ArrayValue{values=1}
+          val a = r.readSlice()
+          val vs = scala.collection.mutable.ListBuffer.empty[AV]
+          while (a.hasMore) {
+            val t2 = a.readVarint()
+            if ((t2 >> 3).toInt == 1) vs += parseAnyValue(a.readSlice())
+            else a.skip((t2 & 7).toInt)
+          }
+          out = AVArr(vs.toList)
+        case 6 => // KeyValueList{values=1}
+          val k = r.readSlice()
+          val vs = scala.collection.mutable.ListBuffer.empty[(String, AV)]
+          while (k.hasMore) {
+            val t2 = k.readVarint()
+            if ((t2 >> 3).toInt == 1) vs += parseKeyValue(k.readSlice())
+            else k.skip((t2 & 7).toInt)
+          }
+          out = AVKv(vs.toList)
+        case 7 => out = AVBytes(r.readBytes())
+        case _ => r.skip(wire)
+      }
+    }
+    out
+  }
+
+  private def parseKeyValue(r: Reader): (String, AV) = {
+    var key = ""
+    var v: AV = AVEmpty
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 => key = r.readString()
+        case 2 => v = parseAnyValue(r.readSlice())
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    (key, v)
+  }
+
+  /** Stringify an AnyValue (this engine's `fmt.Sprintf("%v")` convention:
+    * integral doubles print without decimals; arrays/kvlists as compact
+    * JSON with the exporter's canonical escaping; bytes base64 like pdata's
+    * `Value.AsString`).
+    */
+  private def avToString(v: AV): String = v match {
+    case AVStr(s) => s
+    case AVBool(b) => if (b) "true" else "false"
+    case AVInt(l) => java.lang.Long.toString(l)
+    case AVDouble(d) =>
+      val l = d.toLong
+      if (l.toDouble == d) java.lang.Long.toString(l) else java.lang.Double.toString(d)
+    case AVBytes(b) => java.util.Base64.getEncoder.encodeToString(b)
+    case AVArr(vs) => vs.map(avToJson).mkString("[", ",", "]")
+    case AVKv(vs) => vs.map { case (k, x) =>
+      graft.functions.JsonCanon.quote(k) + ":" + avToJson(x)
+    }.mkString("{", ",", "}")
+    case AVEmpty => ""
+  }
+
+  private def avToJson(v: AV): String = v match {
+    case AVStr(s) => graft.functions.JsonCanon.quote(s)
+    case AVBool(b) => if (b) "true" else "false"
+    case AVInt(l) => java.lang.Long.toString(l)
+    case AVDouble(d) => avToString(AVDouble(d))
+    case AVBytes(b) =>
+      graft.functions.JsonCanon.quote(java.util.Base64.getEncoder.encodeToString(b))
+    case AVArr(_) | AVKv(_) => avToString(v)
+    case AVEmpty => "null"
+  }
+
+  /** Typed-map split of an attribute list (the exporter's own rule,
+    * `exporter/clickhouselogsexporter/exporter.go:1007-1031`: Str->string,
+    * Int/Double->number, Bool->bool, everything else stringified).
+    */
+  private def splitAttrs(attrs: List[(String, AV)])
+      : (Map[String, String], Map[String, Double], Map[String, Boolean]) = {
+    val s = Map.newBuilder[String, String]
+    val n = Map.newBuilder[String, Double]
+    val b = Map.newBuilder[String, Boolean]
+    attrs.foreach {
+      case (k, AVStr(v)) => s += k -> v
+      case (k, AVInt(v)) => n += k -> v.toDouble
+      case (k, AVDouble(v)) => n += k -> v
+      case (k, AVBool(v)) => b += k -> v
+      case (k, other) => s += k -> avToString(other)
+    }
+    (s.result(), n.result(), b.result())
+  }
+
+  private def parseAttrList(r: Reader, valuesField: Int): List[(String, AV)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, AV)]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      if ((tag >> 3).toInt == valuesField) out += parseKeyValue(r.readSlice())
+      else r.skip((tag & 7).toInt)
+    }
+    out.toList
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  // ---- message walk --------------------------------------------------------
+
+  /** Parse one serialized LogsData / ExportLogsServiceRequest into rows.
+    * Malformed payloads raise (the receiver's unmarshal-error path — callers
+    * wanting drop-on-error should try/catch per message).
+    */
+  def parseLogsData(bytes: Array[Byte]): Seq[OtlpRow] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[OtlpRow]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.readVarint()
+      if ((tag >> 3).toInt == 1) parseResourceLogs(top.readSlice(), out)
+      else top.skip((tag & 7).toInt)
+    }
+    out.toSeq
+  }
+
+  private def parseResourceLogs(r: Reader,
+      out: scala.collection.mutable.ArrayBuffer[OtlpRow]): Unit = {
+    var resource = Map.empty[String, String]
+    val scopeSlices = scala.collection.mutable.ListBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 => // Resource{attributes=1}: force-stringified at the sink
+          val attrs = parseAttrList(r.readSlice(), valuesField = 1)
+          resource = attrs.map { case (k, v) => k -> avToString(v) }.toMap
+        case 2 => scopeSlices += r.readSlice()
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    scopeSlices.foreach(parseScopeLogs(_, resource, out))
+  }
+
+  private def parseScopeLogs(r: Reader, resource: Map[String, String],
+      out: scala.collection.mutable.ArrayBuffer[OtlpRow]): Unit = {
+    var scopeName = ""
+    var scopeVersion = ""
+    var scopeAttrs = Map.empty[String, String]
+    val recordSlices = scala.collection.mutable.ListBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 =>
+          val s = r.readSlice()
+          while (s.hasMore) {
+            val t2 = s.readVarint()
+            (t2 >> 3).toInt match {
+              case 1 => scopeName = s.readString()
+              case 2 => scopeVersion = s.readString()
+              case 3 =>
+                val (k, v) = parseKeyValue(s.readSlice())
+                scopeAttrs += k -> avToString(v)
+              case _ => s.skip((t2 & 7).toInt)
+            }
+          }
+        case 2 => recordSlices += r.readSlice()
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    recordSlices.foreach { rec =>
+      out += parseLogRecord(rec, resource, scopeName, scopeVersion, scopeAttrs)
+    }
+  }
+
+  private def parseLogRecord(r: Reader, resource: Map[String, String],
+      scopeName: String, scopeVersion: String,
+      scopeAttrs: Map[String, String]): OtlpRow = {
+    var ts = 0L
+    var ots = 0L
+    var sevNum = 0
+    var sevText = ""
+    var body = ""
+    var attrs: List[(String, AV)] = Nil
+    var flags = 0
+    var traceId = ""
+    var spanId = ""
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >> 3).toInt match {
+        case 1 => ts = r.readFixed64()
+        case 2 => sevNum = r.readVarint().toInt
+        case 3 => sevText = r.readString()
+        case 5 => body = avToString(parseAnyValue(r.readSlice()))
+        case 6 => attrs = attrs :+ parseKeyValue(r.readSlice())
+        case 8 => flags = r.readFixed32()
+        case 9 =>
+          val b = r.readBytes()
+          traceId = if (b.forall(_ == 0)) "" else hex(b)
+        case 10 =>
+          val b = r.readBytes()
+          spanId = if (b.forall(_ == 0)) "" else hex(b)
+        case 11 => ots = r.readFixed64()
+        case _ => r.skip(wire)
+      }
+    }
+    val (as, an, ab) = splitAttrs(attrs)
+    OtlpRow(ts, ots, sevNum, sevText, body, as, an, ab, resource,
+      traceId, spanId, flags, scopeName, scopeVersion, scopeAttrs)
+  }
+
+  // ---- DataFrame adapter ---------------------------------------------------
+
+  /** Binary column of OTLP-protobuf logs payloads -> LogRow frame.
+    * Undecodable messages are dropped (the receiver increments an error
+    * metric and continues; here the drop is the deterministic equivalent).
+    */
+  def fromOtlpProto(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(valueCol.cast("binary").as("v")).as[Array[Byte]]
+      .flatMap { bytes =>
+        try parseLogsData(bytes)
+        catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => Seq.empty }
+      }
+    LogFrames.withDefaults(rows.toDF())
+  }
+
+  /** Convenience for [[LogSources.fromKafka]]. */
+  def fromKafka(df: DataFrame): DataFrame = fromOtlpProto(df, col("value"))
+}

@@ -64,28 +64,55 @@ object StreamJobs {
     * playing the ticker's role. (The windowed [[meter]] remains the
     * event-time approximation for watermarked pipelines.)
     */
-  def meterDeltas(logsV2: DataFrame, dimCols: Seq[String] = Seq("route"))
-      : Dataset[MeterDelta] = {
+  def meterDeltas(logsV2: DataFrame, dimCols: Seq[String] = Seq("route"),
+      stateTtl: Option[String] = None): Dataset[MeterDelta] = {
     val spark = logsV2.sparkSession
     import spark.implicits._
+    // STRUCT key (the dimension values as a list), not a separator-joined
+    // string: a dimension value containing the separator byte would collide
     val keyed = logsV2.select(
-      concat_ws("\u0001", dimCols.map(col): _*).as("_1"),
-      col("record_size").cast("long").as("_2")).as[(String, Long)]
+      array(dimCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("_1"),
+      col("record_size").cast("long").as("_2")).as[(Seq[String], Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), MeterDelta](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state) =>
-          var c = 0L
-          var s = 0L
-          rows.foreach { r => c += 1; s += r._2 }
-          val (pc, ps) = state.getOption.getOrElse((0L, 0L))
-          val nc = pc + c
-          val ns = ps + s
-          state.update((nc, ns))
-          if (c == 0) Iterator.empty
-          else Iterator(MeterDelta(key, c, s, nc, ns))
-      }
+        OutputMode.Append, timeoutConf)(meterDeltaFn(stateTtl))
   }
+
+  /** The per-group delta-flush function, factored out so the timeout path is
+    * unit-testable with `TestGroupState` (a live ProcessingTimeTimeout query
+    * re-runs empty batches continuously to service timers, which livelocks
+    * `processAllAvailable` in tests).
+    *
+    * State TTL (reference parity: the meter connector purges its accumulator
+    * at every flush, `connector.go:165-221` resetState — the cumulative
+    * carry here exists only for delta==cumulative assertions): with a TTL,
+    * idle dimension keys are EVICTED after `stateTtl` of processing time
+    * instead of accumulating forever on high-cardinality tuples. `None`
+    * keeps NoTimeout (bounded-cardinality jobs, and exact cross-run
+    * cumulative totals).
+    */
+  private[graft] def meterDeltaFn(stateTtl: Option[String])
+      : (Seq[String], Iterator[(Seq[String], Long)],
+         org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => Iterator[MeterDelta] =
+    (key, rows, state) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var c = 0L
+        var s = 0L
+        rows.foreach { r => c += 1; s += r._2 }
+        val (pc, ps) = state.getOption.getOrElse((0L, 0L))
+        val nc = pc + c
+        val ns = ps + s
+        state.update((nc, ns))
+        stateTtl.foreach(state.setTimeoutDuration)
+        if (c == 0) Iterator.empty
+        else Iterator(MeterDelta(key.mkString(","), c, s, nc, ns))
+      }
 
   /** Streaming resource sink rows with cross-batch dedup inside the
     * watermark horizon (the rfCache TTL analogue).

@@ -92,6 +92,27 @@ class DataOpsSpec extends SparkSuite {
     assert(pairs == Set((1, 2)))
   }
 
+  test("hot-bucket cap bounds a planted embedding cluster with recall intact") {
+    // 40 near-parallel vectors (same hyperplane signs -> ONE bucket): an
+    // uncapped self-join goes O(g²); the cap emits all-pairs among the
+    // first `cap` + one star edge per tail member to the bucket anchor
+    val cluster = (1 to 40).map(i =>
+      (i.toLong, Array(1.0f + i * 1e-4f, 0.5f, 2.0f, 1.0f)))
+    val df = (cluster :+ ((900L, Array(-1.0f, 3.0f, -0.5f, -2.0f))))
+      .toDF("vec_id", "embedding")
+    val cap = 8
+    val capped = Dedup.embeddingNearDups(df, threshold = 0.9, planes = 4,
+      maxBucketGroup = cap).select("a", "b").as[(Long, Long)].collect()
+    val uncapped = Dedup.embeddingNearDups(df, threshold = 0.9, planes = 4,
+      maxBucketGroup = 0).select("a", "b").as[(Long, Long)].collect()
+    assert(uncapped.length == 40 * 39 / 2, uncapped.length)
+    assert(capped.length == cap * (cap - 1) / 2 + (40 - cap), capped.length)
+    // recall: every member the uncapped run connects stays connected (the
+    // tail keeps a star edge to the anchor, and cosine still verifies)
+    def members(ps: Array[(Long, Long)]) = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(members(capped) == members(uncapped), "capped path changed recall")
+  }
+
   test("LSH ANN equals brute force restricted to its candidate buckets") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = e.filter($"vec_id" === 0)

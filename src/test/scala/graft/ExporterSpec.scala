@@ -52,6 +52,26 @@ class ExporterSpec extends SparkSuite {
   ).toDF("conv_id", "turn_idx", "role", "body", "timestamp",
     "attributes_string", "attributes_number", "resources_string"))
 
+  test("sorted-json labels sort keys in UTF-8 BYTE order (Go json.Marshal)") {
+    import org.apache.spark.sql.functions.{lit, map}
+    // U+FF01 FULLWIDTH ! is one UTF-16 code unit (0xFF01, UTF-8 ef bc 81);
+    // U+1F600 emoji is a surrogate pair (0xD83D 0xDE00, UTF-8 f0 9f 98 80).
+    // Java String order: emoji (0xD83D) BEFORE fullwidth (0xFF01).
+    // Go json.Marshal byte order: fullwidth (ef..) BEFORE emoji (f0..).
+    // The orders disagree — pin the byte order the reference emits.
+    val df = spark.range(1).select(
+      map(lit("😀"), lit("emoji"), lit("！"), lit("fullwidth"), lit("a"), lit("ascii"))
+        .as("m"))
+    val json = df.select(graft.functions.MapSortedJson(org.apache.spark.sql.functions.col("m")))
+      .collect().head.getString(0)
+    // byte order: "a" (61) < "！" (ef bc 81) < "😀" (f0 9f 98 80)
+    val ia = json.indexOf("\"a\"")
+    val ifw = json.indexOf("！")
+    val iem = json.indexOf("😀")
+    assert(ia >= 0 && ifw >= 0 && iem >= 0)
+    assert(ia < ifw && ifw < iem, json)
+  }
+
   test("logs_v2 shaping: bucket, id, fingerprint, labels") {
     val main = Exporter.logsV2(sampleLogs)
     val r = main.filter($"conv_id" === "c1" && $"turn_idx" === 0).collect().head

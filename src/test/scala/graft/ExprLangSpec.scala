@@ -90,6 +90,50 @@ class ExprLangSpec extends SparkSuite {
     assert(n("body matches \"here$\"") == 1)
   }
 
+  test("trailing $ is RE2 end-of-text in EVERY tier (no pre-newline match)") {
+    // Go RE2 '$' (the reference's regex engine) matches END OF TEXT only;
+    // Java '$' also matches before a final '\n'. The scan() rewrite to \z
+    // makes the rlike fallback agree with both Go and the literal fast path
+    // — "here$" must NOT match "here\n" anywhere.
+    import graft.functions.RegexNamedGroups
+    assert(RegexNamedGroups.scan("here$").javaPattern == "here\\z")
+    assert(RegexNamedGroups.scan("price\\$$").javaPattern == "price\\$\\z")
+    assert(RegexNamedGroups.scan("a$b").javaPattern == "a$b") // mid-pattern kept
+    val bodies = Seq("stop here", "stop here\n")
+    // literal tier (endsWith) and forced-regex tier ((?:...) blocks
+    // literalization) must agree
+    assert(evalBool("body matches \"here$\"", bodies) == Seq(true, false))
+    assert(evalBool("body matches \"(?:here)$\"", bodies) == Seq(true, false))
+    // and the newline-delimiter split path agrees with its compiled regex
+    import graft.functions.NamedGroupMatcher
+    import org.apache.spark.unsafe.types.UTF8String
+    val nl = new NamedGroupMatcher("^(?P<a>[^\\n]*)\\n(?P<b>[^\\n]*)$")
+    assert(nl.extract(UTF8String.fromString("a\nb")) != null)
+    assert(nl.extract(UTF8String.fromString("a\nb\n")) == null) // 3 parts: no match
+    val plain = java.util.regex.Pattern.compile(
+      RegexNamedGroups.scan("^(?P<a>[^\\n]*)\\n(?P<b>[^\\n]*)$").javaPattern)
+    assert(!plain.matcher("a\nb\n").find()) // regex tier agrees post-\z
+  }
+
+  test("HexToInt accepts leading zeros up to value overflow (Go ParseInt parity)") {
+    val df = graft.model.LogFrames.fromBodies(spark, Seq("x"))
+    def hx(s: String): Option[Double] = {
+      val r = df.select(graft.operators.ExprLang
+        .stringExpr(s"""HexToInt("$s")""").cast("double")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(hx("0xff") == Some(255.0))
+    assert(hx("00ff") == Some(255.0))
+    assert(hx("0x00000000000000000001") == Some(1.0))
+    assert(hx("0") == Some(0.0))
+    assert(hx("000") == Some(0.0))
+    assert(hx("7fffffffffffffff") == Some(9.223372036854776e18))
+    assert(hx("007fffffffffffffff") == Some(9.223372036854776e18))
+    assert(hx("8000000000000000") == None) // actual overflow still rejects
+    assert(hx("ffffffffffffffff") == None)
+    assert(hx("zz") == None)
+  }
+
   test("delimiter-split fast path equals the regex semantics") {
     import graft.functions.{NamedGroupMatcher, RegexNamedGroups}
     import org.apache.spark.unsafe.types.UTF8String

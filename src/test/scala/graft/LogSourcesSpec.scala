@@ -124,8 +124,13 @@ class LogSourcesSpec extends SparkSuite {
       .select("resources_string").collect().head.getMap[String, String](0).toMap
     assert(viaHeroku("appname") == "app")
 
+    // otlp_proto is now a real mapping (OtlpProtoSpec covers it); malformed
+    // payloads drop rather than throw, like the receiver's unmarshal-error
+    // counter path
+    assert(LogSources.fromKafka(kafkaFrame(Seq("x")), "otlp_proto").count() == 0)
+
     intercept[IllegalArgumentException] {
-      LogSources.fromKafka(kafkaFrame(Seq("x")), "otlp_proto")
+      LogSources.fromKafka(kafkaFrame(Seq("x")), "zipkin_thrift")
     }
   }
 

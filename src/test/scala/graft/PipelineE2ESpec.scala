@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.{Enrich, Exporter, JobConfig, Pipeline, TranscriptJob}
 import graft.sinks.GraftTable
 import graft.sources.Transcripts
-import graft.streaming.StreamJobs
+import graft.streaming.{MeterDelta, StreamJobs}
 
 /** End-to-end: transcripts -> pipeline -> enrich -> fan-out sinks, plus the
   * streaming variants and the scaling invariants (stable ordering, per-sink
@@ -135,6 +135,47 @@ class PipelineE2ESpec extends SparkSuite {
         assert(got.filter(_._1 == k).map(_._2).sum == all.count(_._1 == k))
       }
     } finally q.stop()
+  }
+
+  test("meter delta state TTL: idle dimension keys are evicted on timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fn = StreamJobs.meterDeltaFn(Some("30 minutes"))
+    // batch 1: key gets data -> delta emitted, state kept, timeout armed
+    val live = TestGroupState.create[(Long, Long)](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val out1 = fn(Seq("r1"), Iterator((Seq("r1"), 10L), (Seq("r1"), 20L)), live).toSeq
+    assert(out1 == Seq(MeterDelta("r1", 2L, 30L, 2L, 30L)))
+    assert(live.get == ((2L, 30L)))
+    assert(live.getTimeoutTimestampMs.isPresent) // TTL armed
+    // idle timeout tick: state REMOVED (the reference's resetState parity —
+    // high-cardinality dimension tuples cannot accumulate forever), nothing
+    // emitted
+    val timedOut = TestGroupState.create[(Long, Long)](
+      optionalState = org.apache.spark.api.java.Optional.of((2L, 30L)),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + 30 * 60 * 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = true)
+    assert(fn(Seq("r1"), Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved, "idle state must be evicted")
+    // a returning key restarts its cumulative totals from zero
+    val reborn = TestGroupState.create[(Long, Long)](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L + 30 * 60 * 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val out2 = fn(Seq("r1"), Iterator((Seq("r1"), 3L)), reborn).toSeq
+    assert(out2 == Seq(MeterDelta("r1", 1L, 3L, 1L, 3L)))
+    // default (None) keeps NoTimeout semantics: no timer is ever armed
+    val noTtl = TestGroupState.create[(Long, Long)](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    StreamJobs.meterDeltaFn(None)(Seq("r2"), Iterator((Seq("r2"), 5L)), noTtl)
+    assert(!noTtl.isRemoved && noTtl.get == ((1L, 5L)))
   }
 
   test("probabilistic sampling is deterministic and roughly proportional") {

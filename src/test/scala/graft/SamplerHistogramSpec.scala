@@ -144,16 +144,19 @@ class SamplerHistogramSpec extends SparkSuite {
 
   test("HexToInt: 16-digit values parse like Go ParseInt(s,16,64)") {
     // 0x0123456789abcdef = 81985529216486895; max = 7fffffffffffffff;
-    // 16-digit values above int64 max are ParseInt range errors -> null
+    // 16-digit values above int64 max are ParseInt range errors -> null;
+    // leading zeros are value-neutral (Go accepts any number of them), so
+    // the 17-digit "0x00123456789abcdef" parses to the SAME value
     val df = graft.model.LogFrames.fromBodies(spark,
       Seq("0x0123456789abcdef", "7fffffffffffffff", "8000000000000000",
-        "ffffffffffffffff", "0x00123456789abcdef")) // 17 digits -> null
+        "ffffffffffffffff", "0x00123456789abcdef"))
     val vals = df.select(graft.operators.ExprLang.stringExpr("HexToInt(body)").as("v"))
       .collect().map(r => Option(r.getString(0))).toSeq
     // double domain: 81985529216486895 rounds to ...896 (documented deviation)
     assert(vals(0).exists(_.startsWith("8198552921648689")), vals(0))
     assert(vals(1).exists(_.startsWith("922337203685477580")), vals(1))
-    assert(vals(2).isEmpty && vals(3).isEmpty && vals(4).isEmpty)
+    assert(vals(2).isEmpty && vals(3).isEmpty)
+    assert(vals(4) == vals(0), vals(4))
   }
 
   test("metadata flattener: array-index rule (utils/flatten/flatten.go:24-30)") {
