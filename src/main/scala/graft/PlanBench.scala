@@ -45,7 +45,17 @@ object PlanBench {
     println("[plan] analyzed logsV2 nodes: " + nodeCount(an2))
     val opt2 = time("optimize logsV2+barrier")(main0.queryExecution.optimizedPlan)
     println("[plan] optimized logsV2 nodes: " + nodeCount(opt2))
-    val ep = time("plan logsV2+barrier")(main0.queryExecution.executedPlan)
+    time("plan logsV2+barrier")(main0.queryExecution.executedPlan)
+    // execute THIS QueryExecution first (count() would plan a separate
+    // aggregation query): with the enrich broadcast join in the plan AQE
+    // wraps it in AdaptiveSparkPlan, and codegen collapse only appears in
+    // the FINAL plan after the run
+    time("run logsV2")(println("[plan] rows=" + main0.queryExecution.toRdd.count()))
+    val ep = main0.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
     println("[plan] executed plan string size: " + ep.toString.length)
     val planStr = ep.toString
     val codegenIds = "\\*\\((\\d+)\\)".r.findAllMatchIn(planStr).map(_.group(1)).toSet
@@ -58,8 +68,6 @@ object PlanBench {
     planStr.linesIterator
       .filter(l => l.contains("+- ") && !l.contains("*("))
       .foreach(l => println("[plan] NON-CODEGEN: " + l.trim))
-    // does the big projection actually compile? trigger one partition
-    time("run logsV2 count")(println("[plan] rows=" + main0.count()))
     spark.stop()
   }
 }
