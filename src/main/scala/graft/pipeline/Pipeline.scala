@@ -31,6 +31,20 @@ object Pipeline {
     * (the id of the terminal operator each row reached); rows consumed by a
     * router with no matching route and no default are filtered out, matching
     * the reference's silent drop.
+    *
+    * `fence` (default ON) plants the zero-cost [[graft.functions.Fence]]
+    * planning barrier after the compiled chain. When to choose which:
+    *  - ON for export-style jobs that evaluate EVERY column (the flagship,
+    *    the sink fan-out): without it CollapseProject + quadratic constant
+    *    folding on the merged operator expression trees blows planning past
+    *    20 minutes, and nothing is lost because no predicate could prune an
+    *    evaluate-everything job anyway.
+    *  - OFF for selective interactive queries over the compiled pipeline
+    *    (e.g. `compile(spec, fence = false)(logs).filter(...).select(a, b)`):
+    *    the fence's non-deterministic marker also blocks filter/column
+    *    pushdown THROUGH the pipeline, so a query that reads two columns
+    *    would otherwise evaluate all of them. Planning cost is then
+    *    proportional to the operator surface the query actually touches.
     */
   def compile(spec: PipelineSpec, fence: Boolean = true): DataFrame => DataFrame = { input =>
     val ops = spec.ops
