@@ -1,0 +1,337 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GoJsonQuote, MapDropKeyPrefix, MapSortedJson, MapToTagRows,
+  ResourceFingerprint, SpanEventsJson, SpanReferences}
+
+/** The traces exporter slice: `ptrace`-shaped span frames -> the
+  * `signoz_traces` sink family, replicating
+  * `exporter/clickhousetracesexporter/clickhouse_exporter_v3.go` +
+  * `writer.go` semantics with Spark primitives. Structurally a sibling of
+  * [[Exporter]] (logs): shared 1800 s bucketing, resource fingerprint +
+  * sorted-labels JSON, per-bucket resource dedup, hour-rounded tag metadata.
+  *
+  * Sinks produced (writer.go:152,236,291-297,518 + schema-migrator MVs):
+  *  - `signoz_index_v3` — the span rows ([[spansV3]])
+  *  - `traces_v3_resource` — per-bucket resource dedup ([[resources]])
+  *  - `span_attributes` / `span_attributes_keys` — tag metadata
+  *    ([[tagAttributes]], [[tagKeys]])
+  *  - `signoz_error_index_v2` — exception events ([[errorEvents]])
+  *  - `trace_summary` / `root_operations` — the two insert-time MV
+  *    aggregations (traces_migrations.go:339-346,352-359), expressed as the
+  *    groupBy they are ([[traceSummary]], [[rootOperations]])
+  *
+  * Determinism deviations (documented, same policy as [[Exporter]]):
+  * `error_id` is an md5 of (trace_id, span_id, event ts) instead of a random
+  * uuid (clickhouse_exporter_v3.go:158-160); tag unix_milli hours come from
+  * the span start timestamp instead of wall-clock now; `record_size` is a
+  * deterministic field-length formula standing in for
+  * `len(json.Marshal(structuredSpan))` (clickhouse_exporter_v3.go:446-450).
+  *
+  * Where the reference's attribute iteration order is Go-map-nondeterministic
+  * (populateCustomAttrsAndAttrs last-write-wins over `Range`), we fix a
+  * precedence: the modern semconv key wins over the deprecated one
+  * (`http.response.status_code` > `http.status_code`, `url.full` < `http.url`
+  * per the possibleHostAttr ordering, `db.name` > `db.namespace`).
+  */
+object TraceExporter {
+
+  /** `ServiceNameForResource` (clickhouse_exporter_v3.go:81-90). */
+  def serviceName(resources: Column): Column =
+    coalesce(resources.getItem("service.name"), lit("<nil-service-name>"))
+
+  private def kindString(kind: Column): Column =
+    when(kind === 1, "Internal")
+      .when(kind === 2, "Server")
+      .when(kind === 3, "Client")
+      .when(kind === 4, "Producer")
+      .when(kind === 5, "Consumer")
+      .otherwise("Unspecified")
+
+  private def statusString(code: Column): Column =
+    when(code === 1, "Ok").when(code === 2, "Error").otherwise("Unset")
+
+  /** The reference's int-or-string status promotion
+    * (clickhouse_exporter_v3.go:95-103,126-133): `Atoi(v.Str())` when it
+    * parses non-zero, else `v.Int()`. With the typed-map split a string
+    * value lives in attributes_string, an int in attributes_number.
+    */
+  private def intishStatus(key: String): Column = {
+    val s = col("attributes_string").getItem(key)
+    val n = col("attributes_number").getItem(key)
+    val parsed = s.cast("long")
+    when(s.isNotNull,
+      when(parsed.isNotNull && parsed =!= 0L, parsed.cast("string")).otherwise(lit("0")))
+      .otherwise(when(n.isNotNull, n.cast("long").cast("string")))
+  }
+
+  /** Go `url.Parse(u).Hostname()` for well-formed URLs; Go's parse-error
+    * keep-raw path is not replicated (url.Parse errors only on control
+    * characters).
+    */
+  private def hostOf(u: Column): Column =
+    when(u.isNotNull, coalesce(parse_url(u, lit("HOST")), lit("")))
+
+  /** possibleHostAttr (clickhouse_exporter_v3.go:28-31), first-present-wins
+    * (the reference's Go-map order made ties nondeterministic; the skip-
+    * override guard only protected this list against the http.url fallback).
+    */
+  private val hostAttrs =
+    Seq("http.host", "server.address", "client.address",
+      "http.request.header.host", "net.peer.name")
+
+  /** The `signoz_index_v3`-shaped main sink (writer.go:168-205 column order,
+    * newStructuredSpanV3 population). Input: a [[graft.model.SpanFrames]]
+    * span frame.
+    */
+  def spansV3(spans: DataFrame, cfg: ExporterConfig = ExporterConfig()): DataFrame = {
+    val aStr = col("attributes_string")
+
+    val rawUrl = coalesce(aStr.getItem("http.url"), aStr.getItem("url.full"))
+    val rawMethod = coalesce(aStr.getItem("http.method"), aStr.getItem("http.request.method"))
+    val isClient = col("kind") === 3
+
+    spans
+      .filter(col("start_ts") >= lit(cfg.oldestAllowedTsNanos))
+      .withColumn("ts_bucket_start",
+        expr(s"((start_ts div 1000000000) div ${cfg.bucketSeconds}) * ${cfg.bucketSeconds}"))
+      .withColumn("labels", MapSortedJson(col("resources_string")))
+      .withColumn("resource_fingerprint", ResourceFingerprint(col("resources_string")))
+      .withColumn("timestamp", col("start_ts"))
+      .withColumn("duration_nano", col("end_ts") - col("start_ts"))
+      .withColumn("span_kind", kindString(col("kind")))
+      .withColumn("status_code_string", statusString(col("status_code")))
+      .withColumn("has_error", col("status_code") === 2)
+      // flags bit 8 = has-is-remote, bit 9 = is-remote
+      // (clickhouse_exporter.go:31-32, exporter_v3.go:245-252)
+      .withColumn("is_remote",
+        when(col("flags").bitwiseAND(0x100) =!= 0,
+          when(col("flags").bitwiseAND(0x200) =!= 0, "yes").otherwise("no"))
+          .otherwise("unknown"))
+      .withColumn("service_name", serviceName(col("resources_string")))
+      .withColumn("response_status_code", coalesce(
+        intishStatus("http.response.status_code"),
+        intishStatus("http.status_code"),
+        intishStatus("rpc.grpc.status_code"),
+        aStr.getItem("rpc.jsonrpc.error_code"),
+        lit("")))
+      .withColumn("http_url", coalesce(rawUrl, lit("")))
+      .withColumn("external_http_url",
+        coalesce(when(isClient, hostOf(rawUrl)), lit("")))
+      .withColumn("http_method", coalesce(rawMethod, lit("")))
+      .withColumn("external_http_method",
+        coalesce(when(isClient, rawMethod), lit("")))
+      .withColumn("http_host", coalesce(
+        coalesce(hostAttrs.map(aStr.getItem): _*),
+        when(isClient, hostOf(rawUrl)),
+        lit("")))
+      .withColumn("db_name",
+        coalesce(aStr.getItem("db.name"), aStr.getItem("db.namespace"), lit("")))
+      .withColumn("db_operation",
+        coalesce(aStr.getItem("db.operation"), aStr.getItem("db.operation.name"), lit("")))
+      .withColumn("billable_resources_string",
+        MapDropKeyPrefix(col("resources_string"), "signoz.workspace"))
+      // InstrumentationScope marshalled in struct field order with Go value
+      // escaping (schema-signoz.go:216-233; writer.go:164-167)
+      .withColumn("scope_json", concat(
+        lit("{\"name\":"), GoJsonQuote(col("scope_name")),
+        lit(",\"version\":"), GoJsonQuote(col("scope_version")),
+        lit(",\"attributes\":"),
+        coalesce(MapSortedJson(col("scope_string")), lit("null")),
+        lit("}")))
+      .withColumn("events_json",
+        coalesce(SpanEventsJson(col("events")),
+          lit(Array.empty[String]).cast("array<string>")))
+      .withColumn("references",
+        SpanReferences(col("trace_id"), col("parent_span_id"), col("links")))
+      // deterministic metering size stand-in (see scaladoc)
+      .withColumn("record_size",
+        length(col("trace_id")).cast("long") + length(col("span_id")) +
+          length(col("name")) + length(col("labels")) +
+          length(MapSortedJson(aStr)))
+      .select(
+        col("ts_bucket_start"), col("resource_fingerprint"),
+        col("timestamp"), col("trace_id"), col("span_id"),
+        col("trace_state"), col("parent_span_id"), col("flags"),
+        col("name"), col("kind"), col("span_kind"), col("duration_nano"),
+        col("status_code"), col("status_message"), col("status_code_string"),
+        col("attributes_string"), col("attributes_number"), col("attributes_bool"),
+        col("resources_string"), col("billable_resources_string"),
+        col("scope_json"), col("scope_string"),
+        col("events_json"), col("references"),
+        col("response_status_code"),
+        col("external_http_url"), col("http_url"),
+        col("external_http_method"), col("http_method"), col("http_host"),
+        col("db_name"), col("db_operation"),
+        col("has_error"), col("is_remote"),
+        col("service_name"), col("labels"), col("record_size"),
+        col("scope_name"), col("scope_version"))
+  }
+
+  /** `traces_v3_resource`: one row per distinct (labels, fingerprint) per
+    * 1800 s bucket (exporter_v3.go:430-441 resourcesSeen + writer.go:508-540;
+    * the rfCache becomes the optional anti-join, same as logs).
+    */
+  def resources(spansV3: DataFrame, existing: Option[DataFrame] = None): DataFrame = {
+    val fresh = spansV3
+      .select(col("labels"), col("resource_fingerprint").as("fingerprint"),
+        col("ts_bucket_start").as("seen_at_ts_bucket_start"))
+      .dropDuplicates("fingerprint", "seen_at_ts_bucket_start")
+    existing match {
+      case Some(e) => fresh.join(e.select("fingerprint", "seen_at_ts_bucket_start"),
+        Seq("fingerprint", "seen_at_ts_bucket_start"), "left_anti")
+      case None => fresh
+    }
+  }
+
+  /** All span tag rows (writer.go:311-421): typed attribute tags, resource
+    * tags (string-forced), scope tags (scope.name/scope.version + scope
+    * attrs, empty values skipped — schema-signoz.go:235-253), and the
+    * spanfield rows (name, kind, kind_string, status_code, status_code_string).
+    * Hour-rounded unix_milli from the span start ts (writer.go:312).
+    */
+  private def tagRows(spansV3: DataFrame): DataFrame = {
+    val unixMilli = expr("((timestamp div 1000000) div 3600000) * 3600000")
+
+    val nullStr = lit(null).cast("string")
+    val nullNum = lit(null).cast("double")
+    def row(key: Column, tagType: String, dataType: String,
+        strVal: Column, numVal: Column): Column =
+      struct(key.as("tag_key"), lit(tagType).as("tag_type"),
+        lit(dataType).as("tag_data_type"),
+        strVal.as("string_value"), numVal.cast("double").as("number_value"))
+
+    // NO functions.filter(lambda) here — HigherOrderFunction =
+    // CodegenFallback; empty scope values are dropped by the plain
+    // post-explode filter below instead (same rows, stays in codegen)
+    val scopeFields = concat(
+      array(
+        row(lit("scope.name"), "scope", "string", col("scope_name"), nullNum),
+        row(lit("scope.version"), "scope", "string", col("scope_version"), nullNum)),
+      MapToTagRows(col("scope_string"), "scope", "string", mode = 0))
+
+    val all = concat(
+      MapToTagRows(col("attributes_string"), "tag", "string", mode = 0),
+      MapToTagRows(col("attributes_number"), "tag", "float64", mode = 1),
+      MapToTagRows(col("attributes_bool"), "tag", "bool", mode = 2),
+      MapToTagRows(col("resources_string"), "resource", "string", mode = 0),
+      scopeFields,
+      array(
+        row(lit("name"), "spanfield", "string", col("name"), nullNum),
+        row(lit("kind_string"), "spanfield", "string", col("span_kind"), nullNum),
+        row(lit("kind"), "spanfield", "float64", nullStr, col("kind").cast("double")),
+        row(lit("status_code_string"), "spanfield", "string",
+          col("status_code_string"), nullNum),
+        row(lit("status_code"), "spanfield", "float64", nullStr,
+          col("status_code").cast("double"))))
+
+    spansV3.select(unixMilli.as("unix_milli"), explode(all).as("e"))
+      .select(col("unix_milli"), col("e.tag_key"), col("e.tag_type"),
+        col("e.tag_data_type"), col("e.string_value"), col("e.number_value"))
+      // NaN numbers are skipped (utils.IsValidFloat gate, exporter_v3.go:189-196)
+      .filter(col("number_value").isNull || !isnan(col("number_value")))
+      // scope rows with empty values are skipped (schema-signoz.go:240-243)
+      .filter(col("tag_type") =!= "scope" ||
+        (col("string_value").isNotNull && col("string_value") =!= ""))
+  }
+
+  /** `span_attributes` sink rows: value-length capped, skip-set honored,
+    * deduped within the batch (writer.go:303-353 value/key maps). Unlike the
+    * logs tag writer there is no random-key keycheck on the traces path.
+    */
+  def tagAttributes(spansV3: DataFrame, cfg: ExporterConfig = ExporterConfig()): DataFrame = {
+    val rows = tagRows(spansV3)
+      .dropDuplicates("unix_milli", "tag_key", "tag_type", "tag_data_type",
+        "string_value", "number_value")
+      .filter(col("string_value").isNull ||
+        length(col("string_value")) <= cfg.maxAttributeValueLength)
+    if (cfg.skipKeys.isEmpty) rows
+    else rows.filter(!concat_ws(":", col("tag_key"), col("tag_type"), col("tag_data_type"))
+      .isin(cfg.skipKeys.toSeq: _*))
+  }
+
+  /** `span_attributes_keys`: distinct (key, tagType, dataType, isColumn)
+    * (writer.go:328-350); every shaped attribute here has isColumn=false.
+    */
+  def tagKeys(spansV3: DataFrame): DataFrame =
+    tagRows(spansV3).filter(col("tag_type").isin("tag", "resource", "scope"))
+      .select(col("tag_key"), col("tag_type"), col("tag_data_type"),
+        lit(false).as("is_column"))
+      .dropDuplicates()
+
+  /** `signoz_error_index_v2` rows (populateEventsV3 + writeErrorBatchV3,
+    * exporter_v3.go:142-172 + writer.go:242-264): one row per exception
+    * event. Input is the RAW span frame (it still has the events structs).
+    *
+    * `low_cardinal_exception_grouping` drops exception.message from the
+    * group hash (config `low_cardinal_exception_grouping`,
+    * exporter_v3.go:160-165).
+    */
+  def errorEvents(spans: DataFrame, lowCardinalGrouping: Boolean = false): DataFrame = {
+    val svc = serviceName(col("resources_string"))
+    val e = col("e")
+    val attrs = e.getField("attrs")
+    val exType = coalesce(attrs.getItem("exception.type"), lit(""))
+    val exMsg = coalesce(attrs.getItem("exception.message"), lit(""))
+    val groupInput =
+      if (lowCardinalGrouping) concat(col("service_name"), exType)
+      else concat(col("service_name"), exType, exMsg)
+    spans
+      .select(col("trace_id"), col("span_id"), col("resources_string"),
+        svc.as("service_name"), explode(col("events")).as("e"))
+      .filter(col("e.name") === "exception" || col("e.name").endsWith(".exception"))
+      .select(
+        col("e.ts_ns").as("timestamp"),
+        // deterministic surrogate for uuid.New (exporter_v3.go:157-159)
+        md5(concat(col("trace_id"), lit("#"), col("span_id"), lit("#"),
+          col("e.ts_ns").cast("string"))).as("error_id"),
+        md5(groupInput).as("error_group_id"),
+        col("trace_id"), col("span_id"), col("service_name"),
+        exType.as("exception_type"),
+        exMsg.as("exception_message"),
+        coalesce(attrs.getItem("exception.stacktrace"), lit("")).as("exception_stacktrace"),
+        (attrs.getItem("exception.escaped") === "true").as("exception_escaped"),
+        col("resources_string"))
+  }
+
+  /** `trace_summary` (traces_migrations.go:339-346): per-trace min/max span
+    * START timestamp + span count — the insert-time MV as the aggregation
+    * it is. At 100 TB this is the canonical partial-agg shuffle on trace_id.
+    */
+  def traceSummary(spansV3: DataFrame): DataFrame =
+    spansV3.groupBy(col("trace_id"))
+      .agg(min(col("timestamp")).as("start"), max(col("timestamp")).as("end"),
+        count(lit(1)).as("num_spans"))
+
+  /** `root_operations` (traces_migrations.go:352-359): DISTINCT
+    * (name, serviceName) over root spans.
+    */
+  def rootOperations(spansV3: DataFrame): DataFrame =
+    spansV3.filter(col("parent_span_id") === "")
+      .select(col("name"), col("service_name").as("serviceName"))
+      .dropDuplicates()
+
+  /** Usage metering per service (usage.go; count + deterministic size). */
+  def usage(spansV3: DataFrame): DataFrame =
+    spansV3.groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("record_size")).as("n_bytes"))
+
+  /** The full traces fan-out from one shared shaped upstream
+    * (writer.go WriteBatchOfSpansV3: index + errors + tags + resources
+    * written from the same batch).
+    */
+  def fanOut(spans: DataFrame, cfg: ExporterConfig = ExporterConfig()): Map[String, DataFrame] = {
+    val main = spansV3(spans, cfg)
+    Map(
+      "signoz_index_v3" -> main,
+      "traces_v3_resource" -> resources(main),
+      "span_attributes" -> tagAttributes(main, cfg),
+      "span_attributes_keys" -> tagKeys(main),
+      "signoz_error_index_v2" -> errorEvents(spans),
+      "trace_summary" -> traceSummary(main),
+      "root_operations" -> rootOperations(main),
+      "usage" -> usage(main))
+  }
+}

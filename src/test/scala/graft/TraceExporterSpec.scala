@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.model.SpanFrames
+import graft.pipeline.TraceExporter
+
+/** Traces exporter slice, golden-tested against the reference's own test
+  * fixtures (`exporter/clickhousetracesexporter/clickhouse_exporter_v3_test.go`).
+  */
+class TraceExporterSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T0 = 1672531200L * 1000000000L // 2023-01-01T00:00:00Z ns
+
+  private def spanFrame(rows: Seq[(String, String, String, Int, Map[String, String],
+      Map[String, String])]) = {
+    // (trace_id, span_id, parent, kind, attrs_string, resources)
+    SpanFrames.withDefaults(rows.toDF(
+      "trace_id", "span_id", "parent_span_id", "kind", "attributes_string",
+      "resources_string")
+      .withColumn("start_ts", lit(T0))
+      .withColumn("end_ts", lit(T0 + 1500000L)))
+  }
+
+  test("newStructuredSpanV3 fixture: custom attr promotion + kind/status strings " +
+      "(clickhouse_exporter_v3_test.go:340-440)") {
+    val df = spanFrame(Seq((
+      "", "", "", 2,
+      Map("test_key" -> "test_value", "http.url" -> "http://test.com",
+        "http.method" -> "GET", "http.host" -> "test.com",
+        "db.name" -> "test_db", "db.operation" -> "test_operation",
+        "http.status_code" -> "200"),
+      Map("service.name" -> "test_service", "num" -> "10",
+        "mymap.map_key" -> "map_val", "mymap.map_double" -> "20.5"))))
+      .withColumn("name", lit("test_span"))
+    val out = TraceExporter.spansV3(df).collect().head
+
+    assert(out.getAs[String]("span_kind") == "Server")
+    assert(out.getAs[String]("status_code_string") == "Unset")
+    assert(out.getAs[String]("http_url") == "http://test.com")
+    assert(out.getAs[String]("http_method") == "GET")
+    assert(out.getAs[String]("http_host") == "test.com")
+    assert(out.getAs[String]("db_name") == "test_db")
+    assert(out.getAs[String]("db_operation") == "test_operation")
+    assert(out.getAs[String]("response_status_code") == "200")
+    assert(out.getAs[String]("is_remote") == "unknown")
+    assert(!out.getAs[Boolean]("has_error"))
+    assert(out.getAs[String]("service_name") == "test_service")
+    // non-client span: external url/method stay empty
+    assert(out.getAs[String]("external_http_url") == "")
+    assert(out.getAs[String]("external_http_method") == "")
+    // orphan span still gets the unconditional CHILD_OF ref with empty ids
+    // omitted (the reference's len([8]byte) guard is always true; their own
+    // golden at clickhouse_exporter_v3_test.go:436)
+    assert(out.getAs[String]("references") == """[{"refType":"CHILD_OF"}]""")
+  }
+
+  test("populateCustomAttrsAndAttrs host/url matrix (v3_test.go:781-840)") {
+    val cases = Seq(
+      (3, Map("http.host" -> "api.example.com"), "api.example.com", ""),
+      (3, Map("net.peer.name" -> "peer.example.com"), "peer.example.com", ""),
+      (3, Map("url.full" -> "https://api.example.com:8080/path"),
+        "api.example.com", "https://api.example.com:8080/path"),
+      (2, Map("url.full" -> "https://api.example.com/path"),
+        "", "https://api.example.com/path"),
+      (3, Map("url.full" -> "https://url-host.com/path", "http.host" -> "explicit-host.com"),
+        "explicit-host.com", "https://url-host.com/path"))
+    cases.foreach { case (kind, attrs, expHost, expUrl) =>
+      val out = TraceExporter.spansV3(spanFrame(Seq(("t", "s", "", kind, attrs,
+        Map.empty[String, String])))).collect().head
+      assert(out.getAs[String]("http_host") == expHost, s"host for $attrs")
+      assert(out.getAs[String]("http_url") == expUrl, s"url for $attrs")
+    }
+  }
+
+  test("is_remote flag decode (clickhouse_exporter.go:31-32)") {
+    val df = SpanFrames.withDefaults(Seq(
+      ("a", 0x000), ("b", 0x100), ("c", 0x300)).toDF("span_id", "flags")
+      .withColumn("start_ts", lit(T0)).withColumn("end_ts", lit(T0)))
+    val out = TraceExporter.spansV3(df)
+      .select("span_id", "is_remote").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "unknown", "b" -> "no", "c" -> "yes"))
+  }
+
+  test("error events: exception grouping md5 goldens (v3_test.go:190-320)") {
+    val ts2023 = 1672531200L * 1000000000L
+    val frame = spanFrame(Seq(("t1", "s1", "", 1, Map.empty[String, String],
+      Map.empty[String, String])))
+      .withColumn("events", expr(
+        s"""array(named_struct('name', 'exception', 'ts_ns', ${ts2023}L, 'attrs',
+           |  map('exception.type', 'RuntimeError',
+           |      'exception.message', 'Something went wrong',
+           |      'exception.stacktrace', 'at line 42\\nat line 43')))""".stripMargin))
+
+    // service name resolves to <nil-service-name>... the reference fixture
+    // passes an empty-service SpanV3, so group over "" + type + message
+    val withSvc = frame.withColumn("resources_string",
+      map(lit("service.name"), lit("")))
+    val out = TraceExporter.errorEvents(withSvc).collect().head
+    assert(out.getAs[String]("error_group_id") == "092cbbd898be10d4d3d1843203b177cb")
+    assert(out.getAs[String]("exception_type") == "RuntimeError")
+    assert(out.getAs[String]("exception_message") == "Something went wrong")
+    assert(!out.getAs[Boolean]("exception_escaped"))
+
+    // low-cardinality grouping drops the message: md5("" + "RuntimeError")
+    val low = TraceExporter.errorEvents(withSvc, lowCardinalGrouping = true).collect().head
+    assert(low.getAs[String]("error_group_id") == "a334b8fdd25f8fb3e632228494604ee1")
+
+    // domain-specific exception names are recognized (http.client.request.exception)
+    val domain = withSvc.withColumn("events", expr(
+      s"""array(named_struct('name', 'http.client.request.exception', 'ts_ns', ${ts2023}L,
+         |  'attrs', map('exception.type', 'TimeoutError',
+         |               'exception.message', 'request timed out')))""".stripMargin))
+    val dOut = TraceExporter.errorEvents(domain).collect().head
+    assert(dOut.getAs[String]("error_group_id") == "62de452df58795e9c308a703ccad5a3d")
+  }
+
+  test("events JSON: Go marshal shape incl. isError and omitempty") {
+    val ts2023 = 1672531200L * 1000000000L
+    val frame = spanFrame(Seq(("t", "s", "", 1, Map.empty[String, String],
+      Map.empty[String, String])))
+      .withColumn("events", expr(
+        s"""array(
+           |  named_struct('name', 'exception', 'ts_ns', ${ts2023}L,
+           |    'attrs', map('exception.type', 'E')),
+           |  named_struct('name', 'plain', 'ts_ns', 0L,
+           |    'attrs', map()))""".stripMargin))
+    val out = TraceExporter.spansV3(frame)
+      .select("events_json").as[Seq[String]].collect().head
+    assert(out(0) ==
+      s"""{"name":"exception","timeUnixNano":$ts2023,"attributeMap":{"exception.type":"E"},"isError":true}""")
+    assert(out(1) == """{"name":"plain"}""")
+  }
+
+  test("references JSON: parent + links ordering") {
+    val frame = spanFrame(Seq(("aaaa", "s1", "pppp", 1,
+      Map.empty[String, String], Map.empty[String, String])))
+      .withColumn("links", expr(
+        """array(named_struct('trace_id', 'lt1', 'span_id', 'ls1'),
+          |      named_struct('trace_id', 'lt2', 'span_id', 'ls2'))""".stripMargin))
+    val out = TraceExporter.spansV3(frame).select("references").as[String].collect().head
+    assert(out == """[{"traceId":"aaaa","spanId":"pppp","refType":"CHILD_OF"},""" +
+      """{"traceId":"lt1","spanId":"ls1","refType":"FOLLOWS_FROM"},""" +
+      """{"traceId":"lt2","spanId":"ls2","refType":"FOLLOWS_FROM"}]""")
+  }
+
+  test("billable resources drop signoz.workspace.* keys; scope json in struct order") {
+    val frame = spanFrame(Seq(("t", "s", "", 1, Map.empty[String, String],
+      Map("service.name" -> "svc", "signoz.workspace.id" -> "w1"))))
+      .withColumn("scope_name", lit("io.lib"))
+      .withColumn("scope_version", lit("1.2.3"))
+      .withColumn("scope_string", map(lit("custom.key"), lit("custom.value")))
+    val out = TraceExporter.spansV3(frame).collect().head
+    assert(out.getAs[Map[String, String]]("billable_resources_string") ==
+      Map("service.name" -> "svc"))
+    assert(out.getAs[Map[String, String]]("resources_string").contains("signoz.workspace.id"))
+    assert(out.getAs[String]("scope_json") ==
+      """{"name":"io.lib","version":"1.2.3","attributes":{"custom.key":"custom.value"}}""")
+  }
+
+  test("trace summary + root operations (traces_migrations.go MVs)") {
+    val frame = spanFrame(Seq(
+      ("t1", "s1", "", 2, Map.empty[String, String], Map("service.name" -> "A")),
+      ("t1", "s2", "s1", 1, Map.empty[String, String], Map("service.name" -> "A")),
+      ("t2", "s3", "", 2, Map.empty[String, String], Map("service.name" -> "B"))))
+    val main = TraceExporter.spansV3(frame)
+    val summary = TraceExporter.traceSummary(main)
+      .orderBy("trace_id").collect()
+    assert(summary.map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      Seq(("t1", 2L), ("t2", 1L)))
+    val roots = TraceExporter.rootOperations(main).collect()
+    assert(roots.length == 2)
+    assert(roots.map(_.getString(1)).toSet == Set("A", "B"))
+  }
+
+  test("span tag rows: typed + spanfield + scope skip-empty (writer.go:311-421)") {
+    val frame = spanFrame(Seq(("t", "s", "", 2,
+      Map("http.method" -> "GET"), Map("service.name" -> "svc"))))
+      .withColumn("attributes_number", map(lit("retries"), lit(2.0)))
+      .withColumn("name", lit("op"))
+      .withColumn("scope_name", lit("lib")) // scope.version stays "" -> skipped
+    val rows = TraceExporter.tagAttributes(TraceExporter.spansV3(frame))
+      .select("tag_key", "tag_type", "tag_data_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("http.method", "tag", "string")))
+    assert(rows.contains(("retries", "tag", "float64")))
+    assert(rows.contains(("service.name", "resource", "string")))
+    assert(rows.contains(("scope.name", "scope", "string")))
+    assert(!rows.contains(("scope.version", "scope", "string"))) // empty value skipped
+    assert(rows.contains(("name", "spanfield", "string")))
+    assert(rows.contains(("kind", "spanfield", "float64")))
+    assert(rows.contains(("kind_string", "spanfield", "string")))
+    assert(rows.contains(("status_code", "spanfield", "float64")))
+    assert(rows.contains(("status_code_string", "spanfield", "string")))
+
+    val keys = TraceExporter.tagKeys(TraceExporter.spansV3(frame)).collect()
+    assert(keys.forall(!_.getBoolean(3))) // isColumn always false here
+  }
+}
