@@ -1,0 +1,306 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.MetricFrames
+import graft.pipeline.MetricsExporter
+import graft.pipeline.MetricsExporter.ReductionRule
+
+/** Driver-checked queries for the metrics exporter slice. The `events` table
+  * is lifted into deterministic metric datapoints; the DuckDB oracles
+  * replicate the FULL resource->scope->point FNV-1a fingerprint chain
+  * (internal/common/fingerprint) in SQL, so `fingerprint` /
+  * `reduced_fingerprint` values are verified bit-for-bit, not just row
+  * counts.
+  */
+object MetricQueries {
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Gauge datapoints: metric `events.value`, point attrs {event_type},
+    * resource {service.name: svc-(user_id%4)}, scope all-empty. Values are
+    * floored so cross-engine double summation stays exact.
+    */
+  private def eventsAsGauges(spark: SparkSession, dir: String): DataFrame = {
+    SparkEntry.configure(spark)
+    val ev = read(spark, dir, "events")
+    MetricFrames.withDefaults(ev.select(
+      col("event_id"),
+      lit("events.value").as("metric_name"),
+      lit("event gauge").as("description"),
+      lit("1").as("unit"),
+      lit("Gauge").as("metric_type"),
+      lit("Unspecified").as("temporality"),
+      lit(false).as("is_monotonic"),
+      expr("unix_micros(cast(ts as timestamp)) div 1000").as("unix_milli"),
+      floor(col("value")).cast("double").as("value"),
+      map(lit("event_type"), col("event_type")).as("attrs"),
+      map(lit("service.name"),
+        concat(lit("svc-"), (col("user_id") % 4).cast("string"))).as("resource_attrs")))
+  }
+
+  /** Cumulative counter datapoints for the reduction/delta path: unique
+    * per-series timestamps (unix_milli = event_id*1000 so window ordering is
+    * total) and a value that rises and resets deterministically.
+    */
+  private def eventsAsCounters(spark: SparkSession, dir: String): DataFrame = {
+    SparkEntry.configure(spark)
+    val ev = read(spark, dir, "events")
+    MetricFrames.withDefaults(ev.select(
+      lit("req.count").as("metric_name"),
+      lit("Sum").as("metric_type"),
+      lit("Cumulative").as("temporality"),
+      lit(true).as("is_monotonic"),
+      (col("event_id") * 1000L).as("unix_milli"),
+      (col("event_id") % 1000).cast("double").as("value"),
+      map(lit("event_type"), col("event_type")).as("attrs"),
+      map(lit("service.name"),
+        concat(lit("svc-"), (col("user_id") % 4).cast("string"))).as("resource_attrs")))
+  }
+
+  /** Histogram datapoints: bounds [10,100,1000], bucket counts derived from
+    * event_id, count = total + an +Inf remainder.
+    */
+  private def eventsAsHistograms(spark: SparkSession, dir: String): DataFrame = {
+    SparkEntry.configure(spark)
+    val ev = read(spark, dir, "events")
+    MetricFrames.withHistogramDefaults(ev.select(
+      col("event_id"),
+      lit("http.duration").as("metric_name"),
+      lit("Histogram").as("metric_type"),
+      lit("Cumulative").as("temporality"),
+      lit(true).as("is_monotonic"),
+      lit("ms").as("unit"),
+      expr("unix_micros(cast(ts as timestamp)) div 1000").as("unix_milli"),
+      map(lit("event_type"), col("event_type")).as("attrs"),
+      map(lit("service.name"),
+        concat(lit("svc-"), (col("user_id") % 4).cast("string"))).as("resource_attrs"),
+      (col("event_id") % 3 + col("event_id") % 5 + col("event_id") % 7 +
+        col("event_id") % 2).cast("long").as("count"),
+      floor(col("value")).cast("double").as("sum_v"),
+      lit(0.0).as("min_v"),
+      floor(col("value")).cast("double").as("max_v"),
+      lit(true).as("has_sum"), lit(true).as("has_min"), lit(true).as("has_max"),
+      array(lit(10.0), lit(100.0), lit(1000.0)).as("explicit_bounds"),
+      array((col("event_id") % 3).cast("long"), (col("event_id") % 5).cast("long"),
+        (col("event_id") % 7).cast("long")).as("bucket_counts")))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // samples_v4: the full fingerprint chain verified bit-for-bit per series
+    "q_metrics_samples" -> ((s, d) => {
+      val points = MetricsExporter.scalarPoints(eventsAsGauges(s, d))
+      MetricsExporter.samplesV4(points)
+        .groupBy(col("env"), col("temporality"), col("metric_name"), col("fingerprint"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_value"))
+    }),
+
+    // time_series_v4: labels JSON + hour flooring + per-hour dedup
+    "q_metrics_timeseries" -> ((s, d) => {
+      val points = MetricsExporter.scalarPoints(eventsAsGauges(s, d))
+      MetricsExporter.timeSeriesV4(points)
+        .select(col("metric_name"), col("fingerprint"), col("unix_milli"),
+          col("labels"))
+    }),
+
+    // histogram flattening: derived series counts and bucket values per dp
+    "q_metrics_hist" -> ((s, d) => {
+      MetricsExporter.histogramSeries(eventsAsHistograms(s, d))
+        .select(col("event_id"), col("metric_name"),
+          coalesce(element_at(col("__extras"), "le"), lit("")).as("le"),
+          col("value"))
+    }),
+
+    // samples_v4_agg_5m rollup (minus the order-nondeterministic anyLast)
+    "q_metrics_agg5m" -> ((s, d) => {
+      val samples = MetricsExporter.samplesV4(
+        MetricsExporter.scalarPoints(eventsAsGauges(s, d)))
+      MetricsExporter.samplesAgg5m(samples)
+        .select(col("temporality"), col("metric_name"), col("fingerprint"),
+          col("unix_milli"), col("min"), col("max"),
+          col("sum").cast("long").as("sum_long"), col("count"))
+    }),
+
+    // reduction: reduced fingerprint collapse (drop event_type -> per-service
+    // groups), catalog row per group per hour
+    "q_metrics_reduced" -> ((s, d) => {
+      val points = MetricsExporter.withReduction(
+        MetricsExporter.scalarPoints(eventsAsGauges(s, d)),
+        Seq(ReductionRule("events.value", Seq("event_type"), keep = false, 0L)))
+      points.groupBy(col("metric_name"), col("reduced_fingerprint"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("fingerprint")).as("raw_series"))
+    }),
+
+    // reduced 60s cumulative->delta with reset detection
+    "q_metrics_reduced60" -> ((s, d) => {
+      val points = MetricsExporter.withReduction(
+        MetricsExporter.scalarPoints(eventsAsCounters(s, d)),
+        Seq(ReductionRule("req.count", Seq("event_type"), keep = false, 0L)))
+      MetricsExporter.reducedSum60sCumulative(MetricsExporter.samplesV4(points))
+        .select(col("metric_name"), col("reduced_fingerprint"),
+          col("unix_milli"), col("sum").cast("long").as("sum_long"),
+          col("count_series"), col("count_samples"))
+    })
+  )
+
+  // ---- DuckDB FNV-1a chain helpers -----------------------------------
+
+  /** Byte list of a VARCHAR's UTF-8 encoding (same as Queries.bytesSql). */
+  private def bytesSql(s: String): String =
+    s"list_transform(generate_series(1, octet_length(encode($s))), " +
+      s"i -> CAST('0x' || substr(hex(encode($s)), i*2-1, 2) AS INT))"
+
+  /** Byte list for a (key, value) attribute pair with 0xFF separators. */
+  private def kvBytes(parts: Seq[String]): String =
+    parts.map(p => s"list_concat(${bytesSql(p)}, [255])")
+      .reduce((a, b) => s"list_concat($a, $b)")
+
+  /** Fold `byteList` into a running FNV-1a state (HUGEINT in [0, 2^64)). */
+  private def fnvFold(start: String, byteList: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST($start AS HUGEINT), $byteList),
+       |  (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |               * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  private val fnvBasis = "CAST('14695981039346656037' AS HUGEINT)"
+
+  /** uint64-bits -> signed BIGINT (what Spark's LongType carries). */
+  private def signed(u: String): String =
+    s"""(SELECT CAST(CAST(u_ AS HUGEINT)
+       |  - CASE WHEN u_ >= CAST('9223372036854775808' AS UBIGINT)
+       |         THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT)
+       | FROM (SELECT CAST(($u) AS UBIGINT) AS u_))""".stripMargin
+
+  /** The full chain for metric `name` with sorted point attrs `pointKv`,
+    * resource {service.name: svcExpr}, empty scope with the three dunder
+    * extras, ending in HashWithName (no trailing separator after the name).
+    */
+  private def chainSql(svcExpr: String, pointKv: Seq[String], name: String): String = {
+    val resource = fnvFold(fnvBasis, kvBytes(Seq("'service.name'", svcExpr)))
+    val scope = fnvFold(s"($resource)", kvBytes(Seq(
+      "'__scope.name__'", "''", "'__scope.schema_url__'", "''",
+      "'__scope.version__'", "''")))
+    val point = fnvFold(s"($scope)", kvBytes(pointKv))
+    val withName = fnvFold(s"($point)",
+      s"list_concat(list_concat(${bytesSql("'__name__'")}, [255]), ${bytesSql(s"'$name'")})")
+    signed(withName)
+  }
+
+  private val svcSql = "'svc-' || CAST(user_id % 4 AS VARCHAR)"
+
+  val oracles: Map[String, String] = Map(
+
+    "q_metrics_samples" -> {
+      val fp = chainSql(svcSql,
+        Seq("'__temporality__'", "'Unspecified'", "'event_type'", "event_type"),
+        "events.value")
+      s"""SELECT '' AS env, 'Unspecified' AS temporality,
+         |       'events.value' AS metric_name,
+         |       $fp AS fingerprint,
+         |       n, sum_value
+         |FROM (
+         |  SELECT event_type, user_id % 4 AS user_id, count(*) AS n,
+         |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_value
+         |  FROM events GROUP BY 1, 2)""".stripMargin
+    },
+
+    "q_metrics_timeseries" -> {
+      val fp = chainSql(svcSql,
+        Seq("'__temporality__'", "'Unspecified'", "'event_type'", "event_type"),
+        "events.value")
+      s"""SELECT 'events.value' AS metric_name,
+         |       $fp AS fingerprint,
+         |       h AS unix_milli,
+         |       '{"__name__":"events.value","__scope.name__":"","__scope.schema_url__":"",'
+         |       || '"__scope.version__":"","__temporality__":"Unspecified",'
+         |       || '"event_type":"' || event_type || '","service.name":"svc-'
+         |       || CAST(user_id % 4 AS VARCHAR) || '"}' AS labels
+         |FROM (
+         |  SELECT DISTINCT event_type, user_id % 4 AS user_id,
+         |         (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS h
+         |  FROM events)""".stripMargin
+    },
+
+    "q_metrics_hist" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |         event_id % 3 AS c1, event_id % 5 AS c2, event_id % 7 AS c3,
+        |         event_id % 3 + event_id % 5 + event_id % 7 + event_id % 2 AS total,
+        |         floor(value) AS fv
+        |  FROM events)
+        |SELECT event_id, 'http.duration.count' AS metric_name, '' AS le,
+        |       CAST(total AS DOUBLE) AS value FROM e
+        |UNION ALL SELECT event_id, 'http.duration.sum', '', fv FROM e
+        |UNION ALL SELECT event_id, 'http.duration.min', '', 0.0 FROM e
+        |UNION ALL SELECT event_id, 'http.duration.max', '', fv FROM e
+        |UNION ALL SELECT event_id, 'http.duration.bucket', '10',
+        |       CAST(c1 AS DOUBLE) FROM e
+        |UNION ALL SELECT event_id, 'http.duration.bucket', '100',
+        |       CAST(c1 + c2 AS DOUBLE) FROM e
+        |UNION ALL SELECT event_id, 'http.duration.bucket', '1000',
+        |       CAST(c1 + c2 + c3 AS DOUBLE) FROM e
+        |UNION ALL SELECT event_id, 'http.duration.bucket', '+Inf',
+        |       CAST(total AS DOUBLE) FROM e""".stripMargin,
+
+    "q_metrics_agg5m" -> {
+      val fp = chainSql(svcSql,
+        Seq("'__temporality__'", "'Unspecified'", "'event_type'", "event_type"),
+        "events.value")
+      s"""SELECT 'Unspecified' AS temporality, 'events.value' AS metric_name,
+         |       $fp AS fingerprint,
+         |       b AS unix_milli, mn AS min, mx AS max, sum_long, cnt AS count
+         |FROM (
+         |  SELECT event_type, user_id % 4 AS user_id,
+         |         (CAST(epoch_ms(ts) AS BIGINT) // 300000) * 300000 AS b,
+         |         min(floor(value)) AS mn, max(floor(value)) AS mx,
+         |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_long,
+         |         count(*) AS cnt
+         |  FROM events GROUP BY 1, 2, 3)""".stripMargin
+    },
+
+    "q_metrics_reduced" -> {
+      // rule drops event_type -> reduced point attrs = {__temporality__}
+      val rfp = chainSql(svcSql, Seq("'__temporality__'", "'Unspecified'"),
+        "events.value")
+      s"""SELECT 'events.value' AS metric_name,
+         |       $rfp AS reduced_fingerprint,
+         |       n, raw_series
+         |FROM (
+         |  SELECT user_id % 4 AS user_id, count(*) AS n,
+         |         count(DISTINCT event_type) AS raw_series
+         |  FROM events GROUP BY 1)""".stripMargin
+    },
+
+    "q_metrics_reduced60" -> {
+      val rfp = chainSql(svcSql, Seq("'__temporality__'", "'Cumulative'"),
+        "req.count")
+      s"""WITH pts AS (
+         |  SELECT event_type, user_id % 4 AS user_id,
+         |         event_id * 1000 AS um,
+         |         CAST(event_id % 1000 AS DOUBLE) AS value
+         |  FROM events),
+         |inc AS (
+         |  SELECT event_type, user_id, um, value,
+         |         CASE WHEN row_number() OVER w = 1 THEN NULL
+         |              WHEN value < lag(value) OVER w THEN value
+         |              ELSE value - lag(value) OVER w END AS increment
+         |  FROM pts WINDOW w AS (PARTITION BY event_type, user_id ORDER BY um)),
+         |per_series AS (
+         |  SELECT event_type, user_id, (um // 60000) * 60000 AS b,
+         |         SUM(increment) AS inc_sum, count(*) AS nv
+         |  FROM inc WHERE increment IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT 'req.count' AS metric_name,
+         |       $rfp AS reduced_fingerprint,
+         |       b AS unix_milli,
+         |       CAST(SUM(inc_sum) AS BIGINT) AS sum_long,
+         |       count(*) AS count_series,
+         |       CAST(SUM(nv) AS BIGINT) AS count_samples
+         |FROM per_series GROUP BY user_id, b""".stripMargin
+    }
+  )
+}

@@ -130,10 +130,11 @@ object SparkEntry {
     * training-data ops (dedup/ANN/text/multimodal).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ DataQueries.all
+    Queries.all ++ DataQueries.all ++ TraceQueries.all ++ MetricQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Queries.oracles ++ DataQueries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ DataQueries.oracles ++ TraceQueries.oracles ++ MetricQueries.oracles
 }

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SpanFrames
+import graft.pipeline.TraceExporter
+
+/** Driver-checked queries for the traces exporter slice: the `events` table
+  * lifted into deterministic span frames, shaped by [[TraceExporter]], with
+  * every output replicated in DuckDB SQL ([[TraceQueries.oracles]]).
+  *
+  * Span derivation (pure column arithmetic so the oracle can reconstruct
+  * every field): one span per event; `user_id` groups events into traces;
+  * ids are zero-padded lowercase hex; kind/flags/status cycle through the
+  * interesting cases (client spans for the url-hostname path, remote-flag
+  * combinations, error statuses with exception events).
+  */
+object TraceQueries {
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  private[graft] def eventsAsSpans(spark: SparkSession, dir: String): DataFrame = {
+    SparkEntry.configure(spark)
+    val ev = read(spark, dir, "events")
+    SpanFrames.withDefaults(ev.select(
+      col("event_id"),
+      lpad(graft.functions.FastLower(hex(col("user_id"))), 32, "0").as("trace_id"),
+      lpad(graft.functions.FastLower(hex(col("event_id"))), 16, "0").as("span_id"),
+      when(col("event_id") % 5 === 0, "")
+        .otherwise(lpad(graft.functions.FastLower(hex(col("user_id") * 7 + 3)), 16, "0"))
+        .as("parent_span_id"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000L).as("start_ts"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000L +
+        floor(col("value") * 1000000L).cast("long")).as("end_ts"),
+      (col("event_id") % 6).cast("int").as("kind"),
+      ((col("event_id") % 4) * 256).cast("int").as("flags"),
+      when(col("event_type") === "error", 2)
+        .when(col("event_id") % 7 === 0, 1).otherwise(0).cast("int").as("status_code"),
+      when(col("event_type") === "error", "boom").otherwise("").as("status_message"),
+      col("event_type").as("name"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("http.url"),
+        concat(lit("https://api.example.com:8443/v"), (col("event_id") % 10).cast("string")))
+        .as("attributes_string"),
+      map(
+        lit("http.status_code"), (lit(200) + (col("event_id") % 4) * 100).cast("double"),
+        lit("value"), col("value")).as("attributes_number"),
+      map(lit("service.name"),
+        concat(lit("svc-"), (col("user_id") % 4).cast("string"))).as("resources_string"),
+      when(col("event_type") === "error", array(struct(
+        lit("exception").as("name"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000L + 1000000L).as("ts_ns"),
+        map(
+          lit("exception.type"), concat(lit("E"), (col("event_id") % 3).cast("string")),
+          lit("exception.message"), concat(lit("m"), (col("user_id") % 5).cast("string")))
+          .as("attrs"))))
+        .otherwise(lit(null)).cast(graft.model.SpanSchema.eventType).as("events")))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // signoz_index_v3 shaping: kind/status strings, flag decode, custom-attr
+    // promotion, bucketing, references JSON (SURVEY §2.11)
+    "q_spans_v3" -> ((s, d) => {
+      TraceExporter.spansV3(eventsAsSpans(s, d)).select(
+        col("span_id"), col("trace_id"), col("parent_span_id"),
+        col("ts_bucket_start"), col("duration_nano"),
+        col("kind"), col("span_kind"),
+        col("status_code"), col("status_code_string"), col("has_error"),
+        col("is_remote"), col("response_status_code"),
+        col("http_url"), col("external_http_url"), col("http_host"),
+        col("service_name"), col("references"))
+    }),
+
+    // trace_summary MV as the per-trace aggregation it is
+    "q_trace_summary" -> ((s, d) => {
+      TraceExporter.traceSummary(TraceExporter.spansV3(eventsAsSpans(s, d)))
+    }),
+
+    // signoz_error_index_v2: exception events with md5 grouping
+    "q_span_errors" -> ((s, d) => {
+      TraceExporter.errorEvents(eventsAsSpans(s, d)).select(
+        col("timestamp"), col("error_id"), col("error_group_id"),
+        col("trace_id"), col("span_id"), col("service_name"),
+        col("exception_type"), col("exception_message"))
+    }),
+
+    // root_operations MV: DISTINCT (name, serviceName) over root spans
+    "q_root_ops" -> ((s, d) => {
+      TraceExporter.rootOperations(TraceExporter.spansV3(eventsAsSpans(s, d)))
+    }),
+
+    // span tag metadata rows grouped per key (span_attributes sink)
+    "q_span_attrs" -> ((s, d) => {
+      TraceExporter.tagAttributes(TraceExporter.spansV3(eventsAsSpans(s, d)))
+        .groupBy(col("tag_key"), col("tag_type"), col("tag_data_type"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
+  // is_remote by event_id % 4: 0 -> 0x000 unknown, 1 -> 0x100 no,
+  // 2 -> 0x200 unknown (has-bit unset), 3 -> 0x300 yes
+  private val isRemoteCase =
+    """CASE event_id % 4 WHEN 1 THEN 'no' WHEN 3 THEN 'yes' ELSE 'unknown' END"""
+
+  private val kindCase =
+    """CASE event_id % 6 WHEN 1 THEN 'Internal' WHEN 2 THEN 'Server'
+      |     WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer' WHEN 5 THEN 'Consumer'
+      |     ELSE 'Unspecified' END""".stripMargin
+
+  private val traceIdSql = "lpad(lower(hex(user_id)), 32, '0')"
+  private val spanIdSql = "lpad(lower(hex(event_id)), 16, '0')"
+  private val parentSql =
+    "CASE WHEN event_id % 5 = 0 THEN '' ELSE lpad(lower(hex(user_id * 7 + 3)), 16, '0') END"
+  private val serviceSql = "'svc-' || CAST(user_id % 4 AS VARCHAR)"
+
+  val oracles: Map[String, String] = Map(
+
+    "q_spans_v3" ->
+      s"""SELECT
+         |  $spanIdSql AS span_id,
+         |  $traceIdSql AS trace_id,
+         |  $parentSql AS parent_span_id,
+         |  CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS ts_bucket_start,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS duration_nano,
+         |  CAST(event_id % 6 AS INT) AS kind,
+         |  $kindCase AS span_kind,
+         |  CAST(CASE WHEN event_type = 'error' THEN 2
+         |            WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS status_code,
+         |  CASE WHEN event_type = 'error' THEN 'Error'
+         |       WHEN event_id % 7 = 0 THEN 'Ok' ELSE 'Unset' END AS status_code_string,
+         |  event_type = 'error' AS has_error,
+         |  $isRemoteCase AS is_remote,
+         |  CAST(200 + (event_id % 4) * 100 AS VARCHAR) AS response_status_code,
+         |  'https://api.example.com:8443/v' || CAST(event_id % 10 AS VARCHAR) AS http_url,
+         |  CASE WHEN event_id % 6 = 3 THEN 'api.example.com' ELSE '' END AS external_http_url,
+         |  CASE WHEN event_id % 6 = 3 THEN 'api.example.com' ELSE '' END AS http_host,
+         |  $serviceSql AS service_name,
+         |  CASE WHEN event_id % 5 = 0
+         |       THEN '[{"traceId":"' || $traceIdSql || '","refType":"CHILD_OF"}]'
+         |       ELSE '[{"traceId":"' || $traceIdSql || '","spanId":"' || $parentSql
+         |            || '","refType":"CHILD_OF"}]' END AS references
+         |FROM events""".stripMargin,
+
+    // per-trace min/max span START ts + span count (trace_summary_mv)
+    "q_trace_summary" ->
+      s"""SELECT $traceIdSql AS trace_id,
+         |       min(CAST(epoch_us(ts) AS BIGINT) * 1000) AS start,
+         |       max(CAST(epoch_us(ts) AS BIGINT) * 1000) AS "end",
+         |       count(*) AS num_spans
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_span_errors" ->
+      s"""SELECT
+         |  CAST(epoch_us(ts) AS BIGINT) * 1000 + 1000000 AS timestamp,
+         |  md5($traceIdSql || '#' || $spanIdSql || '#'
+         |      || CAST(CAST(epoch_us(ts) AS BIGINT) * 1000 + 1000000 AS VARCHAR)) AS error_id,
+         |  md5($serviceSql || 'E' || CAST(event_id % 3 AS VARCHAR)
+         |      || 'm' || CAST(user_id % 5 AS VARCHAR)) AS error_group_id,
+         |  $traceIdSql AS trace_id,
+         |  $spanIdSql AS span_id,
+         |  $serviceSql AS service_name,
+         |  'E' || CAST(event_id % 3 AS VARCHAR) AS exception_type,
+         |  'm' || CAST(user_id % 5 AS VARCHAR) AS exception_message
+         |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_root_ops" ->
+      s"""SELECT DISTINCT event_type AS name, $serviceSql AS serviceName
+         |FROM events WHERE event_id % 5 = 0""".stripMargin,
+
+    "q_span_attrs" ->
+      s"""WITH hours AS (
+         |  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000 AS h,
+         |         event_id, user_id, event_type, value, ts FROM events
+         |), rows_ AS (
+         |  SELECT DISTINCT h, 'event_type' AS tag_key, 'tag' AS tag_type,
+         |         'string' AS dt, event_type AS sv, NULL AS nv FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'http.url', 'tag', 'string',
+         |         'https://api.example.com:8443/v' || CAST(event_id % 10 AS VARCHAR), NULL
+         |  FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'http.status_code', 'tag', 'float64', NULL,
+         |         CAST(200 + (event_id % 4) * 100 AS DOUBLE) FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'value', 'tag', 'float64', NULL, value FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'service.name', 'resource', 'string',
+         |         'svc-' || CAST(user_id % 4 AS VARCHAR), NULL FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'name', 'spanfield', 'string', event_type, NULL FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'kind_string', 'spanfield', 'string', $kindCase, NULL FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'kind', 'spanfield', 'float64', NULL,
+         |         CAST(event_id % 6 AS DOUBLE) FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'status_code_string', 'spanfield', 'string',
+         |         CASE WHEN event_type = 'error' THEN 'Error'
+         |              WHEN event_id % 7 = 0 THEN 'Ok' ELSE 'Unset' END, NULL FROM hours
+         |  UNION ALL
+         |  SELECT DISTINCT h, 'status_code', 'spanfield', 'float64', NULL,
+         |         CAST(CASE WHEN event_type = 'error' THEN 2
+         |                   WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS DOUBLE) FROM hours
+         |)
+         |SELECT tag_key, tag_type, dt AS tag_data_type, count(*) AS n
+         |FROM rows_ GROUP BY 1, 2, 3""".stripMargin
+  )
+}
