@@ -25,7 +25,13 @@ object MetricQueries {
     */
   private def eventsAsGauges(spark: SparkSession, dir: String): DataFrame = {
     SparkEntry.configure(spark)
-    val ev = read(spark, dir, "events")
+    gaugesFrom(read(spark, dir, "events"))
+  }
+
+  /** The gauge lift as a pure DataFrame->DataFrame so the scale-up bench can
+    * apply it to a synthetic events table of the same shape.
+    */
+  private[graft] def gaugesFrom(ev: DataFrame): DataFrame = {
     MetricFrames.withDefaults(ev.select(
       col("event_id"),
       lit("events.value").as("metric_name"),

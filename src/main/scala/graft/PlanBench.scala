@@ -51,23 +51,49 @@ object PlanBench {
     // wraps it in AdaptiveSparkPlan, and codegen collapse only appears in
     // the FINAL plan after the run
     time("run logsV2")(println("[plan] rows=" + main0.queryExecution.toRdd.count()))
-    val ep = main0.queryExecution.executedPlan match {
+    auditExecuted("logsV2", main0)
+
+    // traces + metrics exporter slices: same audit — the span shaping and
+    // the fingerprint-chain projections are pure kernels and must stay in
+    // one codegen region each (no higher-order functions / CodegenFallback)
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    val ev = graft.sources.DataGen.events(spark, 1000L)
+    val spans = graft.pipeline.TraceExporter.spansV3(TraceQueries.spansFrom(ev))
+      .select(xxhash64(col("span_id"), col("references"),
+        col("resource_fingerprint"), col("http_host")).as("h"))
+    time("run spansV3")(println("[plan] span rows=" +
+      spans.queryExecution.toRdd.count()))
+    auditExecuted("spansV3", spans)
+    val samples = graft.pipeline.MetricsExporter.samplesV4(
+      graft.pipeline.MetricsExporter.scalarPoints(MetricQueries.gaugesFrom(ev)))
+      .select(xxhash64(col("fingerprint"), col("unix_milli"), col("value")).as("h"))
+    time("run samplesV4")(println("[plan] sample rows=" +
+      samples.queryExecution.toRdd.count()))
+    auditExecuted("samplesV4", samples)
+    spark.stop()
+  }
+
+  /** Post-execution codegen audit of the AQE-final plan: counts wholestage
+    * regions and prints every operator left outside codegen.
+    */
+  private def auditExecuted(label: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val ep = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case p => p
     }
-    println("[plan] executed plan string size: " + ep.toString.length)
+    println(s"[plan] $label executed plan string size: " + ep.toString.length)
     val planStr = ep.toString
     val codegenIds = "\\*\\((\\d+)\\)".r.findAllMatchIn(planStr).map(_.group(1)).toSet
     val interpretedNodes = planStr.linesIterator
       .count(l => l.contains("+- ") && !l.contains("*("))
-    println("[plan] wholestage regions: " + codegenIds.size +
+    println(s"[plan] $label wholestage regions: " + codegenIds.size +
       " " + codegenIds.toSeq.sorted.mkString("[", ",", "]") +
       ", non-codegen operators: " + interpretedNodes +
       ", top: " + planStr.linesIterator.take(1).mkString)
     planStr.linesIterator
       .filter(l => l.contains("+- ") && !l.contains("*("))
-      .foreach(l => println("[plan] NON-CODEGEN: " + l.trim))
-    spark.stop()
+      .foreach(l => println(s"[plan] $label NON-CODEGEN: " + l.trim))
   }
 }

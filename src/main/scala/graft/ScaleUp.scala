@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Similarity}
-import graft.pipeline.{Exporter, Pipeline}
+import graft.pipeline.{Exporter, MetricsExporter, Pipeline, TraceExporter}
 import graft.sources.{DataGen, Transcripts}
 
 /** Scale-up evidence: the flagship pipeline and the dedup/ANN family run at
@@ -185,6 +185,33 @@ object ScaleUp {
     results += op("ann_indexed", smallV, bigV, smallVecs, bigVecs) { v =>
       val p = if (v eq smallV) idxSmall else idxBig
       Similarity.lshTopKIndexed(spark, p, query(v), 10, planes = 10).count()
+    }
+
+    // traces/metrics exporter slices over a 100x synthetic events table:
+    // spansV3 is the span-shaping hot path (kind/status strings, attr
+    // promotion, references JSON kernels); samplesV4 is the full
+    // resource->scope->point FNV fingerprint chain + labels JSON. Both are
+    // pure projections (+ one groupBy for the sample agg hash), so the
+    // pass condition is near-linear time in rows.
+    val smallEvents = smallConvs / 4L // 100k at defaults — the sf0.1 shape
+    val bigEvents = smallEvents * 100L
+    def eventsAt(n: Long, files: Int) =
+      materialize(spark, s"$workDir/events_$n", files)(DataGen.events(spark, n))
+    val (smallE, bigE) = (eventsAt(smallEvents, 4), eventsAt(bigEvents, 64))
+    results += op("traces_spans", smallE, bigE, smallEvents, bigEvents) { e =>
+      TraceExporter.spansV3(TraceQueries.spansFrom(e))
+        .select(xxhash64(col("span_id"), col("trace_id"), col("ts_bucket_start"),
+          col("duration_nano"), col("span_kind"), col("status_code_string"),
+          col("is_remote"), col("http_host"), col("service_name"),
+          col("resource_fingerprint"), col("references")).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
+    }
+    results += op("metrics_samples", smallE, bigE, smallEvents, bigEvents) { e =>
+      MetricsExporter.samplesV4(
+        MetricsExporter.scalarPoints(MetricQueries.gaugesFrom(e)))
+        .select(xxhash64(col("env"), col("temporality"), col("metric_name"),
+          col("fingerprint"), col("unix_milli"), col("value")).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
     }
 
     val bytesBig = dirBytes(s"$workDir/transcripts_$bigConvs")

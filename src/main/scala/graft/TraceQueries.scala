@@ -23,7 +23,13 @@ object TraceQueries {
 
   private[graft] def eventsAsSpans(spark: SparkSession, dir: String): DataFrame = {
     SparkEntry.configure(spark)
-    val ev = read(spark, dir, "events")
+    spansFrom(read(spark, dir, "events"))
+  }
+
+  /** The span lift as a pure DataFrame->DataFrame so the scale-up bench can
+    * apply it to a synthetic events table of the same shape.
+    */
+  private[graft] def spansFrom(ev: DataFrame): DataFrame = {
     SpanFrames.withDefaults(ev.select(
       col("event_id"),
       lpad(graft.functions.FastLower(hex(col("user_id"))), 32, "0").as("trace_id"),

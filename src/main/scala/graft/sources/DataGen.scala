@@ -60,4 +60,31 @@ object DataGen {
         lit(1000000.0)).cast("float"))
     base.select(col("vec_id"), array(comps: _*).as("embedding"))
   }
+
+  /** `nEvents` rows mirroring the testdata `events` table shape
+    * (event_id long, ts timestamp, user_id long, event_type string,
+    * value double, props string): 5-way event_type split incl. ~20%
+    * `error`, a 30-day timestamp window, user cardinality scaled with the
+    * row count (testdata ratio: 1.5k users per 100k events). Input for the
+    * traces/metrics exporter scale-up ops.
+    */
+  def events(spark: SparkSession, nEvents: Long, seed: Long = 42L): DataFrame = {
+    val nUsers = math.max(100L, nEvents / 66L)
+    val base = spark.range(nEvents).withColumnRenamed("id", "event_id")
+    val types = typedlit(Array("signup", "click", "purchase", "error", "view"))
+    val secs = pmod(xxhash64(col("event_id"), lit(seed)), lit(2592000L))
+    val micros = pmod(xxhash64(col("event_id"), lit(seed + 1)), lit(1000000L))
+    base.select(
+      col("event_id"),
+      timestamp_micros(lit(1704067200000000L) + secs * 1000000L + micros).as("ts"),
+      pmod(xxhash64(col("event_id"), lit(seed + 2)), lit(nUsers)).as("user_id"),
+      element_at(types,
+        (pmod(xxhash64(col("event_id"), lit(seed + 3)), lit(5L)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("event_id"), lit(seed + 4)), lit(56021L)) / lit(100.0))
+        .as("value"),
+      concat(lit("""{"k":"""),
+        pmod(xxhash64(col("event_id"), lit(seed + 5)), lit(1000L)),
+        lit("}")).as("props"))
+  }
 }

@@ -180,4 +180,26 @@ class DataOpsSpec extends SparkSuite {
     val parts = Multimodal.mediaPartitioned(media, totalBytes = 1000000, targetBytes = 100000)
     assert(parts.rdd.getNumPartitions == 10)
   }
+
+  test("DataGen.events: testdata-shaped, deterministic at any parallelism") {
+    val e = graft.sources.DataGen.events(spark, 2000L)
+    assert(e.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val types = e.select("event_type").distinct().as[String].collect().toSet
+    assert(types == Set("signup", "click", "purchase", "error", "view"))
+    val stats = e.agg(
+      min(col("value")), max(col("value")), max(col("user_id")),
+      min(to_date(col("ts"))).cast("string"), max(to_date(col("ts"))).cast("string"),
+      sum(xxhash64(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props")))).collect().head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 560.21)
+    assert(stats.getLong(2) < 100L) // nUsers floor: max(100, n/66)
+    assert(stats.getString(3).startsWith("2024-01") &&
+      stats.getString(4).startsWith("2024-01"))
+    // same rows regardless of partitioning (pure column arithmetic)
+    val repart = graft.sources.DataGen.events(spark, 2000L).repartition(7)
+      .agg(sum(xxhash64(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")))).collect().head
+    assert(stats.getLong(5) == repart.getLong(0))
+  }
 }
