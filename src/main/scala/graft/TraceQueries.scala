@@ -104,6 +104,51 @@ object TraceQueries {
       TraceExporter.tagAttributes(TraceExporter.spansV3(eventsAsSpans(s, d)))
         .groupBy(col("tag_key"), col("tag_type"), col("tag_data_type"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // dependency_graph_minutes_v2: db/messaging attr edges + the service
+    // self-join (trace-co-partitioned), exact quantiles rounded to micros
+    // so the double-arithmetic compare is ulp-safe cross-engine
+    "q_dep_graph" -> ((s, d) => {
+      val emptyMap = map().cast("map<string,string>")
+      val spans = eventsAsSpans(s, d)
+        .withColumn("attributes_string", map_concat(
+          col("attributes_string"),
+          when(col("event_id") % 11 === 0,
+            map(lit("db.system"), lit("postgres"))).otherwise(emptyMap),
+          when(col("event_id") % 13 === 0,
+            map(lit("messaging.system"), lit("kafka"))).otherwise(emptyMap)))
+        .withColumn("resources_string", map(lit("service.name"),
+          concat(lit("svc-"), (col("event_id") % 4).cast("string"))))
+      val q = (i: Int, name: String) =>
+        round(element_at(col("duration_quantiles"), i) / 1000.0)
+          .cast("long").as(name)
+      TraceExporter.dependencyGraph(TraceExporter.spansV3(spans))
+        .select(col("timestamp"), col("src"), col("dest"),
+          col("deployment_environment"), col("k8s_cluster_name"),
+          col("k8s_namespace_name"),
+          q(1, "p50_us"), q(2, "p75_us"), q(3, "p90_us"),
+          q(4, "p95_us"), q(5, "p99_us"),
+          col("error_count"), col("total_count"))
+    }),
+
+    // signoz_calls_total (spanmetrics processor): minute-bucketed key with
+    // the always-prepended http.status_code dim (resolved from the NUMBER
+    // attr map via Go FormatFloat) + a configured dimension
+    "q_span_metrics" -> ((s, d) => {
+      graft.pipeline.SpanMetrics.callsTotal(eventsAsSpans(s, d),
+        graft.pipeline.SpanMetrics.Config(dimensions =
+          Seq(graft.pipeline.SpanMetrics.Dimension("event_type"))))
+    }),
+
+    // signoz_external_call_latency_*: CLIENT spans, remote address from the
+    // http.url host[:port] tier of the getRemoteAddress chain
+    "q_span_external" -> ((s, d) => {
+      graft.pipeline.SpanMetrics.externalCallLatency(eventsAsSpans(s, d))
+        .select(col("bucket_start"), col("service_name"), col("status_code"),
+          col("address"), col("`http.status_code`"),
+          round(col("latency_sum_ms") * 1000.0).cast("long").as("latency_sum_us"),
+          col("latency_count"))
     })
   )
 
@@ -123,7 +168,41 @@ object TraceQueries {
     "CASE WHEN event_id % 5 = 0 THEN '' ELSE lpad(lower(hex(user_id * 7 + 3)), 16, '0') END"
   private val serviceSql = "'svc-' || CAST(user_id % 4 AS VARCHAR)"
 
+  private val kindEnumCase =
+    """CASE event_id % 6 WHEN 1 THEN 'SPAN_KIND_INTERNAL'
+      |     WHEN 2 THEN 'SPAN_KIND_SERVER' WHEN 3 THEN 'SPAN_KIND_CLIENT'
+      |     WHEN 4 THEN 'SPAN_KIND_PRODUCER' WHEN 5 THEN 'SPAN_KIND_CONSUMER'
+      |     ELSE 'SPAN_KIND_UNSPECIFIED' END""".stripMargin
+
+  private val statusEnumCase =
+    """CASE WHEN event_type = 'error' THEN 'STATUS_CODE_ERROR'
+      |     WHEN event_id % 7 = 0 THEN 'STATUS_CODE_OK'
+      |     ELSE 'STATUS_CODE_UNSET' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q_span_metrics" ->
+      s"""SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS bucket_start,
+         |  $serviceSql AS service_name,
+         |  event_type AS operation,
+         |  $kindEnumCase AS span_kind,
+         |  $statusEnumCase AS status_code,
+         |  CAST(200 + (event_id % 4) * 100 AS VARCHAR) AS "http.status_code",
+         |  event_type AS event_type,
+         |  COUNT(*) AS call_count
+         |FROM events GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
+
+    "q_span_external" ->
+      s"""SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS bucket_start,
+         |  $serviceSql AS service_name,
+         |  $statusEnumCase AS status_code,
+         |  'api.example.com:8443' AS address,
+         |  CAST(200 + (event_id % 4) * 100 AS VARCHAR) AS "http.status_code",
+         |  CAST(round(SUM(floor(value * 1000000) / 1000000.0) * 1000.0)
+         |       AS BIGINT) AS latency_sum_us,
+         |  COUNT(*) AS latency_count
+         |FROM events WHERE event_id % 6 = 3
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q_spans_v3" ->
       s"""SELECT
@@ -176,6 +255,49 @@ object TraceQueries {
     "q_root_ops" ->
       s"""SELECT DISTINCT event_type AS name, $serviceSql AS serviceName
          |FROM events WHERE event_id % 5 = 0""".stripMargin,
+
+    "q_dep_graph" ->
+      s"""WITH spans AS (
+         |  SELECT event_id, user_id,
+         |    CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS dur,
+         |    CAST(event_id % 6 AS INT) AS kind,
+         |    CASE WHEN event_type = 'error' THEN 2
+         |         WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS status_code,
+         |    'svc-' || CAST(event_id % 4 AS VARCHAR) AS service_name,
+         |    $traceIdSql AS trace_id,
+         |    $spanIdSql AS span_id,
+         |    $parentSql AS parent_span_id,
+         |    CASE WHEN event_id % 11 = 0 THEN 'postgres' END AS db_system,
+         |    CASE WHEN event_id % 13 = 0 THEN 'kafka' END AS msg_system
+         |  FROM events
+         |), edges AS (
+         |  SELECT service_name AS src, db_system AS dest,
+         |         (ts_ns // 60000000000) * 60 AS minute, status_code, dur
+         |  FROM spans WHERE db_system IS NOT NULL AND kind != 2
+         |  UNION ALL
+         |  SELECT service_name, msg_system,
+         |         (ts_ns // 60000000000) * 60, status_code, dur
+         |  FROM spans WHERE msg_system IS NOT NULL AND kind != 2
+         |  UNION ALL
+         |  SELECT p.service_name, c.service_name,
+         |         (c.ts_ns // 60000000000) * 60, c.status_code, c.dur
+         |  FROM spans c JOIN spans p
+         |    ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+         |  WHERE c.parent_span_id != '' AND p.service_name != c.service_name
+         |)
+         |SELECT minute AS timestamp, src, dest,
+         |  '' AS deployment_environment, '' AS k8s_cluster_name,
+         |  '' AS k8s_namespace_name,
+         |  CAST(round(quantile_cont(dur, 0.50) / 1000.0) AS BIGINT) AS p50_us,
+         |  CAST(round(quantile_cont(dur, 0.75) / 1000.0) AS BIGINT) AS p75_us,
+         |  CAST(round(quantile_cont(dur, 0.90) / 1000.0) AS BIGINT) AS p90_us,
+         |  CAST(round(quantile_cont(dur, 0.95) / 1000.0) AS BIGINT) AS p95_us,
+         |  CAST(round(quantile_cont(dur, 0.99) / 1000.0) AS BIGINT) AS p99_us,
+         |  CAST(SUM(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS error_count,
+         |  COUNT(*) AS total_count
+         |FROM edges GROUP BY 1, 2, 3""".stripMargin,
 
     "q_span_attrs" ->
       s"""WITH hours AS (

@@ -313,6 +313,69 @@ object TraceExporter {
       .select(col("name"), col("service_name").as("serviceName"))
       .dropDuplicates()
 
+  /** `dependency_graph_minutes_v2` MV family (squashed_traces_migrations.go:
+    * 477-634): per-minute (src, dest, resource-env) call edges with exact
+    * duration quantiles (0.5/0.75/0.9/0.95/0.99 — the batch equivalent of
+    * the ClickHouse `quantilesState` the MVs accumulate), error count
+    * (statusCode=2) and total count, unioned from three edge sources:
+    *
+    *  - db calls     (mig 11): src=serviceName, dest=`db.system` attr,
+    *    `dest != '' AND kind != 2`
+    *  - messaging    (mig 12): same with dest=`messaging.system`
+    *  - service calls (mig 13): spans self-join `A.spanID = B.parentSpanID`
+    *    with `A.serviceName != B.serviceName`; quantile/count metrics and
+    *    resource tags come from the CHILD (B) side
+    *
+    * Spark-first scale shape: the reference MV joins on span id alone
+    * (relying on 8-byte-id uniqueness); a parent span is by OTel definition
+    * in the SAME trace, so this join adds trace_id as the leading key —
+    * both sides co-partition on one (trace_id, span_id) shuffle each
+    * (SortMergeJoin), instead of shuffling 100 TB of spans on a
+    * high-cardinality random span_id with no locality. Root spans
+    * (parent_span_id = '') are filtered before the shuffle.
+    */
+  def dependencyGraph(spansV3: DataFrame): DataFrame = {
+    def resTag(k: String): Column =
+      coalesce(col("resources_string").getItem(k), lit(""))
+    val base = spansV3.select(
+      col("trace_id"), col("span_id"), col("parent_span_id"),
+      col("service_name"), col("kind"), col("status_code"),
+      col("duration_nano"), col("timestamp"),
+      col("attributes_string").getItem("db.system").as("db_system"),
+      col("attributes_string").getItem("messaging.system").as("msg_system"),
+      resTag("deployment.environment").as("deployment_environment"),
+      resTag("k8s.cluster.name").as("k8s_cluster_name"),
+      resTag("k8s.namespace.name").as("k8s_namespace_name"))
+
+    val edgeCols = Seq(
+      expr("(timestamp div 60000000000) * 60").as("timestamp"),
+      col("deployment_environment"), col("k8s_cluster_name"),
+      col("k8s_namespace_name"), col("status_code"), col("duration_nano"))
+
+    def attrEdges(dest: Column): DataFrame = base
+      .filter(dest.isNotNull && dest =!= "" && col("kind") =!= 2)
+      .select(col("service_name").as("src") +: dest.as("dest") +: edgeCols: _*)
+
+    val parents = base.select(col("trace_id"),
+      col("span_id").as("parent_span_id"), col("service_name").as("src"))
+    val svcEdges = base.filter(col("parent_span_id") =!= "")
+      .join(parents, Seq("trace_id", "parent_span_id"))
+      .filter(col("src") =!= col("service_name"))
+      .select(col("src") +: col("service_name").as("dest") +: edgeCols: _*)
+
+    attrEdges(col("db_system"))
+      .unionByName(attrEdges(col("msg_system")))
+      .unionByName(svcEdges)
+      .groupBy(col("timestamp"), col("src"), col("dest"),
+        col("deployment_environment"), col("k8s_cluster_name"),
+        col("k8s_namespace_name"))
+      .agg(
+        expr("percentile(cast(duration_nano as double), " +
+          "array(0.5D, 0.75D, 0.9D, 0.95D, 0.99D))").as("duration_quantiles"),
+        sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("error_count"),
+        count(lit(1)).as("total_count"))
+  }
+
   /** Usage metering per service (usage.go; count + deterministic size). */
   def usage(spansV3: DataFrame): DataFrame =
     spansV3.groupBy(col("service_name"))
@@ -332,6 +395,7 @@ object TraceExporter {
       "signoz_error_index_v2" -> errorEvents(spans),
       "trace_summary" -> traceSummary(main),
       "root_operations" -> rootOperations(main),
+      "dependency_graph_minutes" -> dependencyGraph(main),
       "usage" -> usage(main))
   }
 }

@@ -198,4 +198,53 @@ class TraceExporterSpec extends SparkSuite {
     val keys = TraceExporter.tagKeys(TraceExporter.spansV3(frame)).collect()
     assert(keys.forall(!_.getBoolean(3))) // isColumn always false here
   }
+
+  test("dependencyGraph: db/msg attr edges (kind!=2 gate), service self-join " +
+      "within trace, exact quantiles (squashed_traces_migrations.go:477-634)") {
+    val rows = Seq(
+      // (trace, span, parent, kind, status, durNs, attrs, resources)
+      ("t1", "p1", "", 2, 0, 5000000L,
+        Map.empty[String, String], Map("service.name" -> "A")),
+      ("t1", "c1", "p1", 3, 2, 1000000L,
+        Map.empty[String, String], Map("service.name" -> "B")),
+      ("t1", "c2", "p1", 3, 0, 3000000L,
+        Map.empty[String, String], Map("service.name" -> "B")),
+      // same service as parent -> no service edge
+      ("t1", "c3", "p1", 3, 0, 9000000L,
+        Map.empty[String, String], Map("service.name" -> "A")),
+      // parent span id matches but in ANOTHER trace -> no edge (the
+      // trace-co-partitioned join is deliberately tighter than the
+      // reference MV's bare span-id join)
+      ("t2", "x1", "p1", 3, 0, 7000000L,
+        Map.empty[String, String], Map("service.name" -> "C")),
+      ("t1", "d1", "", 3, 0, 2000000L,
+        Map("db.system" -> "mysql"), Map("service.name" -> "A")),
+      // kind=2 (server) excluded from attr edges
+      ("t1", "d2", "", 2, 0, 2000000L,
+        Map("db.system" -> "mysql"), Map("service.name" -> "A")),
+      ("t1", "m1", "", 4, 2, 4000000L,
+        Map("messaging.system" -> "kafka"),
+        Map("service.name" -> "B", "deployment.environment" -> "prod")))
+    val df = SpanFrames.withDefaults(rows.toDF(
+      "trace_id", "span_id", "parent_span_id", "kind", "status_code", "dur",
+      "attributes_string", "resources_string")
+      .withColumn("start_ts", lit(T0))
+      .withColumn("end_ts", lit(T0) + col("dur"))
+      .drop("dur"))
+    val out = TraceExporter.dependencyGraph(TraceExporter.spansV3(df))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dest")) -> r)
+      .toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "mysql"), ("B", "kafka")))
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("total_count") == 2L)
+    assert(ab.getAs[Long]("error_count") == 1L)
+    val qs = ab.getSeq[Double](ab.fieldIndex("duration_quantiles"))
+    // [1e6, 3e6]: h=(n-1)*q -> p50=2e6, p99=2.98e6 (type-7 interpolation)
+    assert(qs(0) == 2000000.0 && qs(4) == 2980000.0)
+    assert(out(("A", "mysql")).getAs[Long]("total_count") == 1L)
+    val msg = out(("B", "kafka"))
+    assert(msg.getAs[String]("deployment_environment") == "prod")
+    assert(msg.getAs[Long]("error_count") == 1L)
+    assert(out.values.forall(_.getAs[Long]("timestamp") == 1672531200L))
+  }
 }
