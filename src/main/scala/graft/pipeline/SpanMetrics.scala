@@ -181,6 +181,20 @@ object SpanMetrics {
       .drop("bucket")
   }
 
+  /** `signoz_latency` exponential-histogram variant (enable_exp_histogram,
+    * processor.go:1012-1016 feeding the OTel `structure.Histogram`): per-key
+    * base-2 buckets via [[Histogram.exponential]] (auto-scaled, 160-bucket
+    * default) over the same latency/key shaping as [[latency]].
+    */
+  def latencyExpHistogram(spans: DataFrame, cfg: Config = Config(),
+      maxSize: Int = 160): DataFrame = {
+    val p = prepared(spans, cfg)
+      .select(keyCols(cfg, cfg.dimensions) :+ col("latency_ms"): _*)
+    Histogram.exponential(p, col("latency_ms"),
+      Seq("bucket_start", "service_name", "operation", "span_kind",
+        "status_code") ++ cfg.dimensions.map(_.name), maxSize = maxSize)
+  }
+
   /** `signoz_calls_total`: count per key + the http.status_code dimension
     * the processor always prepends (processor.go:278-281).
     */

@@ -121,6 +121,24 @@ class SpanMetricsSpec extends SparkSuite {
     assert(ext.head.getAs[String]("http.status_code") == "500")
   }
 
+  test("latency exp-histogram: base-2 buckets over the spanmetrics key") {
+    val svc = Map("service.name" -> "A")
+    // latencies 1, 2, 4 ms -> at any scale s, bucket indices are s apart;
+    // exact powers of two land on bucket (log2(v) * 2^s) - 1
+    val df = frame(Seq(
+      ("op", 2, 0, 1000000L, Map.empty[String, String], svc),
+      ("op", 2, 0, 2000000L, Map.empty[String, String], svc),
+      ("op", 2, 0, 4000000L, Map.empty[String, String], svc)))
+    val out = SpanMetrics.latencyExpHistogram(df).collect()
+    assert(out.length == 3)
+    val scale = out.head.getAs[Int]("scale")
+    val idx = out.map(_.getAs[Long]("bucket_idx")).sorted
+    // consecutive powers of two are exactly 2^scale buckets apart
+    assert(idx(1) - idx(0) == (1L << scale) && idx(2) - idx(1) == (1L << scale))
+    assert(out.forall(_.getAs[Long]("n") == 1L))
+    assert(out.forall(_.getAs[String]("service_name") == "A"))
+  }
+
   test("exclude patterns skip spans (TestExcludePatternSkips)") {
     val rows = Seq(
       ("keepOp", 2, 0, 1000000L, Map.empty[String, String],
