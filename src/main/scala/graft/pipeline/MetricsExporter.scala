@@ -194,6 +194,18 @@ object MetricsExporter {
     points.select(cols: _*)
   }
 
+  /** Metric-points usage metering (signozclickhousemetrics/usage.go:
+    * SigNozMetricPointsCount/Bytes per tenant; the meter connector's
+    * metrics path, connector.go:319-330, counts the same points per
+    * resource-dim key): datapoint count + deterministic byte-size stand-in
+    * per tenant column (default `env`, the resource-derived tenant analogue
+    * in this model).
+    */
+  def usage(samples: DataFrame, tenantCol: Column = col("env")): DataFrame =
+    samples.groupBy(tenantCol.as("tenant"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(length(col("metric_name")).cast("long") + lit(24L)).as("n_bytes"))
+
   /** `time_series_v4` rows: hour-floored, one per series per hour
     * (exporter.go:1199-1214; the ttlcache dedup == dropDuplicates).
     */
