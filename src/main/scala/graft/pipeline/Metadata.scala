@@ -43,14 +43,30 @@ object Metadata {
       .withColumn("__att", AttrsMeta.of(
         col("attributes_string"), col("attributes_number"), col("attributes_bool"),
         skip))
+      // Dedup happens over SCALAR columns only: a dropDuplicates that
+      // carries map payloads plans first(map) aggregates, and any
+      // var-length/complex aggregation BUFFER forces SortAggregate (sorts
+      // every partition by the group key — measured the slowest projection
+      // query in the suite). The fingerprints determine the maps, so
+      // distinct() over (keys + canonical-JSON payloads) is the same row
+      // set through a pure codegen HashAggregate; the maps re-materialize
+      // from the canonical JSON on the deduped rows (codegen kernel too).
+      .select(
+        col("rounded_unix_milli"),
+        col("__res.fprint").as("resource_fingerprint"),
+        col("__att.fprint").as("attr_fingerprint"),
+        graft.functions.MapSortedJson(col("__res.attrs")).as("__res_json"),
+        graft.functions.MapSortedJson(col("__att.attrs")).as("__att_json"))
+      .distinct()
       .select(
         col("rounded_unix_milli"),
         lit("logs").as("data_source"),
-        col("__res.fprint").as("resource_fingerprint"),
-        col("__att.fprint").as("attr_fingerprint"),
-        col("__res.attrs").as("resource_attrs"),
-        col("__att.attrs").as("attrs"))
-      .dropDuplicates("rounded_unix_milli", "resource_fingerprint", "attr_fingerprint")
+        col("resource_fingerprint"),
+        col("attr_fingerprint"),
+        graft.functions.JsonTypedMaps.of(col("__res_json"))
+          .getField("strings").as("resource_attrs"),
+        graft.functions.JsonTypedMaps.of(col("__att_json"))
+          .getField("strings").as("attrs"))
     existing match {
       case Some(e) => rows.join(
         e.select("rounded_unix_milli", "resource_fingerprint", "attr_fingerprint"),
