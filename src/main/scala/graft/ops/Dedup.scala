@@ -119,12 +119,16 @@ object Dedup {
   def minhashBandRows(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 16,
       bands: Int = 4): DataFrame = {
-    // identical texts -> identical md5 -> one representative (min id); the
-    // aggregate is map-side partial so duplicate-heavy input collapses
-    // before the exchange
+    // identical texts -> one representative (min id). The TEXT is the group
+    // KEY: var-length group keys hash-aggregate fine, while the previous
+    // md5-keyed form needed first(text) whose var-length aggregation BUFFER
+    // forces SortAggregate (sorts every partition). min(id) is a primitive
+    // buffer -> pure codegen HashAggregate with map-side partials, and the
+    // exchange carries each distinct text once (the md5 form shuffled the
+    // text anyway, inside its first() buffer, plus the 32-byte key).
     val reps = docs
-      .groupBy(md5(col(textCol)).as("__fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+      .groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("id"))
     reps
       // semantically identical to lshBandKeys(minhashSignature(
       // shingleHashes(...))) but without the interpreted higher-order
@@ -171,10 +175,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxDist: Int = 3, maxChunkGroup: Int = 256): DataFrame = {
     // same exact-dup collapse as minhashCandidates: identical texts share
-    // every chunk, so a hot group would emit O(g²) candidate pairs
+    // every chunk, so a hot group would emit O(g²) candidate pairs. Text as
+    // the group KEY (see minhashBandRows) keeps it a codegen HashAggregate.
     val withSim = docs
-      .groupBy(md5(col(textCol)).as("__fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+      .groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("id"))
       .select(col("id"), graft.functions.SimHash64(col("__text")).as("sim"))
     val chunks = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i =>

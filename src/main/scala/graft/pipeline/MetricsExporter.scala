@@ -209,16 +209,31 @@ object MetricsExporter {
   /** `time_series_v4` rows: hour-floored, one per series per hour
     * (exporter.go:1199-1214; the ttlcache dedup == dropDuplicates).
     */
-  def timeSeriesV4(points: DataFrame): DataFrame =
+  def timeSeriesV4(points: DataFrame): DataFrame = {
+    import graft.functions.{JsonTypedMaps, MapSortedJson}
+    // dedup over SCALARS only: dropDuplicates carrying the three attr maps
+    // plans first(map) aggregates whose var-length buffers force
+    // SortAggregate (see Metadata.attributesMetadata). The fingerprint
+    // determines every payload column, so distinct() over the serialized
+    // form is the same row set through a codegen HashAggregate; the maps
+    // re-materialize from canonical JSON on the deduped (per-series-hour)
+    // rows.
     points
       .withColumn("unix_milli", expr("(unix_milli div 3600000) * 3600000"))
       .select(col("env"), col("temporality"), col("metric_name"),
         col("description"), col("unit"), col("metric_type"), col("is_monotonic"),
         col("fingerprint"), col("unix_milli"), col("labels"),
-        col("__pfp.attrs").as("attrs"),
-        col("__sfp.attrs").as("scope_attrs"),
-        col("__rfp.attrs").as("resource_attrs"))
-      .dropDuplicates("fingerprint", "unix_milli")
+        MapSortedJson(col("__pfp.attrs")).as("__a"),
+        MapSortedJson(col("__sfp.attrs")).as("__s"),
+        MapSortedJson(col("__rfp.attrs")).as("__r"))
+      .distinct()
+      .select(col("env"), col("temporality"), col("metric_name"),
+        col("description"), col("unit"), col("metric_type"), col("is_monotonic"),
+        col("fingerprint"), col("unix_milli"), col("labels"),
+        JsonTypedMaps.of(col("__a")).getField("strings").as("attrs"),
+        JsonTypedMaps.of(col("__s")).getField("strings").as("scope_attrs"),
+        JsonTypedMaps.of(col("__r")).getField("strings").as("resource_attrs"))
+  }
 
   /** `metadata` rows (batch.go:34-84): one per (metric identity, attribute
     * entry) with the first/last-seen window widened across the batch. The
