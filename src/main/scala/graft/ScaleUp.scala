@@ -26,10 +26,17 @@ object ScaleUp {
     def json: String = {
       val rowRatio = rowsBig.toDouble / math.max(1L, rowsSmall)
       val timeRatio = secBig / math.max(1e-9, secSmall)
+      // rows/sec at each scale makes sublinear time growth self-evident:
+      // big-side throughput ABOVE small-side means the gap is fixed
+      // per-query overhead amortizing, not a degrading shuffle path.
+      val tpsSmall = rowsSmall / math.max(1e-9, secSmall)
+      val tpsBig = rowsBig / math.max(1e-9, secBig)
       f""""$name":{"rows_small":$rowsSmall,"sec_small":$secSmall%.2f,""" +
         f""""rows_big":$rowsBig,"sec_big":$secBig%.2f,""" +
         f""""row_ratio":$rowRatio%.1f,"time_ratio":$timeRatio%.1f,""" +
-        f""""linearity":${timeRatio / rowRatio}%.3f,"out":$out}"""
+        f""""linearity":${timeRatio / rowRatio}%.3f,""" +
+        f""""rows_per_sec_small":$tpsSmall%.0f,"rows_per_sec_big":$tpsBig%.0f,""" +
+        f""""out":$out}"""
     }
     /** Truncation-proof essentials for the stdout headline line. */
     def compactJson: String = {

@@ -149,6 +149,16 @@ object TraceQueries {
           col("address"), col("`http.status_code`"),
           round(col("latency_sum_ms") * 1000.0).cast("long").as("latency_sum_us"),
           col("latency_count"))
+    }),
+
+    // signoz_latency exemplars: bounded top-k-by-duration per metric key
+    // (TopKExemplars ObjectHashAggregate — map-side partial top-k), ranks
+    // replicated in the oracle via row_number over the identical total
+    // order. Daily buckets so hundreds of groups EXCEED k and the oracle
+    // exercises the eviction path, not just pass-through
+    "q_span_exemplars" -> ((s, d) => {
+      graft.pipeline.SpanMetrics.latencyExemplars(eventsAsSpans(s, d),
+        graft.pipeline.SpanMetrics.Config(bucketSeconds = 86400L), k = 3)
     })
   )
 
@@ -203,6 +213,29 @@ object TraceQueries {
          |  COUNT(*) AS latency_count
          |FROM events WHERE event_id % 6 = 3
          |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // top-3 exemplars per spanmetrics key: row_number over the SAME total
+    // order the aggregate keeps (value_ns, trace_id, span_id — all DESC;
+    // ids are ASCII hex so binary and collation order agree)
+    "q_span_exemplars" ->
+      s"""SELECT bucket_start, service_name, operation, span_kind,
+         |  status_code, CAST(rnk AS INT) AS rank, trace_id, span_id, value_ns
+         |FROM (
+         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_start,
+         |    $serviceSql AS service_name,
+         |    event_type AS operation,
+         |    $kindEnumCase AS span_kind,
+         |    $statusEnumCase AS status_code,
+         |    $traceIdSql AS trace_id,
+         |    $spanIdSql AS span_id,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS value_ns,
+         |    row_number() OVER (
+         |      PARTITION BY CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400,
+         |        $serviceSql, event_type, $kindEnumCase, $statusEnumCase
+         |      ORDER BY CAST(floor(value * 1000000) AS BIGINT) DESC,
+         |        $traceIdSql DESC, $spanIdSql DESC) AS rnk
+         |  FROM events
+         |) WHERE rnk <= 3""".stripMargin,
 
     "q_spans_v3" ->
       s"""SELECT

@@ -195,6 +195,42 @@ object SpanMetrics {
         "status_code") ++ cfg.dimensions.map(_.name), maxSize = maxSize)
   }
 
+  /** `signoz_latency` exemplars (processor.go:1084 append +
+    * setExemplars:1452-1474 flush, empty-trace-id skip): per key, the k
+    * highest-latency (trace_id, span_id, value) tuples — flattened to one
+    * row per exemplar with a 1-based `rank`. The reference keeps EVERY span
+    * in its seconds-long flush window; a batch bucket can hold millions of
+    * spans, so the batch form caps deterministically at the k slowest
+    * (ties broken by trace_id then span_id, descending). `value` is the
+    * span duration in nanoseconds (exact integer — rank order is
+    * float-rounding-free).
+    *
+    * Scale: [[graft.functions.TopKExemplars]] is a bounded-buffer
+    * ObjectHashAggregate — map-side partial top-k ships at most k entries
+    * per key per partition, where a window-rank plan would shuffle and
+    * sort every span row.
+    */
+  def latencyExemplars(spans: DataFrame, cfg: Config = Config(),
+      k: Int = 3): DataFrame = {
+    val p = prepared(spans, cfg)
+      .withColumn("duration_nano",
+        when(col("end_ts") > col("start_ts"), col("end_ts") - col("start_ts"))
+          .otherwise(0L))
+    val keys = keyCols(cfg, cfg.dimensions)
+    val keyNames = Seq("bucket_start", "service_name", "operation",
+      "span_kind", "status_code") ++ cfg.dimensions.map(_.name)
+    p.groupBy(keys: _*)
+      .agg(graft.functions.TopKExemplars(col("duration_nano").cast("double"),
+        col("trace_id"), col("span_id"), k).as("exemplars"))
+      .select(keyNames.map(col) :+
+        posexplode(col("exemplars")).as(Seq("__pos", "ex")): _*)
+      .select(keyNames.map(col) :+
+        (col("__pos") + 1).cast("int").as("rank") :+
+        col("ex.trace_id").as("trace_id") :+
+        col("ex.span_id").as("span_id") :+
+        col("ex.value").cast("long").as("value_ns"): _*)
+  }
+
   /** `signoz_calls_total`: count per key + the http.status_code dimension
     * the processor always prepends (processor.go:278-281).
     */

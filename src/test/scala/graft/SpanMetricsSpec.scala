@@ -153,4 +153,65 @@ class SpanMetricsSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("call_count")).sum == 1L)
     assert(out.head.getAs[String]("operation") == "keepOp")
   }
+
+  test("exemplars: top-k by duration, empty-trace-id skip (setExemplars), " +
+      "deterministic tie-break") {
+    val svc = Map("service.name" -> "A")
+    // 6 spans, one key; k=3 keeps the three slowest; t0/span "s0" has the
+    // HIGHEST latency but an empty trace id -> skipped like the reference's
+    // traceID.IsEmpty() gate; two spans tie at 5ms -> trace_id DESC breaks
+    val rows = Seq(
+      ("", "s0", 9000000L), // skipped despite being slowest
+      ("t1", "s1", 7000000L),
+      ("t2", "s2", 5000000L),
+      ("t3", "s3", 5000000L), // tie with t2: t3 > t2 so t3 ranks first
+      ("t4", "s4", 1000000L),
+      ("t5", "s5", 2000000L))
+    val df = SpanFrames.withDefaults(rows.toDF("tid", "span_id", "dur")
+      .withColumn("name", lit("op"))
+      .withColumn("kind", lit(2))
+      .withColumn("status_code", lit(0))
+      .withColumn("attributes_string", map().cast("map<string,string>"))
+      .withColumn("resources_string",
+        map(lit("service.name"), lit("A")))
+      .withColumn("start_ts", lit(T0))
+      .withColumn("end_ts", lit(T0) + col("dur"))
+      .drop("dur"))
+      .drop("trace_id").withColumnRenamed("tid", "trace_id")
+    val out = SpanMetrics.latencyExemplars(df, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("trace_id"),
+        r.getAs[Long]("value_ns")))
+    assert(out.toSeq == Seq(
+      (1, "t1", 7000000L),
+      (2, "t3", 5000000L), // tie broken by trace_id descending
+      (3, "t2", 5000000L)))
+  }
+
+  test("exemplars: partial-buffer merge keeps the global top-k across " +
+      "partitions") {
+    // 40 spans spread over 8 partitions; global top-2 must survive the
+    // map-side partial -> reduce merge regardless of partition placement
+    val rows = (1 to 40).map(i => (f"t$i%02d", f"s$i%02d", i * 1000000L))
+    val df = SpanFrames.withDefaults(
+      spark.createDataFrame(rows).toDF("tid", "span_id", "dur")
+        .repartition(8)
+        .withColumn("name", lit("op"))
+        .withColumn("kind", lit(2))
+        .withColumn("status_code", lit(0))
+        .withColumn("resources_string", map(lit("service.name"), lit("A")))
+        .withColumn("start_ts", lit(T0))
+        .withColumn("end_ts", lit(T0) + col("dur"))
+        .drop("dur"))
+      .drop("trace_id").withColumnRenamed("tid", "trace_id")
+    val out = SpanMetrics.latencyExemplars(df, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("trace_id")))
+    assert(out.toSeq == Seq((1, "t40"), (2, "t39")))
+    // and the plan is the bounded-buffer aggregate, not a window sort
+    val plan = SpanMetrics.latencyExemplars(df, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }
