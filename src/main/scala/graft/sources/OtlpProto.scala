@@ -372,4 +372,227 @@ object OtlpProto {
 
   /** Convenience for [[LogSources.fromKafka]]. */
   def fromKafka(df: DataFrame): DataFrame = fromOtlpProto(df, col("value"))
+
+  // ---- traces (TracesData / ExportTraceServiceRequest) ---------------------
+
+  /** One decoded Span, named to line up with [[graft.model.SpanFrames]]
+    * (missing columns get SpanFrames.withDefaults' neutral values). Events
+    * carry stringified attrs (the traces exporter JSONs them,
+    * SpanKernels events column); links keep ids only (the exporter
+    * hardcodes the FOLLOWS_FROM ref type, see SpanSchema).
+    */
+  final case class OtlpSpanRow(
+      start_ts: Long,
+      end_ts: Long,
+      trace_id: String,
+      span_id: String,
+      parent_span_id: String,
+      trace_state: String,
+      flags: Int,
+      name: String,
+      kind: Int,
+      status_code: Int,
+      status_message: String,
+      attributes_string: Map[String, String],
+      attributes_number: Map[String, Double],
+      attributes_bool: Map[String, Boolean],
+      resources_string: Map[String, String],
+      scope_name: String,
+      scope_version: String,
+      scope_string: Map[String, String],
+      events: Seq[OtlpSpanEvent],
+      links: Seq[OtlpSpanLink])
+
+  final case class OtlpSpanEvent(name: String, ts_ns: Long,
+      attrs: Map[String, String])
+  final case class OtlpSpanLink(trace_id: String, span_id: String)
+
+  /** Parse one serialized TracesData / ExportTraceServiceRequest (identical
+    * wire layout: `repeated ResourceSpans resource_spans = 1`) — the Kafka
+    * receiver's default traces encoding (`unmarshaler.go:53-62` `otlp_proto`
+    * -> `ptrace.ProtoUnmarshaler`). Field numbers from the public
+    * opentelemetry-proto `trace/v1/trace.proto`:
+    *
+    *  - TracesData: resource_spans=1
+    *  - ResourceSpans: resource=1, scope_spans=2, schema_url=3
+    *  - ScopeSpans: scope=1, spans=2, schema_url=3
+    *  - Span: trace_id=1 (bytes), span_id=2 (bytes), trace_state=3,
+    *    parent_span_id=4 (bytes), name=5, kind=6 (varint),
+    *    start_time_unix_nano=7 (fixed64), end_time_unix_nano=8 (fixed64),
+    *    attributes=9, dropped=10, events=11, dropped_events=12, links=13,
+    *    dropped_links=14, status=15, flags=16 (fixed32)
+    *  - Span.Event: time_unix_nano=1 (fixed64), name=2, attributes=3
+    *  - Span.Link: trace_id=1, span_id=2, trace_state=3, attributes=4,
+    *    dropped=5, flags=6 (fixed32)
+    *  - Status: message=2, code=3 (varint; field 1 is the deprecated code)
+    *
+    * All-zero ids map to "" (`utils.TraceIDToHexOrEmptyString` /
+    * `SpanIDToHexOrEmptyString` parity).
+    */
+  def parseTracesData(bytes: Array[Byte]): Seq[OtlpSpanRow] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[OtlpSpanRow]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.readVarint()
+      if ((tag >> 3).toInt == 1) parseResourceSpans(top.readSlice(), out)
+      else top.skip((tag & 7).toInt)
+    }
+    out.toSeq
+  }
+
+  private def parseResourceSpans(r: Reader,
+      out: scala.collection.mutable.ArrayBuffer[OtlpSpanRow]): Unit = {
+    var resource = Map.empty[String, String]
+    val scopeSlices = scala.collection.mutable.ListBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 => // Resource{attributes=1}: force-stringified at the sink
+          val attrs = parseAttrList(r.readSlice(), valuesField = 1)
+          resource = attrs.map { case (k, v) => k -> avToString(v) }.toMap
+        case 2 => scopeSlices += r.readSlice()
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    scopeSlices.foreach(parseScopeSpans(_, resource, out))
+  }
+
+  private def parseScopeSpans(r: Reader, resource: Map[String, String],
+      out: scala.collection.mutable.ArrayBuffer[OtlpSpanRow]): Unit = {
+    var scopeName = ""
+    var scopeVersion = ""
+    var scopeAttrs = Map.empty[String, String]
+    val spanSlices = scala.collection.mutable.ListBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 =>
+          val s = r.readSlice()
+          while (s.hasMore) {
+            val t2 = s.readVarint()
+            (t2 >> 3).toInt match {
+              case 1 => scopeName = s.readString()
+              case 2 => scopeVersion = s.readString()
+              case 3 =>
+                val (k, v) = parseKeyValue(s.readSlice())
+                scopeAttrs += k -> avToString(v)
+              case _ => s.skip((t2 & 7).toInt)
+            }
+          }
+        case 2 => spanSlices += r.readSlice()
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    spanSlices.foreach { sp =>
+      out += parseSpan(sp, resource, scopeName, scopeVersion, scopeAttrs)
+    }
+  }
+
+  private def idHex(b: Array[Byte]): String =
+    if (b.forall(_ == 0)) "" else hex(b)
+
+  private def parseSpanEvent(r: Reader): OtlpSpanEvent = {
+    var ts = 0L
+    var name = ""
+    var attrs = Map.empty[String, String]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 => ts = r.readFixed64()
+        case 2 => name = r.readString()
+        case 3 =>
+          val (k, v) = parseKeyValue(r.readSlice())
+          attrs += k -> avToString(v)
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    OtlpSpanEvent(name, ts, attrs)
+  }
+
+  private def parseSpanLink(r: Reader): OtlpSpanLink = {
+    var traceId = ""
+    var spanId = ""
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 => traceId = idHex(r.readBytes())
+        case 2 => spanId = idHex(r.readBytes())
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    OtlpSpanLink(traceId, spanId)
+  }
+
+  private def parseSpan(r: Reader, resource: Map[String, String],
+      scopeName: String, scopeVersion: String,
+      scopeAttrs: Map[String, String]): OtlpSpanRow = {
+    var traceId = ""
+    var spanId = ""
+    var parentId = ""
+    var traceState = ""
+    var name = ""
+    var kind = 0
+    var startTs = 0L
+    var endTs = 0L
+    var attrs: List[(String, AV)] = Nil
+    var statusCode = 0
+    var statusMessage = ""
+    var flags = 0
+    val events = scala.collection.mutable.ListBuffer.empty[OtlpSpanEvent]
+    val links = scala.collection.mutable.ListBuffer.empty[OtlpSpanLink]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >> 3).toInt match {
+        case 1 => traceId = idHex(r.readBytes())
+        case 2 => spanId = idHex(r.readBytes())
+        case 3 => traceState = r.readString()
+        case 4 => parentId = idHex(r.readBytes())
+        case 5 => name = r.readString()
+        case 6 => kind = r.readVarint().toInt
+        case 7 => startTs = r.readFixed64()
+        case 8 => endTs = r.readFixed64()
+        case 9 => attrs = attrs :+ parseKeyValue(r.readSlice())
+        case 11 => events += parseSpanEvent(r.readSlice())
+        case 13 => links += parseSpanLink(r.readSlice())
+        case 15 =>
+          val s = r.readSlice()
+          while (s.hasMore) {
+            val t2 = s.readVarint()
+            (t2 >> 3).toInt match {
+              case 2 => statusMessage = s.readString()
+              case 3 => statusCode = s.readVarint().toInt
+              case _ => s.skip((t2 & 7).toInt)
+            }
+          }
+        case 16 => flags = r.readFixed32()
+        case _ => r.skip(wire)
+      }
+    }
+    val (as, an, ab) = splitAttrs(attrs)
+    OtlpSpanRow(startTs, endTs, traceId, spanId, parentId, traceState, flags,
+      name, kind, statusCode, statusMessage, as, an, ab, resource,
+      scopeName, scopeVersion, scopeAttrs, events.toSeq, links.toSeq)
+  }
+
+  /** Binary column of OTLP-protobuf traces payloads -> SpanFrames frame,
+    * ready for [[graft.pipeline.TraceExporter.spansV3]]. Undecodable
+    * messages are dropped (receiver error-metric parity, as in
+    * [[fromOtlpProto]]).
+    */
+  def fromOtlpProtoSpans(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(valueCol.cast("binary").as("v")).as[Array[Byte]]
+      .flatMap { bytes =>
+        try parseTracesData(bytes)
+        catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => Seq.empty }
+      }
+    graft.model.SpanFrames.withDefaults(rows.toDF())
+  }
+
+  /** Kafka traces topic (default `otlp_proto` encoding) -> span frame. */
+  def fromKafkaSpans(df: DataFrame): DataFrame =
+    fromOtlpProtoSpans(df, col("value"))
 }

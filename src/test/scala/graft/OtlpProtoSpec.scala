@@ -157,4 +157,106 @@ class OtlpProtoSpec extends SparkSuite {
       SparkEntry.transcriptPipeline)(logs)
     assert(routed.count() == 1)
   }
+
+  // ---- traces --------------------------------------------------------------
+
+  private def tracesData(resourceAttrs: Seq[Array[Byte]], scopeName: String,
+      spans: Seq[Array[Byte]]): Array[Byte] =
+    msg { o =>
+      bytesField(o, 1, msg { rs => // ResourceSpans
+        bytesField(rs, 1, msg { res => // Resource
+          resourceAttrs.foreach(a => bytesField(res, 1, a))
+        })
+        bytesField(rs, 2, msg { ss => // ScopeSpans
+          bytesField(ss, 1, msg { sc => // InstrumentationScope
+            strField(sc, 1, scopeName)
+            strField(sc, 2, "v2")
+          })
+          spans.foreach(sp => bytesField(ss, 2, sp))
+        })
+      })
+    }
+
+  test("otlp_proto traces: full Span decode — ids, status, events, links, " +
+      "typed attrs") {
+    val span = msg { s =>
+      bytesField(s, 1, (1 to 16).map(_.toByte).toArray) // trace_id
+      bytesField(s, 2, (0xb1 to 0xb8).map(_.toByte).toArray) // span_id
+      strField(s, 3, "vendor=x")
+      bytesField(s, 4, (0xc1 to 0xc8).map(_.toByte).toArray) // parent
+      strField(s, 5, "GET /api")
+      varintField(s, 6, 3) // CLIENT
+      fixed64Field(s, 7, 1000000000L)
+      fixed64Field(s, 8, 1005000000L)
+      bytesField(s, 9, kv("http.url", avStr("https://x.example/a")))
+      bytesField(s, 9, kv("http.status_code", avInt(200)))
+      bytesField(s, 9, kv("ok", avBool(true)))
+      bytesField(s, 11, msg { ev => // event
+        fixed64Field(ev, 1, 1001000000L)
+        strField(ev, 2, "exception")
+        bytesField(ev, 3, kv("exception.type", avStr("E1")))
+        bytesField(ev, 3, kv("retry", avInt(2))) // stringified in events
+      })
+      bytesField(s, 13, msg { ln => // link
+        bytesField(ln, 1, (21 to 36).map(_.toByte).toArray)
+        bytesField(ln, 2, (41 to 48).map(_.toByte).toArray)
+      })
+      bytesField(s, 15, msg { st => // Status
+        strField(st, 2, "boom")
+        varintField(st, 3, 2) // ERROR
+      })
+      fixed32Field(s, 16, 0x300) // flags: remote bits set
+    }
+    val rows = OtlpProto.parseTracesData(tracesData(
+      Seq(kv("service.name", avStr("svc-t"))), "tracer", Seq(span)))
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.trace_id == "0102030405060708090a0b0c0d0e0f10")
+    assert(r.span_id == "b1b2b3b4b5b6b7b8")
+    assert(r.parent_span_id == "c1c2c3c4c5c6c7c8")
+    assert(r.trace_state == "vendor=x")
+    assert(r.name == "GET /api" && r.kind == 3)
+    assert(r.start_ts == 1000000000L && r.end_ts == 1005000000L)
+    assert(r.status_code == 2 && r.status_message == "boom")
+    assert(r.flags == 0x300)
+    assert(r.attributes_string == Map("http.url" -> "https://x.example/a"))
+    assert(r.attributes_number == Map("http.status_code" -> 200.0))
+    assert(r.attributes_bool == Map("ok" -> true))
+    assert(r.resources_string == Map("service.name" -> "svc-t"))
+    assert(r.scope_name == "tracer" && r.scope_version == "v2")
+    assert(r.events == Seq(OtlpProto.OtlpSpanEvent("exception", 1001000000L,
+      Map("exception.type" -> "E1", "retry" -> "2"))))
+    assert(r.links == Seq(OtlpProto.OtlpSpanLink(
+      "15161718191a1b1c1d1e1f2021222324", "292a2b2c2d2e2f30")))
+  }
+
+  test("otlp_proto traces: zero ids empty, unknown fields skipped, adapter " +
+      "feeds spansV3 end-to-end") {
+    val minimal = msg { s =>
+      bytesField(s, 1, new Array[Byte](16)) // all-zero -> ""
+      bytesField(s, 2, Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+      strField(s, 5, "op")
+      varintField(s, 6, 2) // SERVER
+      fixed64Field(s, 7, 2000000000L)
+      fixed64Field(s, 8, 2003000000L)
+      varintField(s, 99, 5) // unknown field skipped
+    }
+    val payload = tracesData(
+      Seq(kv("service.name", avStr("svc-m"))), "t", Seq(minimal))
+    val df = Seq(payload, Array[Byte](0x7f, 0x00)).toDF("value") // 2nd malformed
+    val spans = OtlpProto.fromKafkaSpans(df)
+    val got = spans.select("trace_id", "span_id", "name", "kind",
+      "resources_string").collect()
+    assert(got.length == 1) // malformed dropped
+    assert(got.head.getString(0) == "")
+    assert(got.head.getString(1) == "0000000000000001")
+    assert(got.head.getString(2) == "op" && got.head.getInt(3) == 2)
+    // decoded frame runs the traces exporter unchanged
+    val v3 = graft.pipeline.TraceExporter.spansV3(spans).collect()
+    assert(v3.length == 1)
+    val row = v3.head
+    assert(row.getAs[String]("span_kind") == "Server")
+    assert(row.getAs[Long]("duration_nano") == 3000000L)
+    assert(row.getAs[String]("service_name") == "svc-m")
+  }
 }
