@@ -595,4 +595,443 @@ object OtlpProto {
   /** Kafka traces topic (default `otlp_proto` encoding) -> span frame. */
   def fromKafkaSpans(df: DataFrame): DataFrame =
     fromOtlpProtoSpans(df, col("value"))
+
+  // ---- metrics (MetricsData / ExportMetricsServiceRequest) -----------------
+
+  /** One decoded datapoint, named to line up with
+    * [[graft.model.MetricFrames]]; `shape` selects which frame family the
+    * row belongs to (scalar / histogram / summary / exp_histogram) and the
+    * unused extras keep their frame-default values. Attribute values are
+    * `pcommon.Value.AsString`-rendered, matching what the fingerprint/label
+    * layer consumes (exporter.go:1110-1125).
+    */
+  final case class OtlpMetricRow(
+      shape: String,
+      metric_name: String,
+      description: String,
+      unit: String,
+      metric_type: String,
+      temporality: String,
+      is_monotonic: Boolean,
+      unix_milli: Long,
+      value: Double,
+      flags: Int,
+      attrs: Map[String, String],
+      scope_name: String,
+      scope_version: String,
+      scope_schema_url: String,
+      scope_attrs: Map[String, String],
+      resource_attrs: Map[String, String],
+      count: Long,
+      sum_v: Double,
+      min_v: Double,
+      max_v: Double,
+      has_sum: Boolean,
+      has_min: Boolean,
+      has_max: Boolean,
+      explicit_bounds: Seq[Double],
+      bucket_counts: Seq[Long],
+      quantiles: Seq[OtlpQuantile],
+      scale: Int,
+      zero_count: Double,
+      positive_offset: Int,
+      positive_counts: Seq[Double],
+      negative_offset: Int,
+      negative_counts: Seq[Double])
+
+  /** Field names match [[graft.model.MetricFrames.quantileType]]. */
+  final case class OtlpQuantile(q: Double, v: Double)
+
+  private def d64(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
+  private def zigzag32(n: Long): Int = (((n >>> 1) ^ -(n & 1))).toInt
+
+  /** Packed-or-not repeated fixed64 field: wire 2 = packed slice, wire 1 =
+    * a single element (pre-proto3 / forward-compat encodings).
+    */
+  private def readRepFixed64(r: Reader, wire: Int,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit =
+    if (wire == 2) { val s = r.readSlice(); while (s.hasMore) out += s.readFixed64() }
+    else out += r.readFixed64()
+
+  private def readRepVarint(r: Reader, wire: Int,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit =
+    if (wire == 2) { val s = r.readSlice(); while (s.hasMore) out += s.readVarint() }
+    else out += r.readVarint()
+
+  private def temporalityString(v: Int): String = v match {
+    case 1 => "Delta"
+    case 2 => "Cumulative"
+    case _ => "Unspecified"
+  }
+
+  /** Parse one serialized MetricsData / ExportMetricsServiceRequest — the
+    * Kafka receiver's default metrics encoding (`unmarshaler.go:64-73`
+    * `otlp_proto` -> `pmetric.ProtoUnmarshaler`). Field numbers from the
+    * public opentelemetry-proto `metrics/v1/metrics.proto`:
+    *
+    *  - MetricsData: resource_metrics=1; ResourceMetrics: resource=1,
+    *    scope_metrics=2; ScopeMetrics: scope=1, metrics=2, schema_url=3
+    *  - Metric: name=1, description=2, unit=3; oneof data: gauge=5, sum=7,
+    *    histogram=9, exponential_histogram=10, summary=11
+    *  - Gauge: data_points=1; Sum: data_points=1, temporality=2 (varint),
+    *    is_monotonic=3; Histogram/ExponentialHistogram: data_points=1,
+    *    temporality=2; Summary: data_points=1
+    *  - NumberDataPoint: start=2, time=3 (fixed64), as_double=4 (fixed64),
+    *    exemplars=5, as_int=6 (sfixed64), attributes=7, flags=8
+    *  - HistogramDataPoint: start=2, time=3, count=4 (fixed64), sum=5
+    *    (fixed64 double, optional), bucket_counts=6 (packed fixed64),
+    *    explicit_bounds=7 (packed double), attributes=9, flags=10,
+    *    min=11, max=12 (optional doubles)
+    *  - ExponentialHistogramDataPoint: attributes=1, start=2, time=3,
+    *    count=4, sum=5, scale=6 (SIGN-ZIGZAG sint32), zero_count=7
+    *    (fixed64), positive=8, negative=9 (Buckets: offset=1 sint32,
+    *    bucket_counts=2 packed varint), flags=10, min=12, max=13
+    *  - SummaryDataPoint: start=2, time=3, count=4, sum=5, quantile_values=6
+    *    (ValueAtQuantile: quantile=1, value=2 — fixed64 doubles),
+    *    attributes=7, flags=8
+    *
+    * One output row per datapoint; `unix_milli` = time_unix_nano/1e6 and
+    * type/temporality render as the pmetric enum strings the exporter
+    * consumes ("Gauge"/"Sum"/..., "Delta"/"Cumulative"/"Unspecified").
+    */
+  def parseMetricsData(bytes: Array[Byte]): Seq[OtlpMetricRow] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[OtlpMetricRow]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.readVarint()
+      if ((tag >> 3).toInt == 1) parseResourceMetrics(top.readSlice(), out)
+      else top.skip((tag & 7).toInt)
+    }
+    out.toSeq
+  }
+
+  private def parseResourceMetrics(r: Reader,
+      out: scala.collection.mutable.ArrayBuffer[OtlpMetricRow]): Unit = {
+    var resource = Map.empty[String, String]
+    val scopeSlices = scala.collection.mutable.ListBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 =>
+          val attrs = parseAttrList(r.readSlice(), valuesField = 1)
+          resource = attrs.map { case (k, v) => k -> avToString(v) }.toMap
+        case 2 => scopeSlices += r.readSlice()
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    scopeSlices.foreach(parseScopeMetrics(_, resource, out))
+  }
+
+  private def parseScopeMetrics(r: Reader, resource: Map[String, String],
+      out: scala.collection.mutable.ArrayBuffer[OtlpMetricRow]): Unit = {
+    var scopeName = ""
+    var scopeVersion = ""
+    var schemaUrl = ""
+    var scopeAttrs = Map.empty[String, String]
+    val metricSlices = scala.collection.mutable.ListBuffer.empty[Reader]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 =>
+          val s = r.readSlice()
+          while (s.hasMore) {
+            val t2 = s.readVarint()
+            (t2 >> 3).toInt match {
+              case 1 => scopeName = s.readString()
+              case 2 => scopeVersion = s.readString()
+              case 3 =>
+                val (k, v) = parseKeyValue(s.readSlice())
+                scopeAttrs += k -> avToString(v)
+              case _ => s.skip((t2 & 7).toInt)
+            }
+          }
+        case 2 => metricSlices += r.readSlice()
+        case 3 => schemaUrl = r.readString()
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    metricSlices.foreach(parseMetric(_, resource, scopeName, scopeVersion,
+      schemaUrl, scopeAttrs, out))
+  }
+
+  /** Shared identity for every datapoint row of one Metric. */
+  private final case class MetricCtx(
+      name: String, description: String, unit: String, metricType: String,
+      temporality: String, isMonotonic: Boolean,
+      resource: Map[String, String], scopeName: String, scopeVersion: String,
+      schemaUrl: String, scopeAttrs: Map[String, String])
+
+  private def baseRow(c: MetricCtx, shape: String, timeNano: Long,
+      flags: Int, attrs: Map[String, String]): OtlpMetricRow =
+    OtlpMetricRow(shape, c.name, c.description, c.unit, c.metricType,
+      c.temporality, c.isMonotonic, timeNano / 1000000L, 0.0, flags, attrs,
+      c.scopeName, c.scopeVersion, c.schemaUrl, c.scopeAttrs, c.resource,
+      count = 0L, sum_v = 0.0, min_v = 0.0, max_v = 0.0,
+      has_sum = false, has_min = false, has_max = false,
+      explicit_bounds = Nil, bucket_counts = Nil, quantiles = Nil,
+      scale = 0, zero_count = 0.0, positive_offset = 0, positive_counts = Nil,
+      negative_offset = 0, negative_counts = Nil)
+
+  private def parseMetric(r: Reader, resource: Map[String, String],
+      scopeName: String, scopeVersion: String, schemaUrl: String,
+      scopeAttrs: Map[String, String],
+      out: scala.collection.mutable.ArrayBuffer[OtlpMetricRow]): Unit = {
+    var name = ""
+    var description = ""
+    var unit = ""
+    // the data oneof: remember which field arrived + its point slices
+    var metricType = ""
+    var temporality = "Unspecified"
+    var isMonotonic = false
+    val points = scala.collection.mutable.ListBuffer.empty[Reader]
+
+    def parseDataMsg(s: Reader, typ: String): Unit = {
+      metricType = typ
+      while (s.hasMore) {
+        val t2 = s.readVarint()
+        (t2 >> 3).toInt match {
+          case 1 => points += s.readSlice()
+          case 2 if typ != "Gauge" && typ != "Summary" =>
+            temporality = temporalityString(s.readVarint().toInt)
+          case 3 if typ == "Sum" => isMonotonic = s.readVarint() != 0
+          case _ => s.skip((t2 & 7).toInt)
+        }
+      }
+    }
+
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      (tag >> 3).toInt match {
+        case 1 => name = r.readString()
+        case 2 => description = r.readString()
+        case 3 => unit = r.readString()
+        case 5 => parseDataMsg(r.readSlice(), "Gauge")
+        case 7 => parseDataMsg(r.readSlice(), "Sum")
+        case 9 => parseDataMsg(r.readSlice(), "Histogram")
+        case 10 => parseDataMsg(r.readSlice(), "ExponentialHistogram")
+        case 11 => parseDataMsg(r.readSlice(), "Summary")
+        case _ => r.skip((tag & 7).toInt)
+      }
+    }
+    if (metricType.isEmpty) return
+    val ctx = MetricCtx(name, description, unit, metricType, temporality,
+      isMonotonic, resource, scopeName, scopeVersion, schemaUrl, scopeAttrs)
+    metricType match {
+      case "Gauge" | "Sum" => points.foreach(out += parseNumberPoint(_, ctx))
+      case "Histogram" => points.foreach(out += parseHistogramPoint(_, ctx))
+      case "Summary" => points.foreach(out += parseSummaryPoint(_, ctx))
+      case "ExponentialHistogram" =>
+        points.foreach(out += parseExpHistPoint(_, ctx))
+    }
+  }
+
+  private def parseNumberPoint(r: Reader, c: MetricCtx): OtlpMetricRow = {
+    var time = 0L
+    var value = 0.0
+    var flags = 0
+    var attrs = Map.empty[String, String]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >> 3).toInt match {
+        case 3 => time = r.readFixed64()
+        case 4 => value = d64(r.readFixed64())
+        case 6 => value = r.readFixed64().toDouble // sfixed64 as_int
+        case 7 =>
+          val (k, v) = parseKeyValue(r.readSlice())
+          attrs += k -> avToString(v)
+        case 8 => flags = r.readVarint().toInt
+        case _ => r.skip(wire)
+      }
+    }
+    baseRow(c, "scalar", time, flags, attrs).copy(value = value)
+  }
+
+  private def parseHistogramPoint(r: Reader, c: MetricCtx): OtlpMetricRow = {
+    var time = 0L
+    var count = 0L
+    var sum = 0.0
+    var hasSum = false
+    var min = 0.0
+    var hasMin = false
+    var max = 0.0
+    var hasMax = false
+    var flags = 0
+    var attrs = Map.empty[String, String]
+    val buckets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >> 3).toInt match {
+        case 3 => time = r.readFixed64()
+        case 4 => count = r.readFixed64()
+        case 5 => sum = d64(r.readFixed64()); hasSum = true
+        case 6 => readRepFixed64(r, wire, buckets)
+        case 7 => readRepFixed64(r, wire, bounds)
+        case 9 =>
+          val (k, v) = parseKeyValue(r.readSlice())
+          attrs += k -> avToString(v)
+        case 10 => flags = r.readVarint().toInt
+        case 11 => min = d64(r.readFixed64()); hasMin = true
+        case 12 => max = d64(r.readFixed64()); hasMax = true
+        case _ => r.skip(wire)
+      }
+    }
+    baseRow(c, "histogram", time, flags, attrs).copy(
+      count = count, sum_v = sum, min_v = min, max_v = max,
+      has_sum = hasSum, has_min = hasMin, has_max = hasMax,
+      explicit_bounds = bounds.map(d64).toSeq,
+      bucket_counts = buckets.toSeq)
+  }
+
+  private def parseSummaryPoint(r: Reader, c: MetricCtx): OtlpMetricRow = {
+    var time = 0L
+    var count = 0L
+    var sum = 0.0
+    var flags = 0
+    var attrs = Map.empty[String, String]
+    val qs = scala.collection.mutable.ListBuffer.empty[OtlpQuantile]
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >> 3).toInt match {
+        case 3 => time = r.readFixed64()
+        case 4 => count = r.readFixed64()
+        case 5 => sum = d64(r.readFixed64())
+        case 6 =>
+          val s = r.readSlice()
+          var q = 0.0
+          var v = 0.0
+          while (s.hasMore) {
+            val t2 = s.readVarint()
+            (t2 >> 3).toInt match {
+              case 1 => q = d64(s.readFixed64())
+              case 2 => v = d64(s.readFixed64())
+              case _ => s.skip((t2 & 7).toInt)
+            }
+          }
+          qs += OtlpQuantile(q, v)
+        case 7 =>
+          val (k, v) = parseKeyValue(r.readSlice())
+          attrs += k -> avToString(v)
+        case 8 => flags = r.readVarint().toInt
+        case _ => r.skip(wire)
+      }
+    }
+    baseRow(c, "summary", time, flags, attrs).copy(
+      count = count, sum_v = sum, has_sum = true, quantiles = qs.toList)
+  }
+
+  private def parseExpHistPoint(r: Reader, c: MetricCtx): OtlpMetricRow = {
+    var time = 0L
+    var count = 0L
+    var sum = 0.0
+    var hasSum = false
+    var min = 0.0
+    var hasMin = false
+    var max = 0.0
+    var hasMax = false
+    var scale = 0
+    var zeroCount = 0.0
+    var posOff = 0
+    var negOff = 0
+    var flags = 0
+    var attrs = Map.empty[String, String]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val neg = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def parseBuckets(s: Reader): (Int, Seq[Long]) = {
+      var off = 0
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (s.hasMore) {
+        val t2 = s.readVarint()
+        val w2 = (t2 & 7).toInt
+        (t2 >> 3).toInt match {
+          case 1 => off = zigzag32(s.readVarint())
+          case 2 => readRepVarint(s, w2, counts)
+          case _ => s.skip(w2)
+        }
+      }
+      (off, counts.toSeq)
+    }
+
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val wire = (tag & 7).toInt
+      (tag >> 3).toInt match {
+        case 1 =>
+          val (k, v) = parseKeyValue(r.readSlice())
+          attrs += k -> avToString(v)
+        case 3 => time = r.readFixed64()
+        case 4 => count = r.readFixed64()
+        case 5 => sum = d64(r.readFixed64()); hasSum = true
+        case 6 => scale = zigzag32(r.readVarint())
+        case 7 => zeroCount = r.readFixed64().toDouble
+        case 8 =>
+          val (o, cs) = parseBuckets(r.readSlice()); posOff = o; pos ++= cs
+        case 9 =>
+          val (o, cs) = parseBuckets(r.readSlice()); negOff = o; neg ++= cs
+        case 10 => flags = r.readVarint().toInt
+        case 12 => min = d64(r.readFixed64()); hasMin = true
+        case 13 => max = d64(r.readFixed64()); hasMax = true
+        case _ => r.skip(wire)
+      }
+    }
+    baseRow(c, "exp_histogram", time, flags, attrs).copy(
+      count = count, sum_v = sum, min_v = min, max_v = max,
+      has_sum = hasSum, has_min = hasMin, has_max = hasMax,
+      scale = scale, zero_count = zeroCount,
+      positive_offset = posOff, positive_counts = pos.map(_.toDouble).toSeq,
+      negative_offset = negOff, negative_counts = neg.map(_.toDouble).toSeq)
+  }
+
+  // ---- metrics DataFrame adapters ------------------------------------------
+
+  private def decodedMetricRows(df: DataFrame, valueCol: Column) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(valueCol.cast("binary").as("v")).as[Array[Byte]]
+      .flatMap { bytes =>
+        try parseMetricsData(bytes)
+        catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => Seq.empty }
+      }
+  }
+
+  /** Binary OTLP-metrics payloads -> the four MetricFrames families, ready
+    * for [[graft.pipeline.MetricsExporter]] (`scalarPoints`,
+    * `histogramSeries`, `summarySeries`, `expHistRows`). One decode pass;
+    * the split is a column filter on `shape`.
+    */
+  def fromOtlpProtoMetrics(df: DataFrame, valueCol: Column): OtlpMetricFrames = {
+    val all = decodedMetricRows(df, valueCol).toDF().cache()
+    def shaped(shape: String, keep: Seq[String]): DataFrame =
+      all.filter(col("shape") === shape).select(keep.map(col): _*)
+    val ident = Seq("metric_name", "description", "unit", "metric_type",
+      "temporality", "is_monotonic", "unix_milli", "flags", "attrs",
+      "scope_name", "scope_version", "scope_schema_url", "scope_attrs",
+      "resource_attrs")
+    OtlpMetricFrames(
+      scalars = graft.model.MetricFrames.withDefaults(
+        shaped("scalar", ident :+ "value")),
+      histograms = graft.model.MetricFrames.withHistogramDefaults(
+        shaped("histogram", ident ++ Seq("count", "sum_v", "min_v", "max_v",
+          "has_sum", "has_min", "has_max", "explicit_bounds", "bucket_counts"))),
+      summaries = graft.model.MetricFrames.withSummaryDefaults(
+        shaped("summary", ident ++ Seq("count", "sum_v", "quantiles"))),
+      expHistograms = graft.model.MetricFrames.withExpHistDefaults(
+        shaped("exp_histogram", ident ++ Seq("count", "sum_v", "min_v",
+          "max_v", "scale", "zero_count", "positive_offset",
+          "positive_counts", "negative_offset", "negative_counts"))))
+  }
+
+  /** Kafka metrics topic (default `otlp_proto` encoding) -> metric frames. */
+  def fromKafkaMetrics(df: DataFrame): OtlpMetricFrames =
+    fromOtlpProtoMetrics(df, col("value"))
 }
+
+/** The four datapoint families one OTLP metrics payload fans into. */
+final case class OtlpMetricFrames(
+    scalars: DataFrame, histograms: DataFrame, summaries: DataFrame,
+    expHistograms: DataFrame)

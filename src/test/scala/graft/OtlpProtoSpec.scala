@@ -259,4 +259,159 @@ class OtlpProtoSpec extends SparkSuite {
     assert(row.getAs[Long]("duration_nano") == 3000000L)
     assert(row.getAs[String]("service_name") == "svc-m")
   }
+
+  // ---- metrics -------------------------------------------------------------
+
+  private def rawFixed64(out: ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+  private def packedFixed64(out: ByteArrayOutputStream, field: Int,
+      vs: Seq[Long]): Unit =
+    bytesField(out, field, msg(o => vs.foreach(rawFixed64(o, _))))
+  private def packedDoubles(out: ByteArrayOutputStream, field: Int,
+      vs: Seq[Double]): Unit =
+    packedFixed64(out, field, vs.map(java.lang.Double.doubleToLongBits))
+  private def packedVarints(out: ByteArrayOutputStream, field: Int,
+      vs: Seq[Long]): Unit =
+    bytesField(out, field, msg(o => vs.foreach(varint(o, _))))
+  private def doubleField(out: ByteArrayOutputStream, field: Int, d: Double): Unit =
+    fixed64Field(out, field, java.lang.Double.doubleToLongBits(d))
+  private def zigzag(n: Int): Long = ((n.toLong << 1) ^ (n.toLong >> 31))
+
+  private def metricsData(resourceAttrs: Seq[Array[Byte]],
+      metrics: Seq[Array[Byte]]): Array[Byte] =
+    msg { o =>
+      bytesField(o, 1, msg { rm => // ResourceMetrics
+        bytesField(rm, 1, msg { res =>
+          resourceAttrs.foreach(a => bytesField(res, 1, a))
+        })
+        bytesField(rm, 2, msg { sm => // ScopeMetrics
+          bytesField(sm, 1, msg { sc =>
+            strField(sc, 1, "meter"); strField(sc, 2, "m1")
+          })
+          metrics.foreach(m => bytesField(sm, 2, m))
+        })
+      })
+    }
+
+  test("otlp_proto metrics: gauge/sum/histogram/summary/exp-hist decode " +
+      "into the four frame families") {
+    val gauge = msg { m =>
+      strField(m, 1, "cpu.usage"); strField(m, 3, "1")
+      bytesField(m, 5, msg { g => // Gauge
+        bytesField(g, 1, msg { dp => // NumberDataPoint as_double
+          fixed64Field(dp, 3, 1700000000000000000L)
+          doubleField(dp, 4, 0.75)
+          bytesField(dp, 7, kv("core", avInt(2)))
+        })
+        bytesField(g, 1, msg { dp => // as_int variant
+          fixed64Field(dp, 3, 1700000001000000000L)
+          fixed64Field(dp, 6, 42L) // sfixed64 as_int
+        })
+      })
+    }
+    val sum = msg { m =>
+      strField(m, 1, "req.count")
+      bytesField(m, 7, msg { s => // Sum
+        bytesField(s, 1, msg { dp =>
+          fixed64Field(dp, 3, 1700000000000000000L)
+          doubleField(dp, 4, 100.0)
+        })
+        varintField(s, 2, 2) // Cumulative
+        varintField(s, 3, 1) // monotonic
+      })
+    }
+    val hist = msg { m =>
+      strField(m, 1, "http.duration"); strField(m, 3, "ms")
+      bytesField(m, 9, msg { h => // Histogram
+        bytesField(h, 1, msg { dp =>
+          fixed64Field(dp, 3, 1700000000000000000L)
+          fixed64Field(dp, 4, 10L) // count
+          doubleField(dp, 5, 55.5) // sum
+          packedFixed64(dp, 6, Seq(3L, 5L, 2L)) // bucket_counts
+          packedDoubles(dp, 7, Seq(10.0, 100.0)) // explicit_bounds
+          bytesField(dp, 9, kv("route", avStr("/api")))
+          doubleField(dp, 11, 0.5) // min
+          doubleField(dp, 12, 99.0) // max
+        })
+        varintField(h, 2, 1) // Delta
+      })
+    }
+    val summary = msg { m =>
+      strField(m, 1, "rpc.latency")
+      bytesField(m, 11, msg { s => // Summary
+        bytesField(s, 1, msg { dp =>
+          fixed64Field(dp, 3, 1700000000000000000L)
+          fixed64Field(dp, 4, 7L)
+          doubleField(dp, 5, 21.0)
+          bytesField(dp, 6, msg { q =>
+            doubleField(q, 1, 0.5); doubleField(q, 2, 2.5)
+          })
+          bytesField(dp, 6, msg { q =>
+            doubleField(q, 1, 0.99); doubleField(q, 2, 9.9)
+          })
+        })
+      })
+    }
+    val expHist = msg { m =>
+      strField(m, 1, "dd.sketch")
+      bytesField(m, 10, msg { h => // ExponentialHistogram
+        bytesField(h, 1, msg { dp =>
+          fixed64Field(dp, 3, 1700000000000000000L)
+          fixed64Field(dp, 4, 6L)
+          varintField(dp, 6, zigzag(-2)) // scale sint32 = -2
+          fixed64Field(dp, 7, 1L) // zero_count
+          bytesField(dp, 8, msg { b => // positive Buckets
+            varintField(b, 1, zigzag(3)) // offset
+            packedVarints(b, 2, Seq(1L, 2L, 3L))
+          })
+        })
+        varintField(h, 2, 2) // Cumulative
+      })
+    }
+    val payload = metricsData(
+      Seq(kv("service.name", avStr("svc-metrics")),
+        kv("deployment.environment", avStr("prod"))),
+      Seq(gauge, sum, hist, summary, expHist))
+
+    val rows = OtlpProto.parseMetricsData(payload)
+    assert(rows.size == 6)
+    val g = rows.filter(_.metric_name == "cpu.usage")
+    assert(g.map(_.value).sorted == Seq(0.75, 42.0))
+    assert(g.head.metric_type == "Gauge" && g.head.temporality == "Unspecified")
+    assert(g.head.unix_milli == 1700000000000L)
+    assert(g.head.attrs == Map("core" -> "2")) // AsString-rendered
+    assert(g.head.resource_attrs("deployment.environment") == "prod")
+    assert(g.head.scope_name == "meter" && g.head.scope_version == "m1")
+    val s = rows.find(_.metric_name == "req.count").get
+    assert(s.metric_type == "Sum" && s.temporality == "Cumulative" && s.is_monotonic)
+    val h = rows.find(_.metric_name == "http.duration").get
+    assert(h.metric_type == "Histogram" && h.temporality == "Delta")
+    assert(h.count == 10L && h.sum_v == 55.5 && h.has_sum)
+    assert(h.min_v == 0.5 && h.has_min && h.max_v == 99.0 && h.has_max)
+    assert(h.explicit_bounds == Seq(10.0, 100.0))
+    assert(h.bucket_counts == Seq(3L, 5L, 2L))
+    val sm = rows.find(_.metric_name == "rpc.latency").get
+    assert(sm.metric_type == "Summary" && sm.count == 7L && sm.sum_v == 21.0)
+    assert(sm.quantiles == Seq(OtlpProto.OtlpQuantile(0.5, 2.5),
+      OtlpProto.OtlpQuantile(0.99, 9.9)))
+    val e = rows.find(_.metric_name == "dd.sketch").get
+    assert(e.metric_type == "ExponentialHistogram" && e.temporality == "Cumulative")
+    assert(e.scale == -2 && e.zero_count == 1.0)
+    assert(e.positive_offset == 3 && e.positive_counts == Seq(1.0, 2.0, 3.0))
+
+    // adapter: the four families land in their frames and the scalar one
+    // runs the full exporter fingerprint chain unchanged
+    val frames = OtlpProto.fromKafkaMetrics(Seq(payload).toDF("value"))
+    assert(frames.scalars.count() == 3) // 2 gauge points + 1 sum point
+    assert(frames.histograms.count() == 1)
+    assert(frames.summaries.count() == 1)
+    assert(frames.expHistograms.count() == 1)
+    val samples = graft.pipeline.MetricsExporter.samplesV4(
+      graft.pipeline.MetricsExporter.scalarPoints(frames.scalars))
+    assert(samples.count() == 3)
+    assert(samples.select("env").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("prod"))
+  }
 }
