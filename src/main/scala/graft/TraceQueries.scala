@@ -159,6 +159,39 @@ object TraceQueries {
     "q_span_exemplars" -> ((s, d) => {
       graft.pipeline.SpanMetrics.latencyExemplars(eventsAsSpans(s, d),
         graft.pipeline.SpanMetrics.Config(bucketSeconds = 86400L), k = 3)
+    }),
+
+    // spanmapper processor: exists_any-gated source-priority copy/move
+    // normalization (signozspanmapperprocessor). 1-in-3 rows get an
+    // "llm.model" attr so the oracle exercises both the gated and the
+    // skipped path; the rules cover source fallback + move, a resource.-
+    // prefixed source, and a number attr written to resource context
+    // (AsString / Go FormatFloat rendering)
+    "q_span_mapper" -> ((s, d) => {
+      import graft.pipeline.SpanMapper
+      val spans = eventsAsSpans(s, d)
+        .withColumn("attributes_string",
+          when(col("event_id") % 3 === 0,
+            map_concat(col("attributes_string"),
+              map(lit("llm.model"),
+                concat(lit("m"), (col("event_id") % 5).cast("string")))))
+            .otherwise(col("attributes_string")))
+      val groups = Seq(SpanMapper.Group("llm",
+        attrPatterns = Seq("llm"), resPatterns = Nil,
+        rules = Seq(
+          SpanMapper.Rule("gen_ai.request.model",
+            Seq(SpanMapper.Source("gen_ai.llm.model"),
+              SpanMapper.Source("llm.model", move = true))),
+          SpanMapper.Rule("gen_ai.service",
+            Seq(SpanMapper.Source("resource.service.name"))),
+          SpanMapper.Rule("gen_ai.response.status",
+            Seq(SpanMapper.Source("http.status_code")), toResource = true))))
+      SpanMapper(spans, groups).select(
+        col("event_id"),
+        col("attributes_string").getItem("gen_ai.request.model").as("model"),
+        map_contains_key(col("attributes_string"), "llm.model").as("has_src"),
+        col("attributes_string").getItem("gen_ai.service").as("svc"),
+        col("resources_string").getItem("gen_ai.response.status").as("res_status"))
     })
   )
 
@@ -190,6 +223,16 @@ object TraceQueries {
       |     ELSE 'STATUS_CODE_UNSET' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q_span_mapper" ->
+      s"""SELECT event_id,
+         |  CASE WHEN event_id % 3 = 0
+         |       THEN 'm' || CAST(event_id % 5 AS VARCHAR) END AS model,
+         |  false AS has_src,
+         |  CASE WHEN event_id % 3 = 0 THEN $serviceSql END AS svc,
+         |  CASE WHEN event_id % 3 = 0
+         |       THEN CAST(200 + (event_id % 4) * 100 AS VARCHAR) END AS res_status
+         |FROM events""".stripMargin,
 
     "q_span_metrics" ->
       s"""SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS bucket_start,

@@ -556,3 +556,63 @@ object StringifyTypedMaps {
       ExpressionUtils.expression(strings), ExpressionUtils.expression(numbers),
       ExpressionUtils.expression(bools)))
 }
+
+/** Key-substring gate kernel: true when any key of the map CONTAINS one of
+  * the configured substrings (plain substring, no globs) — the spanmapper
+  * processor's `exists_any` condition (signozspanmapperprocessor/
+  * processor.go:112-127 matchesAny). A NULL map matches nothing. Expressed
+  * as a kernel (not `exists(map_keys(...))`) so the gate stays inside
+  * whole-stage codegen like every other map op here.
+  */
+final class AnyKeyContainsWorker(subs: Array[String]) extends Serializable {
+  @transient private lazy val pats: Array[UTF8String] =
+    subs.map(UTF8String.fromString)
+  def matches(m: MapData): Boolean = {
+    if (m == null || pats.isEmpty) return false
+    val n = m.numElements()
+    val ks = m.keyArray()
+    var i = 0
+    while (i < n) {
+      val k = ks.getUTF8String(i)
+      var j = 0
+      while (j < pats.length) {
+        if (k.contains(pats(j))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+}
+
+case class AnyKeyContains(child: Expression, subs: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.BooleanType
+  private lazy val worker = new AnyKeyContainsWorker(subs.toArray)
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    worker.matches(child.eval(input).asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val w = ctx.addReferenceObj("worker", worker, classOf[AnyKeyContainsWorker].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.value} = $w.matches(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnyKeyContains =
+    copy(child = newChild)
+}
+
+object AnyKeyContains {
+  def apply(m: Column, subs: Seq[String]): Column =
+    ExpressionUtils.column(AnyKeyContains(ExpressionUtils.expression(m), subs))
+}
