@@ -142,6 +142,19 @@ object MetricQueries {
           countDistinct(col("fingerprint")).as("raw_series"))
     }),
 
+    // signozclickhousemeter samples: gauge+sum-only gate, gauge identity
+    // normalization, full identity columns incl. labels + fingerprint
+    "q_metrics_meter" -> ((s, d) => {
+      val dps = eventsAsGauges(s, d)
+        .unionByName(eventsAsCounters(s, d), allowMissingColumns = true)
+      graft.pipeline.MeterExporter.samples(dps)
+        .groupBy(col("temporality"), col("metric_name"), col("description"),
+          col("unit"), col("type"), col("is_monotonic"),
+          col("fingerprint"), col("labels"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_value"))
+    }),
+
     // reduced 60s cumulative->delta with reset detection
     "q_metrics_reduced60" -> ((s, d) => {
       val points = MetricsExporter.withReduction(
@@ -280,6 +293,37 @@ object MetricQueries {
          |  SELECT user_id % 4 AS user_id, count(*) AS n,
          |         count(DISTINCT event_type) AS raw_series
          |  FROM events GROUP BY 1)""".stripMargin
+    },
+
+    "q_metrics_meter" -> {
+      val gfp = chainSql(svcSql,
+        Seq("'__temporality__'", "'Unspecified'", "'event_type'", "event_type"),
+        "events.value")
+      val cfp = chainSql(svcSql,
+        Seq("'__temporality__'", "'Cumulative'", "'event_type'", "event_type"),
+        "req.count")
+      // single-line on purpose: this nests inside an outer .stripMargin,
+      // which would eat the first '|' of a line-leading '||'
+      def labels(name: String, temporality: String): String =
+        s"""'{"__name__":"$name","__scope.name__":"","__scope.schema_url__":"","__scope.version__":"","__temporality__":"$temporality","event_type":"' || event_type || '","service.name":"svc-' || CAST(user_id AS VARCHAR) || '"}'"""
+      s"""SELECT 'Unspecified' AS temporality, 'events.value' AS metric_name,
+         |       'event gauge' AS description, '1' AS unit, 'Gauge' AS type,
+         |       false AS is_monotonic, $gfp AS fingerprint,
+         |       ${labels("events.value", "Unspecified")} AS labels,
+         |       n, sum_value
+         |FROM (
+         |  SELECT event_type, user_id % 4 AS user_id, count(*) AS n,
+         |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_value
+         |  FROM events GROUP BY 1, 2)
+         |UNION ALL
+         |SELECT 'Cumulative', 'req.count', '', '', 'Sum', true,
+         |       $cfp,
+         |       ${labels("req.count", "Cumulative")},
+         |       n, sum_value
+         |FROM (
+         |  SELECT event_type, user_id % 4 AS user_id, count(*) AS n,
+         |         CAST(SUM(event_id % 1000) AS BIGINT) AS sum_value
+         |  FROM events GROUP BY 1, 2)""".stripMargin
     },
 
     "q_metrics_reduced60" -> {
