@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.SpanFrames
-import graft.pipeline.TraceExporter
+import graft.pipeline.{LlmPricing, TraceExporter}
 
 /** Driver-checked queries for the traces exporter slice: the `events` table
   * lifted into deterministic span frames, shaped by [[TraceExporter]], with
@@ -66,7 +66,72 @@ object TraceQueries {
         .otherwise(lit(null)).cast(graft.model.SpanSchema.eventType).as("events")))
   }
 
+  /** Deterministic LLM-usage span attrs over `events`: model cycles through
+    * a subtract-mode match / additive-mode match / no-match / absent, token
+    * counts are modular arithmetic on event_id (with an explicit all-zero
+    * stripe), so the DuckDB oracle can replicate the full cost computation.
+    */
+  private[graft] def llmSpans(ev: DataFrame): DataFrame = {
+    val zero = col("event_id") % 11 === 0
+    val model = when(col("event_id") % 4 === 0, lit("gpt-4o-mini"))
+      .when(col("event_id") % 4 === 1, lit("claude-3-5-sonnet"))
+      .when(col("event_id") % 4 === 2, lit("unknown-model"))
+    ev.select(
+      col("event_id"),
+      when(model.isNotNull, map(lit("gen_ai.request.model"), model))
+        .otherwise(map().cast(graft.model.LogSchema.mapSS)).as("attributes_string"),
+      map(
+        lit("gen_ai.usage.input_tokens"),
+        when(zero, 0.0).otherwise((col("event_id") % 997).cast("double")),
+        lit("gen_ai.usage.output_tokens"),
+        when(zero, 0.0).otherwise((col("event_id") % 503).cast("double")),
+        lit("gen_ai.usage.cache_read_tokens"),
+        when(zero || col("event_id") % 3 =!= 0, 0.0)
+          .otherwise((col("event_id") % 251).cast("double")),
+        lit("gen_ai.usage.cache_write_tokens"),
+        when(zero || col("event_id") % 5 =!= 0, 0.0)
+          .otherwise((col("event_id") % 127).cast("double"))).as("attributes_number"))
+  }
+
+  /** The reference processor_test.go pricing table: gpt-4o subtract-mode,
+    * claude additive-mode, first-match-wins.
+    */
+  private[graft] val llmCfg = LlmPricing.Config(
+    attrs = LlmPricing.AttrMapping(
+      model = "gen_ai.request.model",
+      in = "gen_ai.usage.input_tokens",
+      out = "gen_ai.usage.output_tokens",
+      cacheRead = "gen_ai.usage.cache_read_tokens",
+      cacheWrite = "gen_ai.usage.cache_write_tokens"),
+    rules = Seq(
+      LlmPricing.Rule("gpt-4o", Seq("gpt-4o*"),
+        LlmPricing.CacheCfg(LlmPricing.CacheModeSubtract, read = 2.5), in = 5.0, out = 15.0),
+      LlmPricing.Rule("claude", Seq("claude-*"),
+        LlmPricing.CacheCfg(LlmPricing.CacheModeAdditive, read = 0.30, write = 3.75),
+        in = 3.0, out = 15.0)),
+    outputAttrs = LlmPricing.OutputMapping(
+      in = "_signoz.gen_ai.cost_input",
+      out = "_signoz.gen_ai.cost_output",
+      cacheRead = "_signoz.gen_ai.cost_cache_read",
+      cacheWrite = "_signoz.gen_ai.cost_cache_write",
+      total = "_signoz.gen_ai.total_cost"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // signozllmpricingprocessor: glob-matched pricing rules, subtract vs
+    // additive cache billing, skip semantics (SURVEY §2.11)
+    "q_llm_costs" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val priced = LlmPricing(llmSpans(read(s, d, "events")), llmCfg)
+      priced.select(
+        col("event_id"),
+        element_at(col("attributes_string"), "gen_ai.request.model").as("model"),
+        element_at(col("attributes_number"), "_signoz.gen_ai.cost_input").as("cost_input"),
+        element_at(col("attributes_number"), "_signoz.gen_ai.cost_output").as("cost_output"),
+        element_at(col("attributes_number"), "_signoz.gen_ai.cost_cache_read").as("cost_cache_read"),
+        element_at(col("attributes_number"), "_signoz.gen_ai.cost_cache_write").as("cost_cache_write"),
+        element_at(col("attributes_number"), "_signoz.gen_ai.total_cost").as("total_cost"))
+    }),
 
     // signoz_index_v3 shaping: kind/status strings, flag decode, custom-attr
     // promotion, bucketing, references JSON (SURVEY §2.11)
@@ -223,6 +288,47 @@ object TraceQueries {
       |     ELSE 'STATUS_CODE_UNSET' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // replicate the full pricing computation: glob match (LIKE), subtract vs
+    // additive billing, skip semantics (no model / no rule / all-zero counts)
+    "q_llm_costs" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CASE event_id % 4 WHEN 0 THEN 'gpt-4o-mini'
+        |         WHEN 1 THEN 'claude-3-5-sonnet'
+        |         WHEN 2 THEN 'unknown-model' END AS model,
+        |    CASE WHEN event_id % 11 = 0 THEN 0.0
+        |         ELSE CAST(event_id % 997 AS DOUBLE) END AS tin,
+        |    CASE WHEN event_id % 11 = 0 THEN 0.0
+        |         ELSE CAST(event_id % 503 AS DOUBLE) END AS tout,
+        |    CASE WHEN event_id % 11 = 0 OR event_id % 3 <> 0 THEN 0.0
+        |         ELSE CAST(event_id % 251 AS DOUBLE) END AS cr,
+        |    CASE WHEN event_id % 11 = 0 OR event_id % 5 <> 0 THEN 0.0
+        |         ELSE CAST(event_id % 127 AS DOUBLE) END AS cw
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN model LIKE 'gpt-4o%' THEN 0
+        |         WHEN model LIKE 'claude-%' THEN 1 ELSE -1 END AS rule
+        |  FROM base),
+        |c AS (
+        |  SELECT *,
+        |    (model IS NOT NULL AND rule >= 0
+        |     AND NOT (tin = 0 AND tout = 0 AND cr = 0 AND cw = 0)) AS processed,
+        |    CASE WHEN rule = 0 THEN greatest(tin - cr, 0.0) * 5.0 / 1000000.0
+        |         ELSE tin * 3.0 / 1000000.0 END AS ci,
+        |    tout * 15.0 / 1000000.0 AS co,
+        |    CASE WHEN rule = 0 THEN cr * 2.5 / 1000000.0
+        |         ELSE cr * 0.3 / 1000000.0 END AS crd,
+        |    CASE WHEN rule = 0 THEN 0.0 ELSE cw * 3.75 / 1000000.0 END AS cwr
+        |  FROM r)
+        |SELECT event_id, model,
+        |  CASE WHEN processed THEN ci END AS cost_input,
+        |  CASE WHEN processed THEN co END AS cost_output,
+        |  CASE WHEN processed THEN crd END AS cost_cache_read,
+        |  CASE WHEN processed THEN cwr END AS cost_cache_write,
+        |  CASE WHEN processed THEN ci + crd + cwr + co END AS total_cost
+        |FROM c""".stripMargin,
 
     "q_span_mapper" ->
       s"""SELECT event_id,
