@@ -387,10 +387,18 @@ object Queries {
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
 
+    // record_size replicates the reference billing sizer byte-for-byte:
+    // body bytes + Go-JSON of {"event_type":...,"value":...} (26 = braces,
+    // sorted quoted keys, colons, comma, value quotes) + Go-JSON of
+    // {"user_id":...} (14). Go renders integral doubles without a fraction,
+    // hence the floor() CASE.
     "q_usage" ->
       s"""SELECT $routeCase AS route, count(*) AS n_records,
-         |       CAST(SUM(length(props) + 17 + length(event_type)
-         |           + 14 + length(CAST(user_id AS VARCHAR))) AS BIGINT) AS n_bytes
+         |       CAST(SUM(strlen(props) + 26 + strlen(event_type)
+         |           + strlen(CASE WHEN value = floor(value)
+         |                 THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+         |                 ELSE CAST(value AS VARCHAR) END)
+         |           + 14 + strlen(CAST(user_id AS VARCHAR))) AS BIGINT) AS n_bytes
          |FROM events GROUP BY 1""".stripMargin,
 
     "q_severity_hist" ->

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{KeyCheck, ResourceFingerprint}
+import graft.functions.{KeyCheck, MapDropKeyPrefix, MapSortedJson, ResourceFingerprint, TypedAttrsGoJson}
 
 /** The exporter stage: one shared upstream -> five sink-shaped DataFrames,
   * replicating `exporter/clickhouselogsexporter/exporter.go` semantics
@@ -80,11 +80,20 @@ object Exporter {
       .withColumn("span_id",
         when(col("span_id").isNotNull && col("span_id") =!= "", lpad(col("span_id"), 16, "0"))
           .otherwise(lit("")))
-      // usage metering record size (exporter.go:742-745)
+      // usage metering record size, byte-exact vs the reference billing
+      // sizer (exporter.go:745 + usage.go:100-114 getResourceAttributesByte):
+      // body BYTES + Go-JSON of the raw typed attr map (sorted keys, Go
+      // escaping, int-style rendering of integral doubles) + Go-JSON of the
+      // resource attrs with `signoz.workspace.*` excluded
+      // (pkg/metering/signoz_attributes.go:6). A NaN/Inf number attr makes
+      // json.Marshal error -> the attr map contributes 0 bytes, replicated
+      // by TypedAttrsGoJson returning null.
       .withColumn("record_size",
-        coalesce(length(col("body")).cast("long"), lit(0L)) +
-          coalesce(length(to_json(col("attributes_string"))).cast("long"), lit(2L)) +
-          coalesce(length(to_json(col("resources_string"))).cast("long"), lit(2L)))
+        coalesce(octet_length(col("body")).cast("long"), lit(0L)) +
+          coalesce(octet_length(TypedAttrsGoJson(col("attributes_string"),
+            col("attributes_number"), col("attributes_bool"))).cast("long"), lit(0L)) +
+          coalesce(octet_length(MapSortedJson(
+            MapDropKeyPrefix(col("resources_string"), "signoz.workspace"))).cast("long"), lit(2L)))
 
     val withBody =
       if (!cfg.bodyJsonEnabled)
