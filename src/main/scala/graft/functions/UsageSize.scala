@@ -54,7 +54,15 @@ object GoJsonFloatKernel extends Serializable {
 object TypedAttrsGoJsonKernel extends Serializable {
   private val EMPTY = UTF8String.fromString("{}")
 
-  def toJson(strings: MapData, numbers: MapData, bools: MapData): UTF8String = {
+  def toJson(strings: MapData, numbers: MapData, bools: MapData): UTF8String =
+    toJson(strings, numbers, bools, false)
+
+  /** `dropNonFinite=true` models the traces sizer's `IsValidFloat` filter
+    * (pkg/metering/json.go:104-107: NaN/Inf numbers are silently dropped
+    * before marshal); `false` models json.Marshal's error (-> null).
+    */
+  def toJson(strings: MapData, numbers: MapData, bools: MapData,
+      dropNonFinite: Boolean): UTF8String = {
     val ns = if (strings == null) 0 else strings.numElements()
     val nn = if (numbers == null) 0 else numbers.numElements()
     val nb = if (bools == null) 0 else bools.numElements()
@@ -76,14 +84,15 @@ object TypedAttrsGoJsonKernel extends Serializable {
       val ks = numbers.keyArray(); val vs = numbers.valueArray()
       var i = 0
       while (i < nn) {
-        keys(o) = ks.getUTF8String(i)
-        if (vs.isNullAt(i)) vals(o) = "null"
+        if (vs.isNullAt(i)) { keys(o) = ks.getUTF8String(i); vals(o) = "null"; o += 1 }
         else {
           val f = GoJsonFloatKernel.format(vs.getDouble(i))
-          if (f == null) return null // marshal error parity
-          vals(o) = f.toString
+          if (f == null) {
+            if (!dropNonFinite) return null // marshal error parity
+            // IsValidFloat filter: entry silently dropped
+          } else { keys(o) = ks.getUTF8String(i); vals(o) = f.toString; o += 1 }
         }
-        o += 1; i += 1
+        i += 1
       }
     }
     if (nb > 0) {
@@ -95,10 +104,12 @@ object TypedAttrsGoJsonKernel extends Serializable {
         o += 1; i += 1
       }
     }
+    val m = o // entries actually kept (dropNonFinite may have skipped some)
+    if (m == 0) return EMPTY
     // insertion sort by key bytes (attr maps are small)
-    val idx = Array.range(0, n)
+    val idx = Array.range(0, m)
     var i = 1
-    while (i < n) {
+    while (i < m) {
       val ii = idx(i)
       val ki = keys(ii)
       var j = i - 1
@@ -106,10 +117,10 @@ object TypedAttrsGoJsonKernel extends Serializable {
       idx(j + 1) = ii
       i += 1
     }
-    val sb = new java.lang.StringBuilder(n * 24)
+    val sb = new java.lang.StringBuilder(m * 24)
     sb.append('{')
     i = 0
-    while (i < n) {
+    while (i < m) {
       if (i > 0) sb.append(',')
       val k = idx(i)
       sb.append(JsonCanon.quote(keys(k).toString)).append(':').append(vals(k))
@@ -120,8 +131,60 @@ object TypedAttrsGoJsonKernel extends Serializable {
   }
 }
 
+/** Byte size of Go `json.Marshal([]string)` — brackets + per-element Go
+  * quoting + commas. The traces billing sizer feeds the pre-serialized
+  * per-event JSON strings through this (pkg/metering/json.go:180-188
+  * SizeOfEvents over schema.Event strings), so each element is quoted AGAIN
+  * (its inner quotes escape to `\"`). An empty slice sizes 2 ("[]") and is
+  * then dropped by the `TotalSizeIfKeyExistsAndValueIsMapOrSlice <= 2` rule.
+  */
+object JsonStringArraySizeKernel extends Serializable {
+  def size(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    if (arr == null) return 0L
+    val n = arr.numElements()
+    if (n == 0) return 2L
+    var total = 2L + (n - 1) // brackets + commas
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (s == null) total += 4 // json "null"
+      else total += UTF8String.fromString(JsonCanon.quote(s.toString)).numBytes()
+      i += 1
+    }
+    total
+  }
+}
+
+case class JsonStringArraySize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    JsonStringArraySizeKernel.size(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        long ${ev.value} = graft.functions.JsonStringArraySizeKernel$$.MODULE$$.size(
+          ${c.isNull} ? null : ${c.value});
+        boolean ${ev.isNull} = false;""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonStringArraySize =
+    copy(child = newChild)
+}
+
+object JsonStringArraySize {
+  def apply(c: Column): Column =
+    ExpressionUtils.column(JsonStringArraySize(ExpressionUtils.expression(c)))
+}
+
 case class TypedAttrsGoJson(strings: Expression, numbers: Expression,
-    bools: Expression) extends Expression {
+    bools: Expression, dropNonFinite: Boolean = false) extends Expression {
   override def children: Seq[Expression] = Seq(strings, numbers, bools)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -129,7 +192,7 @@ case class TypedAttrsGoJson(strings: Expression, numbers: Expression,
     TypedAttrsGoJsonKernel.toJson(
       strings.eval(input).asInstanceOf[MapData],
       numbers.eval(input).asInstanceOf[MapData],
-      bools.eval(input).asInstanceOf[MapData])
+      bools.eval(input).asInstanceOf[MapData], dropNonFinite)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val sC = strings.genCode(ctx)
@@ -144,7 +207,7 @@ case class TypedAttrsGoJson(strings: Expression, numbers: Expression,
         $u ${ev.value} = graft.functions.TypedAttrsGoJsonKernel$$.MODULE$$.toJson(
           ${sC.isNull} ? null : ${sC.value},
           ${nC.isNull} ? null : ${nC.value},
-          ${bC.isNull} ? null : ${bC.value});
+          ${bC.isNull} ? null : ${bC.value}, $dropNonFinite);
         boolean ${ev.isNull} = ${ev.value} == null;""")
   }
   override protected def withNewChildrenInternal(
@@ -157,4 +220,9 @@ object TypedAttrsGoJson {
     ExpressionUtils.column(TypedAttrsGoJson(
       ExpressionUtils.expression(strings), ExpressionUtils.expression(numbers),
       ExpressionUtils.expression(bools)))
+  def apply(strings: Column, numbers: Column, bools: Column,
+      dropNonFinite: Boolean): Column =
+    ExpressionUtils.column(TypedAttrsGoJson(
+      ExpressionUtils.expression(strings), ExpressionUtils.expression(numbers),
+      ExpressionUtils.expression(bools), dropNonFinite))
 }

@@ -194,17 +194,29 @@ object MetricsExporter {
     points.select(cols: _*)
   }
 
-  /** Metric-points usage metering (signozclickhousemetrics/usage.go:
-    * SigNozMetricPointsCount/Bytes per tenant; the meter connector's
-    * metrics path, connector.go:319-330, counts the same points per
-    * resource-dim key): datapoint count + deterministic byte-size stand-in
-    * per tenant column (default `env`, the resource-derived tenant analogue
-    * in this model).
+  /** Metric-points usage metering — the exact `collectUsageForSample` gate
+    * (signozclickhousemetrics/exporter.go:1458-1468): samples whose metric
+    * name starts with `signoz`/`chi`/`otelcol` are not billed, nor are
+    * reduced samples (`reduced_fingerprint != 0`, when the reduction pass
+    * ran). Each billed sample counts 1 with size 0
+    * (`usage.AddMetric(metrics, "default", 1, 0)` at exporter.go:1313) —
+    * the metrics signal is billed on POINT COUNT, not bytes. Tenant is the
+    * `env` column (this model's resource-derived tenant analogue; the
+    * reference keys by connection-context tenant, always "default" here).
     */
-  def usage(samples: DataFrame, tenantCol: Column = col("env")): DataFrame =
-    samples.groupBy(tenantCol.as("tenant"))
-      .agg(count(lit(1)).as("n_points"),
-        sum(length(col("metric_name")).cast("long") + lit(24L)).as("n_bytes"))
+  def usage(samples: DataFrame, tenantCol: Column = col("env")): DataFrame = {
+    val notReduced =
+      if (samples.columns.contains("reduced_fingerprint"))
+        col("reduced_fingerprint") === 0L
+      else lit(true)
+    samples
+      .filter(notReduced &&
+        !col("metric_name").startsWith("signoz") &&
+        !col("metric_name").startsWith("chi") &&
+        !col("metric_name").startsWith("otelcol"))
+      .groupBy(tenantCol.as("tenant"))
+      .agg(count(lit(1)).as("n_points"), lit(0L).as("n_bytes"))
+  }
 
   /** `time_series_v4` rows: hour-floored, one per series per hour
     * (exporter.go:1199-1214; the ttlcache dedup == dropDuplicates).

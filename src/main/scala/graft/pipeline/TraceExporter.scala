@@ -3,8 +3,9 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GoJsonQuote, MapDropKeyPrefix, MapSortedJson, MapToTagRows,
-  ResourceFingerprint, SpanEventsJson, SpanReferences}
+import graft.functions.{GoJsonQuote, JsonStringArraySize, MapDropKeyPrefix, MapSortedJson,
+  MapToTagRows, ResourceFingerprint, SpanEventsJson, SpanReferences, TypedAttrsGoJson}
+import graft.model.LogSchema
 
 /** The traces exporter slice: `ptrace`-shaped span frames -> the
   * `signoz_traces` sink family, replicating
@@ -52,6 +53,52 @@ object TraceExporter {
 
   private def statusString(code: Column): Column =
     when(code === 1, "Ok").when(code === 2, "Error").otherwise("Unset")
+
+  /** `pkg/metering/v1/traces.go:44-125` SizePerSpan, evaluated over the
+    * already-shaped columns this stage computes anyway (hex ids, pdata-style
+    * `span_kind` string, byte-parity `events_json`/`references`). Key widths
+    * are `len("\"<key>\"")` from the reference's KeySizes map; the two
+    * omit rules are json.go:218-231 (`value == 0` / `value <= 2`).
+    */
+  private def spanBillingSize: Column = {
+    def ifKey(keyLen: Int, value: Column, extra: Int): Column =
+      when(value === 0L, 0L).otherwise(value + lit((keyLen + extra).toLong))
+    def ifContainer(keyLen: Int, value: Column, extra: Int): Column =
+      when(value <= 2L, 0L).otherwise(value + lit((keyLen + extra).toLong))
+    def bytes(c: Column): Column = coalesce(octet_length(c).cast("long"), lit(0L))
+    val emptyS = map().cast(LogSchema.mapSS)
+    val emptyN = map().cast(LogSchema.mapSD)
+    val emptyB = map().cast(LogSchema.mapSB)
+    val resSize = bytes(MapSortedJson(col("billable_resources_string")))
+    val strsSize = bytes(MapSortedJson(col("attributes_string")))
+    val numsSize = bytes(TypedAttrsGoJson(emptyS, col("attributes_number"), emptyB,
+      dropNonFinite = true))
+    val boolsSize = bytes(TypedAttrsGoJson(emptyS, emptyN, col("attributes_bool")))
+    val eventsSize = JsonStringArraySize(col("events_json"))
+    // the stored refs string re-escapes when embedded, modeled as
+    // size + count of '"' (json.go:190-201 SizeOfOtelSpanRefs)
+    val refsSize = bytes(col("references")) +
+      (length(col("references")) - length(replace(col("references"), lit("\""), lit("")))).cast("long")
+    lit(2L) +
+      ifContainer(18, resSize, 2) +                        // "resources_string"
+      ifKey(19, bytes(col("timestamp").cast("string")), 2) + // "startTimeUnixNano"
+      ifKey(8, bytes(col("span_id")), 4) +                 // "spanId" (hex = 16 or "")
+      ifKey(9, bytes(col("trace_id")), 4) +                // "traceId" (hex = 32 or "")
+      ifKey(12, bytes(col("trace_state")), 4) +            // "traceState"
+      ifKey(14, bytes(col("parent_span_id")), 4) +         // "parentSpanId"
+      ifKey(7, when(col("flags") === 0, 0L)
+        .otherwise(bytes(col("flags").cast("string"))), 2) + // "flags"
+      ifKey(6, bytes(col("name")), 4) +                    // "name"
+      ifKey(6, bytes(col("kind").cast("string")), 2) +     // "kind"
+      ifKey(10, bytes(col("span_kind")), 4) +              // "spanKind" (pdata String())
+      ifContainer(19, strsSize, 2) +                       // "attributes_string"
+      ifContainer(17, boolsSize, 2) +                      // "attributes_bool"
+      ifContainer(19, numsSize, 2) +                       // "attributes_number"
+      ifKey(13, bytes(GoJsonQuote(col("service_name"))), 2) + // "serviceName"
+      ifContainer(7, eventsSize, 2) +                      // "event"
+      ifContainer(12, refsSize, 4) -                       // "references"
+      lit(1L)                                              // trailing comma
+  }
 
   /** The reference's int-or-string status promotion
     * (clickhouse_exporter_v3.go:95-103,126-133): `Atoi(v.Str())` when it
@@ -146,11 +193,14 @@ object TraceExporter {
           lit(Array.empty[String]).cast("array<string>")))
       .withColumn("references",
         SpanReferences(col("trace_id"), col("parent_span_id"), col("links")))
-      // deterministic metering size stand-in (see scaladoc)
-      .withColumn("record_size",
-        length(col("trace_id")).cast("long") + length(col("span_id")) +
-          length(col("name")) + length(col("labels")) +
-          length(MapSortedJson(aStr)))
+      // EXACT span billing size (pkg/metering/v1/traces.go:44-125
+      // SizePerSpan + json.go sizer helpers): per-field quoted-key widths,
+      // omit-if-zero / omit-if-empty-container rules, Go-JSON sizes of the
+      // typed attr maps (NaN/Inf dropped — IsValidFloat), workspace-excluded
+      // resource map, re-quoted event strings, references + a count of their
+      // quote chars (json.go:190-201 models the stored escaped form), minus
+      // the trailing comma.
+      .withColumn("record_size", spanBillingSize)
       .select(
         col("ts_bucket_start"), col("resource_fingerprint"),
         col("timestamp"), col("trace_id"), col("span_id"),

@@ -246,17 +246,22 @@ class MetricsExporterSpec extends SparkSuite {
     assert(k.getAs[Long]("last_reported_unix_milli") == 9000L)
   }
 
-  test("usage metering: point count + size stand-in per tenant (usage.go)") {
+  test("usage metering: collectUsageForSample gate, count-only billing " +
+      "(exporter.go:1458-1468,1313)") {
     val samples = MetricsExporter.samplesV4(MetricsExporter.scalarPoints(
       graft.model.MetricFrames.withDefaults(Seq(
         ("mm", "Delta", "Sum", true, Map("k" -> "v"), 1.0, 1000L, 0),
         ("mm", "Delta", "Sum", true, Map("k" -> "v"), 2.0, 2000L, 0),
-        ("mm", "Delta", "Sum", true, Map("k" -> "w"), 3.0, 3000L, 0))
+        ("mm", "Delta", "Sum", true, Map("k" -> "w"), 3.0, 3000L, 0),
+        // internal prefixes are not billed
+        ("signoz_calls_total", "Delta", "Sum", true, Map.empty[String, String], 1.0, 1000L, 0),
+        ("chi_errors", "Delta", "Sum", true, Map.empty[String, String], 1.0, 1000L, 0),
+        ("otelcol_queue", "Delta", "Sum", true, Map.empty[String, String], 1.0, 1000L, 0))
         .toDF("metric_name", "temporality", "metric_type", "is_monotonic",
           "attrs", "value", "unix_milli", "flags"))))
     val u = MetricsExporter.usage(samples).collect()
     assert(u.length == 1) // single default env tenant
-    assert(u.head.getAs[Long]("n_points") == 3L)
-    assert(u.head.getAs[Long]("n_bytes") == 3L * ("mm".length + 24))
+    assert(u.head.getAs[Long]("n_points") == 3L) // internal metrics excluded
+    assert(u.head.getAs[Long]("n_bytes") == 0L)  // metrics bill by count, size 0
   }
 }

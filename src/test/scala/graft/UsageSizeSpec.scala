@@ -61,6 +61,26 @@ class UsageSizeSpec extends SparkSuite {
     assert(nan.head.isNullAt(0))
   }
 
+  test("reference logs sizer goldens (pkg/metering/v1/logs_test.go): " +
+      "10 records x 8 resource attrs -> 3910; workspace attr excluded") {
+    import graft.model.LogFrames
+    import graft.pipeline.Exporter
+    // plogsgen.Generate: resource.N keys (10 bytes), 20-byte value, 100-byte
+    // body, no record attributes. Expected 10*(8*(10+20+5)+7+2+2+100).
+    val body = "Lorem ipsum dolor sit amet consectetur adipiscing elit, " +
+      "enim suscipit nullam aenean mattis senectus."
+    val res = (0 until 8).map(i => s"resource.$i" -> "Lorem ipsum euismod.").toMap
+    def frame(resources: Map[String, String]) = LogFrames.withDefaults(
+      (0 until 10).map(i => (s"c$i", 0, body, 1704067200L * 1000000000L, resources))
+        .toDF("conv_id", "turn_idx", "body", "timestamp", "resources_string"))
+    val expected = 10L * (8 * (10 + 20 + 5) + 7 + 2 + 2 + 100)
+    assert(Exporter.logsV2(frame(res)).agg(sum(col("record_size")))
+      .head.getLong(0) == expected)
+    // signoz.workspace.* resource attrs don't change the billed size
+    assert(Exporter.logsV2(frame(res + ("signoz.workspace.internal.test" -> "signoz-test")))
+      .agg(sum(col("record_size"))).head.getLong(0) == expected)
+  }
+
   test("record_size formula: body bytes + attrs Go-JSON + workspace-excluded resources") {
     import graft.functions.{MapDropKeyPrefix, MapSortedJson}
     val df = Seq(1).toDF("i").select(
