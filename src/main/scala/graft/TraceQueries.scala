@@ -159,6 +159,13 @@ object TraceQueries {
         col("exception_type"), col("exception_message"))
     }),
 
+    // traces usage metering: span count + EXACT billing bytes per service
+    // (pkg/metering/v1/traces.go SizePerSpan — the oracle recomputes the
+    // field-by-field byte math over the deterministic span shaping)
+    "q_trace_usage" -> ((s, d) => {
+      TraceExporter.usage(TraceExporter.spansV3(eventsAsSpans(s, d)))
+    }),
+
     // root_operations MV: DISTINCT (name, serviceName) over root spans
     "q_root_ops" -> ((s, d) => {
       TraceExporter.rootOperations(TraceExporter.spansV3(eventsAsSpans(s, d)))
@@ -385,6 +392,36 @@ object TraceQueries {
          |        $traceIdSql DESC, $spanIdSql DESC) AS rnk
          |  FROM events
          |) WHERE rnk <= 3""".stripMargin,
+
+    // SizePerSpan recomputed field-by-field: constant part 331 = braces(2) +
+    // resources(44: {"service.name":"svc-K"}=24 +18+2) + start key(21) +
+    // spanId(28) + traceId(45) + name key(10) + kind(9) + spanKind key(14) +
+    // attrs_string(83 + 2 digit-lens) + attrs_number(54 + value len) +
+    // serviceName(22) - 1; variable: ts digits, event_type len (name AND the
+    // attrs_string map), pdata kind-string len, Go-rendered value len,
+    // parent(34|0), flags(12|0), exception event (146 + event-ts digits | 0),
+    // references(125|44).
+    "q_trace_usage" ->
+      s"""SELECT $serviceSql AS service_name, count(*) AS n_spans,
+         |  CAST(SUM(
+         |    331
+         |    + strlen(CAST(epoch_ns(ts) AS VARCHAR))
+         |    + 2 * strlen(event_type)
+         |    + CASE CAST(event_id % 6 AS INT) WHEN 0 THEN 11 WHEN 1 THEN 8
+         |        WHEN 2 THEN 6 WHEN 3 THEN 6 ELSE 8 END
+         |    + strlen(CASE WHEN value = floor(value)
+         |        THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+         |        ELSE CAST(value AS VARCHAR) END)
+         |    + CASE WHEN event_id % 5 = 0 THEN 0 ELSE 34 END
+         |    + CASE WHEN event_id % 4 = 0 THEN 0 ELSE 12 END
+         |    + CASE WHEN event_type = 'error'
+         |        THEN 146 + strlen(CAST(epoch_ns(ts) + 1000000 AS VARCHAR))
+         |        ELSE 0 END
+         |    -- refs: parent ref is unconditional (len([8]byte) guard bug);
+         |    -- orphans keep the non-empty traceId, spanId omitempty-drops
+         |    + CASE WHEN event_id % 5 = 0 THEN 93 ELSE 125 END
+         |  ) AS BIGINT) AS n_bytes
+         |FROM events GROUP BY 1""".stripMargin,
 
     "q_spans_v3" ->
       s"""SELECT
