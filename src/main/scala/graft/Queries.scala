@@ -216,6 +216,15 @@ object Queries {
       Exporter.usage(main).withColumnRenamed("route", "route")
     }),
 
+    // signozmeterconnector: per-resource-dim billing meter deltas
+    // (connector.go aggregateMeterMetricsFromLogs + collectLogMeterMetrics)
+    "q_meter_connector" -> ((s, d) => {
+      val main = Exporter.logsV2(Pipeline.compile(routerSpec)(eventsAsLogs(s, d)))
+      graft.pipeline.MeterConnector.fromLogs(main, Seq("user_id"), "cid", 0L)
+        .select(col("metric_name"),
+          element_at(col("attrs"), "user_id").as("user_id"), col("value"))
+    }),
+
     // exporter + spanmetrics-style severity histogram per route (SURVEY §2.5)
     "q_severity_hist" -> ((s, d) => {
       val spec = PipelineSpec(Seq(
@@ -400,6 +409,21 @@ object Queries {
          |                 ELSE CAST(value AS VARCHAR) END)
          |           + 14 + strlen(CAST(user_id AS VARCHAR))) AS BIGINT) AS n_bytes
          |FROM events GROUP BY 1""".stripMargin,
+
+    "q_meter_connector" ->
+      s"""SELECT 'signoz.meter.log.count' AS metric_name,
+         |       CAST(user_id AS VARCHAR) AS user_id,
+         |       CAST(count(*) AS DOUBLE) AS value
+         |FROM events GROUP BY 2
+         |UNION ALL
+         |SELECT 'signoz.meter.log.size',
+         |       CAST(user_id AS VARCHAR),
+         |       CAST(SUM(strlen(props) + 26 + strlen(event_type)
+         |           + strlen(CASE WHEN value = floor(value)
+         |                 THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+         |                 ELSE CAST(value AS VARCHAR) END)
+         |           + 14 + strlen(CAST(user_id AS VARCHAR))) AS DOUBLE)
+         |FROM events GROUP BY 2""".stripMargin,
 
     "q_severity_hist" ->
       s"""SELECT $routeCase AS route,
