@@ -216,6 +216,23 @@ object Queries {
       Exporter.usage(main).withColumnRenamed("route", "route")
     }),
 
+    // metadataexporter json walker: body path/type metadata sink
+    // (json_writer.go walkNode; types unioned across records)
+    "q_json_path_types" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val ev = read(s, d, "events")
+      val logs = LogFrames.withDefaults(ev.select(
+        col("event_id"),
+        concat(lit("{\"k\":"),
+          when(col("event_id") % 2 === 0,
+            (col("event_id") % 100).cast("long").cast("string"))
+            .otherwise(col("value").cast("string")),
+          lit(",\"tags\":[\"t\"],\"meta\":{\"user\":\"u"),
+          (col("user_id") % 3).cast("string"),
+          lit("\"},\"message\":{\"x\":1}}")).as("body")))
+      graft.pipeline.Metadata.jsonPathTypes(logs)
+    }),
+
     // signozmeterconnector: per-resource-dim billing meter deltas
     // (connector.go aggregateMeterMetricsFromLogs + collectLogMeterMetrics)
     "q_meter_connector" -> ((s, d) => {
@@ -409,6 +426,19 @@ object Queries {
          |                 ELSE CAST(value AS VARCHAR) END)
          |           + 14 + strlen(CAST(user_id AS VARCHAR))) AS BIGINT) AS n_bytes
          |FROM events GROUP BY 1""".stripMargin,
+
+    // the walker output over the constructed bodies is a fixed path/type
+    // set: k is int64 on even event_ids and float64 on odd ones (both
+    // parities exist), tags is a single-string array, message is the
+    // type-hint field recorded as string without descending
+    "q_json_path_types" ->
+      """SELECT * FROM (VALUES
+        |  ('logs','body','k','int64'),
+        |  ('logs','body','k','float64'),
+        |  ('logs','body','tags','[]string'),
+        |  ('logs','body','meta.user','string'),
+        |  ('logs','body','message','string'))
+        |AS t(signal, field_context, path, data_type)""".stripMargin,
 
     "q_meter_connector" ->
       s"""SELECT 'signoz.meter.log.count' AS metric_name,

@@ -52,6 +52,27 @@ object KeyCheck {
     s.length == 26 && s.forall(c =>
       ((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')) &&
         c != 'I' && c != 'L' && c != 'O' && c != 'U')
+
+  // `pkg/keycheck/cardinality.go:10-11` — the JSON-key symbol whitelist
+  private val jsonKeyAllowedSymbols = Set('_', '.', ':', '@', '-', '$', '#', '{', '}', '/')
+
+  private def hasNonAllowedSymbols(s: String): Boolean =
+    s.exists(c => !((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || jsonKeyAllowedSymbols.contains(c)))
+
+  /** `pkg/keycheck/cardinality.go:14-37 IsCardinal` — the JSON-body map-key
+    * gate of the metadata json walker: [[isRandomKey]]'s chain plus a
+    * non-whitelisted-symbol check up front.
+    */
+  def isCardinal(key: String): Boolean = {
+    val length = key.length
+    if (length > MaxKeyLength) return true
+    if (hasNonAllowedSymbols(key)) return true
+    if (length <= ShortKeyLength && isAlphaLower(key)) return false
+    if (length <= MediumKeyLength && (key.contains('_') || key.contains('-')) &&
+      isMostlyLetters(key)) return false
+    key.split("\\.", -1).exists(seg => seg.nonEmpty && isRandomSegment(seg))
+  }
 }
 
 /** `is_random_key(str)` as a codegen expression — the exporter's tag sinks

@@ -74,4 +74,20 @@ object Metadata {
       case None => rows
     }
   }
+
+  /** `distributed_json_path_types` rows: the json_writer's body walk
+    * (exporter/metadataexporter/json_writer.go walkNode + flushTypeSet) over
+    * every JSON-object body — per-batch set union of (path, type) pairs,
+    * tagged (signal='logs', field_context='body') like the flush SQL. The
+    * kernel is per-row codegen; the cross-record union is one distinct().
+    */
+  def jsonPathTypes(logsV2: DataFrame, maxDepth: Int = 100,
+      maxArrayElements: Int = 100, maxKeysAtLevel: Int = 1024): DataFrame =
+    logsV2
+      .select(explode(graft.functions.JsonPathTypes(
+        col("body"), maxDepth, maxArrayElements, maxKeysAtLevel)).as("__pt"))
+      .select(col("__pt.path").as("path"), col("__pt.dtype").as("data_type"))
+      .distinct()
+      .select(lit("logs").as("signal"), lit("body").as("field_context"),
+        col("path"), col("data_type"))
 }

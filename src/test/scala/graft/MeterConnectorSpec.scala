@@ -72,6 +72,42 @@ class MeterConnectorSpec extends SparkSuite {
     assert(out("signoz.meter.metric.datapoint.size") == 0.0)
   }
 
+  test("v1 metrics Count reference goldens (metrics_test.go): 100/60/144/0/30") {
+    val res = Map("r" -> "1")
+    def frames(n: Int, name: String = "m") = (0 until n).map(i => (s"$name$i", 1.0))
+    def count(scalars: Option[org.apache.spark.sql.DataFrame] = None,
+        hists: Option[org.apache.spark.sql.DataFrame] = None,
+        summ: Option[org.apache.spark.sql.DataFrame] = None): Double =
+      MeterConnector.fromMetricFrames(Seq("r"), "cid", 0L, scalars, hists, summ)
+        .filter(col("metric_name") === "signoz.meter.metric.datapoint.count")
+        .collect().headOption.map(_.getAs[Double]("value")).getOrElse(0.0)
+
+    // 10 gauge metrics x 10 dps = 100
+    val gauges = MetricFrames.withDefaults(
+      (0 until 10).flatMap(m => (0 until 10).map(d => (s"g$m", d.toDouble)))
+        .toDF("metric_name", "value").withColumn("resource_attrs", typedLit(res)))
+    assert(count(scalars = Some(gauges)) == 100.0)
+    // 1 histogram metric x 6 dps x (20 buckets + count + sum + min + max) = 144
+    val hists = MetricFrames.withHistogramDefaults(
+      (0 until 6).map(d => ("h", (1 to 20).map(_.toLong), true, true, true))
+        .toDF("metric_name", "bucket_counts", "has_sum", "has_min", "has_max")
+        .withColumn("resource_attrs", typedLit(res)))
+    assert(count(hists = Some(hists)) == 144.0)
+    // 1 summary metric x 6 dps x (3 quantiles + 2) = 30
+    val summ = MetricFrames.withSummaryDefaults(
+      (0 until 6).map(d => Tuple1("s")).toDF("metric_name")
+        .withColumn("quantiles", expr(
+          "array(named_struct('q',0.5,'v',1.0), named_struct('q',0.9,'v',2.0), " +
+            "named_struct('q',0.99,'v',3.0))").cast(MetricFrames.quantileType))
+        .withColumn("resource_attrs", typedLit(res)))
+    assert(count(summ = Some(summ)) == 30.0)
+    // excluded prefix -> zero billable points -> family skipped entirely
+    val excluded = MetricFrames.withDefaults(Seq(("signoz_x", 1.0), ("otelcol_y", 2.0))
+      .toDF("metric_name", "value").withColumn("resource_attrs", typedLit(res)))
+    assert(MeterConnector.fromMetricFrames(Seq("r"), "cid", 0L, scalars = Some(excluded))
+      .count() == 0L)
+  }
+
   test("connector output feeds the meter exporter sink end-to-end") {
     val frames = MetricFrames.withDefaults(
       MeterConnector.fromLogs(logs, Seq("role"), "cid-1", 1704067300000L))
