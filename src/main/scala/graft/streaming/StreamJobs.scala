@@ -81,6 +81,51 @@ object StreamJobs {
         OutputMode.Append, timeoutConf)(meterDeltaFn(stateTtl))
   }
 
+  /** Streaming form of the full connector output
+    * ([[graft.pipeline.MeterConnector]] shape): dimension keys projected
+    * from RESOURCE attributes (absent keys omitted from the emitted attrs,
+    * like `buildDimensionsMapFromResourceAttributes` — connector.go:348-359),
+    * each micro-batch flush emitting the `signoz.meter.log.{count,size}`
+    * delta monotonic sums per dim key, [[MeterExporter]]-ready after
+    * `MetricFrames.withDefaults`.
+    */
+  def meterConnectorStream(logsV2: DataFrame, dims: Seq[String],
+      connectorId: String, stateTtl: Option[String] = None): DataFrame = {
+    val spark = logsV2.sparkSession
+    import spark.implicits._
+    val keyed = logsV2.select(
+      array(dims.map(k => element_at(col("resources_string"), k)): _*).as("_1"),
+      col("record_size").cast("long").as("_2")).as[(Seq[String], Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val flushed = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Seq[String], Long, Long)](
+        OutputMode.Append, timeoutConf) { (key, rows, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var c = 0L; var s = 0L
+          rows.foreach { r => c += 1; s += r._2 }
+          val (pc, ps) = state.getOption.getOrElse((0L, 0L))
+          state.update((pc + c, ps + s))
+          stateTtl.foreach(state.setTimeoutDuration)
+          if (c == 0) Iterator.empty else Iterator((key, c, s))
+        }
+      }
+    val dimNames = dims
+    flushed.flatMap { case (key, c, s) =>
+      val attrs = dimNames.zip(key).collect { case (k, v) if v != null => k -> v }.toMap
+      Seq(
+        ("signoz.meter.log.count", "The number of log records observed.", "1", c.toDouble, attrs),
+        ("signoz.meter.log.size", "The size of log records observed.", "By", s.toDouble, attrs))
+    }.toDF("metric_name", "description", "unit", "value", "attrs")
+      .withColumn("metric_type", lit("Sum"))
+      .withColumn("temporality", lit("Delta"))
+      .withColumn("is_monotonic", lit(true))
+      .withColumn("scope_name", lit(graft.pipeline.MeterConnector.ScopeName))
+      .withColumn("scope_attrs", map(lit("connector_id"), lit(connectorId)))
+  }
+
   /** The per-group delta-flush function, factored out so the timeout path is
     * unit-testable with `TestGroupState` (a live ProcessingTimeTimeout query
     * re-runs empty batches continuously to service timers, which livelocks

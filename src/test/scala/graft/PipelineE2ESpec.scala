@@ -137,6 +137,32 @@ class PipelineE2ESpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("meterConnectorStream: resource-dim keyed signoz.meter.log.* frames per flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Map[String, String], Long)]
+    val logsShaped = in.toDF().toDF("resources_string", "record_size")
+    val frames = StreamJobs.meterConnectorStream(logsShaped, Seq("role"), "cid-9")
+    val q = frames.writeStream.outputMode("append")
+      .format("memory").queryName("graft_meter_frames").start()
+    try {
+      in.addData(Seq(
+        (Map("role" -> "user"), 10L),
+        (Map("role" -> "user"), 20L),
+        (Map("other" -> "x"), 5L))) // role absent -> empty attrs key
+      q.processAllAvailable()
+      val rows = spark.table("graft_meter_frames").collect()
+        .map(r => (r.getAs[String]("metric_name"), r.getAs[Map[String, String]]("attrs"),
+          r.getAs[Double]("value"), r.getAs[String]("temporality"),
+          r.getAs[Map[String, String]]("scope_attrs"))).toSet
+      assert(rows == Set(
+        ("signoz.meter.log.count", Map("role" -> "user"), 2.0, "Delta", Map("connector_id" -> "cid-9")),
+        ("signoz.meter.log.size", Map("role" -> "user"), 30.0, "Delta", Map("connector_id" -> "cid-9")),
+        ("signoz.meter.log.count", Map.empty[String, String], 1.0, "Delta", Map("connector_id" -> "cid-9")),
+        ("signoz.meter.log.size", Map.empty[String, String], 5.0, "Delta", Map("connector_id" -> "cid-9"))))
+    } finally q.stop()
+  }
+
   test("meter delta state TTL: idle dimension keys are evicted on timeout") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val fn = StreamJobs.meterDeltaFn(Some("30 minutes"))
