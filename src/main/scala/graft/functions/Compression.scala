@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.{GraftBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** GZIP decompression for receiver payloads. The firehose cwlogs receiver
   * gunzips every delivered record before parsing
@@ -47,4 +48,52 @@ case class Gunzip(child: Expression) extends UnaryExpression {
 object Gunzip {
   def apply(c: Column): Column =
     ExpressionUtils.column(Gunzip(ExpressionUtils.expression(c)))
+}
+
+/** Charset decode for the Kafka `text_<encoding>` log unmarshaler
+  * (`receiver/signozkafkareceiver/text_unmarshaler.go` +
+  * `internal/coreinternal/textutils/encoding.go`): the encoding name after
+  * `text_` resolves through the reference's override table first —
+  * `utf-16`/`utf16` mean LITTLE-endian (x/text `unicode.UTF16(LittleEndian,
+  * IgnoreBOM)`), `ascii`/`us-ascii` decode as UTF-8, `nop` passes bytes
+  * through raw — then the IANA registry (Java `Charset.forName` covers the
+  * same names). Malformed input replaces with U+FFFD, matching x/text
+  * decoder behavior.
+  */
+object CharsetDecodeKernel extends Serializable {
+  private def resolve(name: String): java.nio.charset.Charset = {
+    name.toLowerCase match {
+      case "utf-16" | "utf16" => java.nio.charset.Charset.forName("UTF-16LE")
+      case "utf-8" | "utf8" | "ascii" | "us-ascii" | "" =>
+        java.nio.charset.StandardCharsets.UTF_8
+      case "nop" => java.nio.charset.StandardCharsets.ISO_8859_1 // byte-preserving
+      case other => java.nio.charset.Charset.forName(other)
+    }
+  }
+
+  def decode(bytes: Array[Byte], name: UTF8String): UTF8String = {
+    if (bytes == null) return null
+    UTF8String.fromString(new String(bytes, resolve(name.toString)))
+  }
+}
+
+/** `charset_decode(binary, 'utf-16')` -> string. */
+case class CharsetDecode(child: Expression, charset: String) extends UnaryExpression {
+  private val csUtf8 = UTF8String.fromString(charset)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    CharsetDecodeKernel.decode(input.asInstanceOf[Array[Byte]], csUtf8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("charset", csUtf8, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, input =>
+      s"graft.functions.CharsetDecodeKernel$$.MODULE$$.decode($input, $cs)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharsetDecode =
+    copy(child = newChild)
+}
+
+object CharsetDecode {
+  def apply(c: Column, charset: String): Column =
+    ExpressionUtils.column(CharsetDecode(ExpressionUtils.expression(c), charset))
 }

@@ -131,6 +131,14 @@ object LogSources {
       case "raw" | "text" =>
         LogFrames.withDefaults(df.select(
           value.as("body"), otsNanos.as("observed_timestamp")))
+      // `text_<charset>` (kafka_receiver.go:357-371 getLogsUnmarshaler split
+      // + textutils lookupEncoding): the suffix resolves via the override
+      // table (utf-16 = LE ignore-BOM, ascii = utf-8, nop = raw bytes) then
+      // the IANA registry
+      case t if t.startsWith("text_") =>
+        LogFrames.withDefaults(df.select(
+          graft.functions.CharsetDecode(col("value"), t.substring(5)).as("body"),
+          otsNanos.as("observed_timestamp")))
       case "json" => fromJsonBody(df, value)
       case "default" => fromTextLines(df, value)
       case "heroku" => fromHeroku(df, value)

@@ -108,6 +108,26 @@ class LogSourcesSpec extends SparkSuite {
     assert(LogSources.fromKafka(kafkaFrame(Seq("a\nb")), "text").count() == 1)
   }
 
+  test("kafka adapter: text_<charset> decodes via the textutils override table " +
+      "(utf-16 = little-endian, ascii = utf-8, nop = raw, IANA fallback)") {
+    val tsMicros = 1700000000000000L
+    def frame(bytes: Array[Byte]) = Seq(
+      ("k".getBytes("UTF-8"), bytes, "logs-topic", 0, 0L,
+        new java.sql.Timestamp(tsMicros / 1000)))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    def body(bytes: Array[Byte], enc: String): String =
+      LogSources.fromKafka(frame(bytes), enc).select("body").head.getString(0)
+    // utf-16 override is LITTLE-endian (x/text unicode.UTF16(LittleEndian))
+    assert(body("héllo".getBytes("UTF-16LE"), "text_utf-16") == "héllo")
+    assert(body("héllo".getBytes("UTF-16LE"), "text_utf16") == "héllo")
+    // ascii decodes as utf-8
+    assert(body("plain".getBytes("UTF-8"), "text_ascii") == "plain")
+    // IANA registry name (latin1)
+    assert(body("café".getBytes("ISO-8859-1"), "text_ISO-8859-1") == "café")
+    // gbk via IANA
+    assert(body("中文".getBytes("GBK"), "text_GBK") == "中文")
+  }
+
   test("kafka adapter: value bytes route through the body parsers") {
     val json = """[{"body": "from kafka", "severity_number": 9}]"""
     val viaJson = LogSources.fromKafka(kafkaFrame(Seq(json)), "json")
