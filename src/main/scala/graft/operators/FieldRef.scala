@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *    reference's own JSON flattener uses, `operators/json/parser.go:65-92`);
   *  - `body` -> the body string; `body.x.y` -> a JSON read through the body
   *    (`get_json_object`), Catalyst's equivalent of the reference's lazy
-  *    cached body parse;
+  *    cached body parse; body-path WRITES (set/remove) edit the body JSON
+  *    with the stanza `BodyField.Set/Delete/Merge` semantics via the
+  *    [[graft.functions.BodyEdit]] kernels;
   *  - bare names (`severity_text`, `trace_id`, ...) -> top-level columns.
   */
 sealed trait FieldRef
@@ -143,6 +145,17 @@ object FieldCols {
     case other => readString(other).cast("double")
   }
 
+  /** Presence under the WRITE-side semantics the move/copy/remove operators
+    * gate on (`BodyField.Get/Delete` walk, body_field.go:101-199): a strict
+    * object walk where a JSON `null` leaf IS present. The expression
+    * language's `exists`/nil tests keep [[exists]]'s get_json_object
+    * semantics (expr-lang `body.x == nil` is true for a null leaf).
+    */
+  def existsStrict(f: FieldRef): Column = f match {
+    case BodyPath(keys) => graft.functions.BodyEdit.exists(col("body"), keys)
+    case other => exists(other)
+  }
+
   /** Presence test (reference `entry.Get(field)` ok-flag). */
   def exists(f: FieldRef): Column = f match {
     case Body => col("body").isNotNull
@@ -201,6 +214,11 @@ object FieldCols {
     case Resource(keys) =>
       Seq("resources_string" -> mapSet(col("resources_string"), attrKey(keys), v))
     case Body => Seq("body" -> v)
+    case BodyPath(keys) =>
+      // string scalar write through the JSON body (BodyField.Set semantics
+      // via BodyEdit; the value keeps its string type even if it looks
+      // numeric/JSON — Go stores the string value as-is)
+      Seq("body" -> graft.functions.BodyEdit.setRaw(col("body"), keys, v))
     case Top(n) => Seq(n -> v.cast(topType(n)))
     case other => throw new IllegalArgumentException(s"cannot set field $other")
   }
@@ -213,6 +231,11 @@ object FieldCols {
         "attributes_string" -> mapWithout(col("attributes_string"), k),
         "attributes_bool" -> mapWithout(col("attributes_bool"), k))
     case Top(n) => Seq(n -> v.cast(topType(n)))
+    case BodyPath(keys) =>
+      // Go-rendered number (integral values print without decimals) parsed
+      // back as a JSON number, so the body JSON carries a number leaf
+      Seq("body" -> graft.functions.BodyEdit.set(col("body"), keys,
+        stringifyNumber(v.cast("double"))))
     case other => setString(other, v.cast("string"))
   }
 
@@ -223,6 +246,9 @@ object FieldCols {
         "attributes_bool" -> mapSet(col("attributes_bool"), k, v.cast("boolean")),
         "attributes_string" -> mapWithout(col("attributes_string"), k),
         "attributes_number" -> mapWithout(col("attributes_number"), k))
+    case BodyPath(keys) =>
+      Seq("body" -> graft.functions.BodyEdit.set(col("body"), keys,
+        v.cast("boolean").cast("string")))
     case other => setString(other, v.cast("string"))
   }
 
@@ -241,6 +267,11 @@ object FieldCols {
       "attributes_bool" -> map().cast(graft.model.LogSchema.mapSB))
     case ResourceRoot => Seq("resources_string" -> map().cast(graft.model.LogSchema.mapSS))
     case Body => Seq("body" -> lit(null).cast("string"))
+    case BodyPath(keys) =>
+      // no-op (body passes through) when the body is not a JSON object or
+      // the path is absent — BodyField.Delete's !exist; operators that must
+      // route that to on_error gate on existsStrict
+      Seq("body" -> graft.functions.BodyEdit.delete(col("body"), keys))
     case Top(n) => Seq(n -> lit(null).cast(topType(n)))
     case other => throw new IllegalArgumentException(s"cannot remove field $other")
   }

@@ -269,8 +269,28 @@ object Ops {
           else lit(value)
         FieldCols.applyUpdates(df, FieldCols.setString(field, v), Some(gate))
 
-      case RemoveOp(_, field) =>
-        FieldCols.applyUpdates(df, FieldCols.remove(field), Some(gate))
+      case RemoveOp(c, field) =>
+        // missing field is an error (remove/transformer.go:38-42) — only
+        // observable under on_error: drop, since the remove itself is a
+        // no-op on absent fields; rootable/whole-entry targets always
+        // succeed (transformer.go:29-37). Existence is captured BEFORE the
+        // remove projection.
+        val needOk = (c.onError == OnError.Drop || c.onError == OnError.DropQuiet) &&
+          (field match {
+            case FieldRef.AttrsRoot | FieldRef.ResourceRoot | FieldRef.Body |
+                FieldRef.Top(_) => false
+            case _ => true
+          })
+        if (!needOk) FieldCols.applyUpdates(df, FieldCols.remove(field), Some(gate))
+        else {
+          // keep-decision materialized BEFORE the remove projection (both
+          // the gate and the existence read pre-remove values)
+          val df1 = df.withColumn("__rkeep",
+            !gate || coalesce(FieldCols.existsStrict(field), lit(false)))
+          FieldCols.applyUpdates(df1, FieldCols.remove(field), Some(gate))
+            .filter(col("__rkeep"))
+            .drop("__rkeep")
+        }
 
       case CopyOp(_, from, to) =>
         copyMove(df, from, to, gate, op.common.onError, deleteFrom = false)
@@ -377,14 +397,19 @@ object Ops {
     r.output.headOption.getOrElse(s"route_$i")
 
   /** Shared copy/move kernel (`operators/copy/transformer.go:31-36`,
-    * `operators/move/transformer.go:30-36`): missing `from` is an error.
-    * Attr->Attr preserves the value's typed map; everything else goes
-    * through the string read. Set and delete compose as two chained
+    * `operators/move/transformer.go:27-31`): missing `from` is an error.
+    * Attr->Attr preserves the value's typed map; body-path targets edit the
+    * body JSON with `BodyField.Set/Merge` semantics (map values merge,
+    * string attrs keep their string type, number/bool attrs keep their JSON
+    * types); move inside the body runs Delete-then-Set in the reference's
+    * order so self-overlapping paths resolve identically. Everything else
+    * goes through the string read. Set and delete compose as chained
     * projections (Catalyst's CollapseProject fuses them back into one).
     */
   private def copyMove(df0: DataFrame, from: FieldRef, to: FieldRef, gate: Column,
       onError: OnError.T, deleteFrom: Boolean): DataFrame = {
-    val df = df0.withColumn("__ok", coalesce(FieldCols.exists(from), lit(false)))
+    import graft.functions.BodyEdit
+    val df = df0.withColumn("__ok", coalesce(FieldCols.existsStrict(from), lit(false)))
     val g = gate && col("__ok")
     val out = (from, to) match {
       case (Attr(fk), Attr(tk)) =>
@@ -399,6 +424,46 @@ object Ops {
             .otherwise(graft.functions.MapFilterKeys(col(m), Seq(tkey), keep = false))
         }
         FieldCols.applyUpdates(df, updates, Some(g))
+
+      // ---- body-path targets (stanza BodyField.Set/Merge semantics) ----
+      case (BodyPath(fk), BodyPath(tk)) =>
+        val newBody =
+          if (deleteFrom) BodyEdit.move(col("body"), fk, tk)
+          else BodyEdit.set(col("body"), tk, BodyEdit.get(col("body"), fk))
+        FieldCols.applyUpdates(df, Seq("body" -> newBody), Some(g))
+      case (BodyPath(fk), Body) =>
+        // subtree to root: objects MERGE into the remaining root map
+        // (body_field.go:127-133); scalars replace the body
+        val newBody =
+          if (deleteFrom) BodyEdit.move(col("body"), fk, Nil)
+          else BodyEdit.set(col("body"), Nil, BodyEdit.get(col("body"), fk))
+        FieldCols.applyUpdates(df, Seq("body" -> newBody), Some(g))
+      case (Body, BodyPath(tk)) =>
+        // whole body into a path: a JSON-object body merges as the map it
+        // denotes, a plain-text body sets as a string scalar; move first
+        // deletes the root (fresh object)
+        val src = if (deleteFrom) lit(null).cast("string") else col("body")
+        FieldCols.applyUpdates(df,
+          Seq("body" -> BodyEdit.set(src, tk, col("body"))), Some(g))
+      case (from0, BodyPath(tk)) =>
+        // typed scalar source -> body path: string values stay string
+        // scalars; number/bool renderings parse back to their JSON types
+        val sval = FieldCols.readString(from0)
+        val newBody = from0 match {
+          case Attr(fk0) =>
+            val k = FieldCols.attrKey(fk0)
+            when(map_contains_key(col("attributes_string"), k),
+              BodyEdit.setRaw(col("body"), tk, sval))
+              .otherwise(BodyEdit.set(col("body"), tk, sval))
+          case Top(n) if Set("severity_number", "trace_flags", "turn_idx",
+              "timestamp", "observed_timestamp").contains(n) =>
+            BodyEdit.set(col("body"), tk, sval)
+          case _ => BodyEdit.setRaw(col("body"), tk, sval)
+        }
+        val step1 = FieldCols.applyUpdates(df, Seq("body" -> newBody), Some(g))
+        if (deleteFrom) FieldCols.applyUpdates(step1, FieldCols.remove(from0), Some(g))
+        else step1
+
       case _ =>
         val step1 = FieldCols.applyUpdates(df,
           FieldCols.setString(to, FieldCols.readString(from)), Some(g))
