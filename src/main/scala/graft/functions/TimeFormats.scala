@@ -70,24 +70,40 @@ object TimeFormats {
     sb.toString
   }
 
-  /** Go reference-time layout -> Java pattern (the subset in real configs). */
+  /** Go reference-time layout -> Java pattern: a longest-match scan over the
+    * Go reference-time constants (time/format.go std* tokens), with
+    * non-token letters quoted as literals (a bare `T` would otherwise be an
+    * invalid Java pattern letter). `.999`-family fractions (Go: optional,
+    * trailing-zero-trimmed) become Spark optional sections `[.SSS]`.
+    */
   def gotimeToJava(layout: String): String = {
-    // longest-first token replacement over the Go reference time constants
-    val tokens = Seq(
-      "2006" -> "yyyy", "06" -> "yy",
-      "January" -> "MMMM", "Jan" -> "MMM", "01" -> "MM",
+    val tokens = Seq( // longest-first at each scan position
+      "January" -> "MMMM", "Jan" -> "MMM",
       "Monday" -> "EEEE", "Mon" -> "EEE",
-      "02" -> "dd", "_2" -> "d",
-      "15" -> "HH", "03" -> "hh",
-      "04" -> "mm", "05" -> "ss",
       ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
-      "PM" -> "a",
-      "Z07:00" -> "XXX", "Z0700" -> "XX", "-07:00" -> "xxx", "-0700" -> "xx",
-      "MST" -> "zzz"
-    )
-    var out = layout
-    tokens.foreach { case (go, jv) => out = out.replace(go, jv) }
-    out
+      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSS]", ".999" -> "[.SSS]",
+      "2006" -> "yyyy", "15" -> "HH",
+      "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+      "06" -> "yy", "_2" -> "d",
+      "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s",
+      "PM" -> "a", "pm" -> "a",
+      "Z07:00" -> "XXX", "Z0700" -> "XX",
+      "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
+      "MST" -> "zzz")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      tokens.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, jv)) => sb.append(jv); i += go.length
+        case None =>
+          val c = layout.charAt(i)
+          if (c.isLetter || c == '\'')
+            sb.append('\'').append(if (c == '\'') "''" else c.toString).append('\'')
+          else sb.append(c)
+          i += 1
+      }
+    }
+    sb.toString
   }
 
   val epochLayouts: Set[String] = Set("s", "ms", "us", "ns", "s.ms", "s.us", "s.ns")
@@ -113,7 +129,14 @@ object TimeFormats {
       case "ns" => intVal
       case "s.ms" | "s.us" | "s.ns" =>
         val mult = layout match { case "s.ms" => 1000000L; case "s.us" => 1000L; case _ => 1L }
-        val str = value.cast("string")
+        // numeric sources render fixed-decimal with the layout's digit count
+        // first, exactly like getEpochStamp's %10.3f/%10.6f/%10.9f
+        // (stanza/operator/helper/time.go:212-224) — a raw double->string
+        // cast would go scientific and fail the split
+        val digits = layout match { case "s.ms" => 3; case "s.us" => 6; case _ => 9 }
+        val str =
+          if (sourceIsNumeric) format_string(s"%.${digits}f", value.cast("double"))
+          else value.cast("string")
         val sec = substring_index(str, ".", 1).cast("long")
         val sub = when(str.contains("."), substring_index(str, ".", -1).cast("long")).otherwise(lit(0L))
         sec * lit(1000000000L) + sub * lit(mult)
@@ -129,6 +152,18 @@ object TimeFormats {
     noLit.exists(c => c == 'X' || c == 'x' || c == 'z' || c == 'Z' || c == 'O' || c == 'V')
   }
 
+  /** Patterns Spark's parser cannot or will not parse Go-faithfully: text
+    * fields (month/day names, am/pm, zone names — Spark rejects `E` outright
+    * and is case-sensitive where Go is not) and fractions (Go accepts any
+    * digit count where Java `SSS` runs are exact-width). These route through
+    * the [[GoTimeParse]] kernel.
+    */
+  private def needsKernel(javaPattern: String): Boolean = {
+    val noLit = javaPattern.replaceAll("'[^']*'", "")
+    noLit.contains("MMM") || noLit.contains("EEE") || noLit.exists(c =>
+      c == 'z' || c == 'a' || c == 'S' || c == '[')
+  }
+
   /** Full layout dispatch -> epoch-nanos column (null on parse failure,
     * which the operator wrapper turns into the on_error path).
     *
@@ -139,6 +174,9 @@ object TimeFormats {
   def parseToNanos(value: Column, layoutType: String, layout: String,
       sourceIsNumeric: Boolean = false, location: Option[String] = None): Column = {
     def withLoc(javaPattern: String): Column = {
+      if (needsKernel(javaPattern))
+        return GoTimeParse.of(value.cast("string"), javaPattern,
+          if (hasZone(javaPattern)) None else location)
       val parsed = try_to_timestamp(value.cast("string"), lit(javaPattern))
       location match {
         case Some(loc) if !hasZone(javaPattern) =>
@@ -154,4 +192,92 @@ object TimeFormats {
       case other => throw new IllegalArgumentException(s"unsupported layout type: $other")
     }
   }
+}
+
+/** java.time-based parse kernel for the patterns Spark's formatter cannot
+  * parse Go-faithfully (see `TimeFormats.needsKernel`):
+  *  - `parseCaseInsensitive`: Go matches month/day names and PM in any case
+  *    (time/format.go `match`); Spark/Java default is exact-case;
+  *  - day-of-week (`EEE`): Spark refuses the field for parsing outright;
+  *  - zone names (`zzz`): resolved through the JDK short-ID map (MST, HST,
+  *    ...); Go's own behavior here is host-zone-dependent (a name unknown to
+  *    the current location parses with offset 0, time/format.go:1370-1385) —
+  *    the JDK's fixed resolution is the deterministic superset;
+  *  - fractions: Go's `.999`/`.000` runs accept ANY number of digits
+  *    (format.go commaOrPeriod), where Java `S` runs are exact-width —
+  *    fraction runs become `appendFraction(NANO_OF_SECOND, min, 9)`;
+  *  - returns true epoch NANOS (Spark timestamps would truncate to micros).
+  *
+  * The formatter is built once per plan (driver) and shared; codegen calls
+  * the worker directly so the surrounding stage stays fused.
+  */
+final class TimeParseWorker(javaPattern: String, defaultZone: String)
+    extends Serializable {
+  import java.time.{LocalDate, LocalTime, ZonedDateTime, ZoneId}
+  import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+  import java.time.temporal.{ChronoField, TemporalQueries}
+
+  @transient private lazy val fmt: DateTimeFormatter = {
+    val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
+    // split out fraction runs (".SSS", "[.SSSSSS]") into appendFraction
+    val fracRe = "(\\[)?\\.(S+)\\]?".r
+    var last = 0
+    for (m <- fracRe.findAllMatchIn(javaPattern)) {
+      if (m.start > last) b.appendPattern(javaPattern.substring(last, m.start))
+      val optional = m.group(1) != null
+      b.appendFraction(ChronoField.NANO_OF_SECOND, if (optional) 0 else 1, 9, true)
+      last = m.end
+    }
+    if (last < javaPattern.length) b.appendPattern(javaPattern.substring(last))
+    b.toFormatter(java.util.Locale.US)
+  }
+  @transient private lazy val zone = ZoneId.of(defaultZone, ZoneId.SHORT_IDS)
+
+  def parse(input: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
+    if (input == null) return null
+    try {
+      val ta = fmt.parse(input.toString.trim)
+      val z = Option(ta.query(TemporalQueries.zone())).getOrElse(zone)
+      val date = LocalDate.from(ta)
+      val time =
+        if (ta.isSupported(ChronoField.HOUR_OF_DAY)) LocalTime.from(ta)
+        else LocalTime.MIDNIGHT
+      val inst = ZonedDateTime.of(date, time, z).toInstant
+      java.lang.Long.valueOf(inst.getEpochSecond * 1000000000L + inst.getNano)
+    } catch { case _: Exception => null }
+  }
+}
+
+case class GoTimeParse(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    javaPattern: String,
+    defaultZone: String
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  private lazy val worker = new TimeParseWorker(javaPattern, defaultZone)
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    worker.parse(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[TimeParseWorker].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"""
+         |java.lang.Long ${ev.value}Box = $w.parse($input);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Box.longValue(); }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): GoTimeParse =
+    copy(child = newChild)
+}
+
+object GoTimeParse {
+  def of(c: Column, javaPattern: String, location: Option[String]): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(GoTimeParse(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(c), javaPattern,
+      location.getOrElse("UTC")))
 }
