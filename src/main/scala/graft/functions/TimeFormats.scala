@@ -229,21 +229,36 @@ final class TimeParseWorker(javaPattern: String, defaultZone: String)
       last = m.end
     }
     if (last < javaPattern.length) b.appendPattern(javaPattern.substring(last))
+    // withZone supplies the default zone during resolution when the input
+    // carries none (Go ParseInLocation); a parsed zone/offset wins. With a
+    // complete date+time the resolver then yields INSTANT_SECONDS directly —
+    // no intermediate LocalDate/ZonedDateTime objects on the hot path.
     b.toFormatter(java.util.Locale.US)
+      .withZone(ZoneId.of(defaultZone, ZoneId.SHORT_IDS))
   }
-  @transient private lazy val zone = ZoneId.of(defaultZone, ZoneId.SHORT_IDS)
 
   def parse(input: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
     if (input == null) return null
     try {
       val ta = fmt.parse(input.toString.trim)
-      val z = Option(ta.query(TemporalQueries.zone())).getOrElse(zone)
-      val date = LocalDate.from(ta)
-      val time =
-        if (ta.isSupported(ChronoField.HOUR_OF_DAY)) LocalTime.from(ta)
-        else LocalTime.MIDNIGHT
-      val inst = ZonedDateTime.of(date, time, z).toInstant
-      java.lang.Long.valueOf(inst.getEpochSecond * 1000000000L + inst.getNano)
+      if (ta.isSupported(ChronoField.INSTANT_SECONDS)) {
+        val nano =
+          if (ta.isSupported(ChronoField.NANO_OF_SECOND))
+            ta.get(ChronoField.NANO_OF_SECOND)
+          else 0
+        java.lang.Long.valueOf(
+          ta.getLong(ChronoField.INSTANT_SECONDS) * 1000000000L + nano)
+      } else {
+        // date-only / partial patterns: assemble with midnight defaults
+        val z = Option(ta.query(TemporalQueries.zone()))
+          .getOrElse(ZoneId.of(defaultZone, ZoneId.SHORT_IDS))
+        val date = LocalDate.from(ta)
+        val time =
+          if (ta.isSupported(ChronoField.HOUR_OF_DAY)) LocalTime.from(ta)
+          else LocalTime.MIDNIGHT
+        val inst = ZonedDateTime.of(date, time, z).toInstant
+        java.lang.Long.valueOf(inst.getEpochSecond * 1000000000L + inst.getNano)
+      }
     } catch { case _: Exception => null }
   }
 }
