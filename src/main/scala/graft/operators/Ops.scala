@@ -202,12 +202,18 @@ object Ops {
     val sid = FieldCols.readString(spec.spanId.getOrElse(FieldRef.BodyPath(Seq("span_id"))))
     val tf = FieldCols.readString(spec.traceFlags.getOrElse(FieldRef.BodyPath(Seq("trace_flags"))))
     def valid(c: Column): Column = c.isNull || c.rlike(hexRe)
+    // `ok` routes the combined error to on_error, but each FIELD applies
+    // independently: the reference parses all three and keeps the valid ones
+    // even when another errors (helper/trace.go:93-111 — entry.TraceID etc
+    // are assigned before the error return)
     val ok = valid(tid) && valid(sid) && valid(tf)
     val updates = Seq(
-      "trace_id" -> when(tid.isNotNull, graft.functions.FastLower(tid)).otherwise(col("trace_id")),
-      "span_id" -> when(sid.isNotNull, graft.functions.FastLower(sid)).otherwise(col("span_id")),
+      "trace_id" -> when(tid.isNotNull && tid.rlike(hexRe),
+        graft.functions.FastLower(tid)).otherwise(col("trace_id")),
+      "span_id" -> when(sid.isNotNull && sid.rlike(hexRe),
+        graft.functions.FastLower(sid)).otherwise(col("span_id")),
       // the 8 LSBs of the first decoded byte (`utils.go:150-155`)
-      "trace_flags" -> when(tf.isNotNull && length(tf) >= 2,
+      "trace_flags" -> when(tf.isNotNull && tf.rlike(hexRe) && length(tf) >= 2,
         conv(substring(graft.functions.FastLower(tf), 1, 2), 16, 10).cast("int"))
         .otherwise(col("trace_flags"))
     )
@@ -227,7 +233,7 @@ object Ops {
     }
     extras.trace.foreach { spec =>
       val (ok, updates) = traceUpdates(spec)
-      df = gatedApply(df, updates, gate, ok, onError)
+      df = partialApply(df, updates, gate, ok, onError)
     }
     extras.scopeName.foreach { f =>
       df = FieldCols.applyUpdates(df, Seq("scope_name" -> FieldCols.readString(f)), Some(gate))
@@ -244,6 +250,22 @@ object Ops {
     // materialize ok before mutating the columns it reads
     val df = df0.withColumn("__ok", coalesce(ok, lit(false)))
     val out = FieldCols.applyUpdates(df, updates, Some(gate && col("__ok")))
+    val filtered = onError match {
+      case OnError.Drop | OnError.DropQuiet => out.filter(!gate || col("__ok"))
+      case _ => out
+    }
+    filtered.drop("__ok")
+  }
+
+  /** Like [[gatedApply]] but the updates apply on `gate` ALONE — each update
+    * carries its own per-field validity condition — while `ok` (all fields
+    * valid) only routes the combined error: trace_parser semantics, where
+    * valid fields stick even when a sibling errors (helper/trace.go:93-111).
+    */
+  private def partialApply(df0: DataFrame, updates: Seq[(String, Column)], gate: Column,
+      ok: Column, onError: OnError.T): DataFrame = {
+    val df = df0.withColumn("__ok", coalesce(ok, lit(false)))
+    val out = FieldCols.applyUpdates(df, updates, Some(gate))
     val filtered = onError match {
       case OnError.Drop | OnError.DropQuiet => out.filter(!gate || col("__ok"))
       case _ => out
@@ -368,7 +390,7 @@ object Ops {
 
       case TraceParserOp(c, spec) =>
         val (ok, updates) = traceUpdates(spec)
-        gatedApply(df, updates, gate, ok, c.onError)
+        partialApply(df, updates, gate, ok, c.onError)
 
       case RouterOp(c, routes, default) =>
         // first matching route wins (`router/transformer.go:49-68`);
