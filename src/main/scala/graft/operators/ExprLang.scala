@@ -204,10 +204,10 @@ object ExprLang {
     }
 
     def parseCmp(): V = {
-      val l = parseAtom()
+      val l = parseAdd()
       peek match {
         case Some(TOp(op)) if Set("==", "!=", "<", "<=", ">", ">=").contains(op) =>
-          next(); val r = parseAtom(); CBool(compare(l, op, r))
+          next(); val r = parseAdd(); CBool(compare(l, op, r))
         case Some(TIdent("matches")) =>
           next()
           val pat = parseAtom() match {
@@ -233,9 +233,44 @@ object ExprLang {
       }
     }
 
+    /** expr-lang `+`/`-` (add/transformer_test.go `EXPR(body.key +
+      * "_suffix")`): `+` concatenates when either side is a known string
+      * (Go expr string+string), adds when either side is known numeric;
+      * field+field defaults to concat (the overwhelmingly common shape in
+      * pipeline configs). `-` is always numeric.
+      */
+    def parseAdd(): V = {
+      def knownStr(v: V) = v match { case LStr(_) | CStr(_) => true; case _ => false }
+      def knownNum(v: V) = v match { case LNum(_, _) | CNum(_) => true; case _ => false }
+      var l = parseAtom()
+      var go = true
+      while (go) peek match {
+        case Some(TOp("+")) =>
+          next(); val r = parseAtom()
+          l = (l, r) match {
+            case (LNum(a, ai), LNum(b, bi)) => LNum(a + b, ai && bi)
+            case _ if knownStr(l) || knownStr(r) => CStr(concat(asStr(l), asStr(r)))
+            case _ if knownNum(l) || knownNum(r) => CNum(asNum(l) + asNum(r))
+            case _ => CStr(concat(asStr(l), asStr(r)))
+          }
+        case Some(TOp("-")) =>
+          next(); val r = parseAtom()
+          l = (l, r) match {
+            case (LNum(a, ai), LNum(b, bi)) => LNum(a - b, ai && bi)
+            case _ => CNum(asNum(l) - asNum(r))
+          }
+        case _ => go = false
+      }
+      l
+    }
+
     def parseAtom(): V = next() match {
       case TStr(s) => LStr(s)
       case TNum(s) => LNum(s.toDouble, !s.contains('.'))
+      case TOp("-") => parseAtom() match { // unary minus
+        case LNum(d, i) => LNum(-d, i)
+        case v => CNum(-asNum(v))
+      }
       case TOp("(") => val e = parseExpr(); expectOp(")"); e
       case TOp("[") =>
         val items = scala.collection.mutable.ListBuffer.empty[V]

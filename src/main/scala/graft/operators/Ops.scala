@@ -68,7 +68,14 @@ final case class TraceSpec(
 final case class Route(expr: String, output: Seq[String], attributes: Map[String, String] = Map.empty)
 
 sealed trait Op { def common: Common; def id: String = common.id }
-final case class AddOp(common: Common, field: FieldRef, value: String) extends Op
+/** `json = false`: `value` is a plain string (or an `EXPR(...)`).
+  * `json = true`: `value` is the JSON rendering of a TYPED config value
+  * (int/float/bool/array/map — add/config.go takes `any`): numbers/bools
+  * land in their typed attribute maps, maps MERGE into body paths
+  * (BodyField.Set), containers stringify into string-typed destinations.
+  */
+final case class AddOp(common: Common, field: FieldRef, value: String,
+    json: Boolean = false) extends Op
 final case class RemoveOp(common: Common, field: FieldRef) extends Op
 final case class CopyOp(common: Common, from: FieldRef, to: FieldRef) extends Op
 final case class MoveOp(common: Common, from: FieldRef, to: FieldRef) extends Op
@@ -284,12 +291,34 @@ object Ops {
     op match {
       case NoopOp(_) => df
 
-      case AddOp(_, field, value) =>
-        val v =
-          if (value.startsWith("EXPR(") && value.endsWith(")"))
-            ExprLang.stringExpr(value.substring(5, value.length - 1))
-          else lit(value)
-        FieldCols.applyUpdates(df, FieldCols.setString(field, v), Some(gate))
+      case AddOp(_, field, value, isJson) =>
+        val updates =
+          if (!isJson) {
+            val v =
+              if (value.startsWith("EXPR(") && value.endsWith(")"))
+                ExprLang.stringExpr(value.substring(5, value.length - 1))
+              else lit(value)
+            FieldCols.setString(field, v)
+          } else {
+            // typed static value: dispatch on its JSON shape at plan build
+            val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(value)
+            if (node.isNumber) field match {
+              case Attr(_) | Top(_) | BodyPath(_) =>
+                FieldCols.setNumber(field, lit(node.asDouble()))
+              case other => // string-typed destination: Go %v rendering
+                FieldCols.setString(other, lit(node.asText()))
+            }
+            else if (node.isBoolean) FieldCols.setBool(field, lit(node.asBoolean()))
+            else if (node.isTextual) FieldCols.setString(field, lit(node.asText()))
+            else field match { // array / object
+              case BodyPath(keys) =>
+                Seq("body" -> graft.functions.BodyEdit.set(col("body"), keys, lit(value)))
+              case Body =>
+                Seq("body" -> graft.functions.BodyEdit.set(col("body"), Nil, lit(value)))
+              case other => FieldCols.setString(other, lit(node.toString))
+            }
+          }
+        FieldCols.applyUpdates(df, updates, Some(gate))
 
       case RemoveOp(c, field) =>
         // missing field is an error (remove/transformer.go:38-42) — only

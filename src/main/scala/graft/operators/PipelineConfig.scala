@@ -120,7 +120,15 @@ object PipelineConfig {
     typ match {
       case "noop" => NoopOp(c)
       case "add" =>
-        AddOp(c, FieldRef.parse(str(n, "field").get), str(n, "value").getOrElse(""))
+        // a non-string config value is a TYPED value (add/config.go `any`):
+        // ship its JSON rendering and let the operator dispatch on the shape
+        val vNode = Option(n.get("value")).filterNot(_.isNull)
+        vNode match {
+          case Some(v) if !v.isTextual =>
+            AddOp(c, FieldRef.parse(str(n, "field").get), v.toString, json = true)
+          case _ =>
+            AddOp(c, FieldRef.parse(str(n, "field").get), str(n, "value").getOrElse(""))
+        }
       case "remove" => RemoveOp(c, FieldRef.parse(str(n, "field").get))
       case "copy" =>
         CopyOp(c, FieldRef.parse(str(n, "from").get), FieldRef.parse(str(n, "to").get))
