@@ -51,6 +51,18 @@ class OperatorGoldenSpec extends SparkSuite {
     assert(attrs(out) == Seq((Map("a" -> "aval", "b" -> "bval"), Map.empty, Map.empty)))
   }
 
+  test("regex_parser k8s-file pattern: named groups interleaved with unnamed " +
+      "(operators/regex/parser_test.go:113-131)") {
+    val pat = "^(?P<pod_name>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?P<namespace>[^_]+)_(?P<container_name>.+)-(?P<container_id>[a-z0-9]{64})\\.log$"
+    val out = run(Seq(RegexParserOp(Common("re"), pat)),
+      logs("coredns-5644d7b6d9-mzngq_kube-system_coredns-901f7510281180a402936c92f5bc0f3557f5a21ccb5a4591c5bf98f3ddbffdd6.log" -> Map.empty))
+    assert(attrs(out) == Seq((Map(
+      "container_id" -> "901f7510281180a402936c92f5bc0f3557f5a21ccb5a4591c5bf98f3ddbffdd6",
+      "container_name" -> "coredns",
+      "namespace" -> "kube-system",
+      "pod_name" -> "coredns-5644d7b6d9-mzngq"), Map.empty, Map.empty)))
+  }
+
   test("grok_parser typed capture (processor_test.go:119-136)") {
     val out = run(Seq(GrokParserOp(Common("grok"), "status: %{INT:status_code:int}")),
       logs("status: 200" -> Map.empty))
