@@ -28,6 +28,39 @@ class ExprLangSpec extends SparkSuite {
     df.select(ExprLang.boolExpr(expr).as("b")).collect().toSeq.map(_.getBoolean(0))
   }
 
+  test("like: the reference's own expr_test.go table rows (helper/expr_test.go:54-104)") {
+    val cases = Seq( // (pattern, input, want)
+      ("hello", "hello", true), ("world", "hello", false),
+      ("", "", true), ("a", "", false), ("", "a", false),
+      ("hello%", "hello", true), ("hello%", "hello world", true),
+      ("%hello", "hello", true), ("%hello", "say hello", true),
+      ("hello%world", "helloworld", true),
+      ("%", "anything", true), ("%", "", true), ("%%", "abc", true),
+      ("hello%", "world", false),
+      ("_", "a", true), ("_", "", false), ("_", "ab", false),
+      ("a_c", "abc", true), ("a_c", "ac", false),
+      ("___", "abc", true), ("___", "ab", false),
+      ("hello%world", "hello beautiful world", true),
+      ("hello%world", "greetings world", false),
+      ("hello%world", "hello earth", false),
+      ("hello%world", "helloworl", false),
+      ("f%b_r", "foobar", true),
+      ("%needle%", "needle", true), ("%needle%", "find needle here", true),
+      ("%needle%", "no match here", false),
+      ("hello", "Hello", false)) // case sensitive
+    cases.foreach { case (pat, in, want) =>
+      val p = pat.replace("\\", "\\\\").replace("\"", "\\\"")
+      assert(evalBool(s"""like(body, "$p")""", Seq(in)) == Seq(want),
+        s"like($in, $pat) should be $want")
+    }
+    // escape rows: \% literal percent, \_ literal underscore, \\ literal
+    // backslash, \x -> x
+    assert(evalBool("like(body, \"100\\\\%\")", Seq("100%", "100x")) == Seq(true, false))
+    assert(evalBool("like(body, \"a\\\\_b\")", Seq("a_b", "axb")) == Seq(true, false))
+    assert(evalBool("like(body, \"a\\\\\\\\b\")", Seq("a\\b", "axb")) == Seq(true, false))
+    assert(evalBool("like(body, \"a\\\\xb\")", Seq("axb", "ayb")) == Seq(true, false))
+  }
+
   test("like: every tier of the reference's pattern classification") {
     val bodies = Seq("error", "error at line 3", "an error", "prefix mid suffix", "other")
     // exact
