@@ -92,6 +92,23 @@ class ExprLangSpec extends SparkSuite {
     assert(evalBool("like(body, \"\\\\xyz\")", Seq("xyz", "ayz")) == Seq(true, false))
   }
 
+  test("ilike: the reference's own expr_test.go table rows (helper/expr_test.go:127-147)") {
+    val cases = Seq(
+      ("hello", "hello", true), ("hello", "HELLO", true), ("HELLO", "hello", true),
+      ("hElLO", "HeLLo", true),
+      ("hello%", "Hello World", true), ("H_llo", "Hello", true), ("h_llo", "HELLO", true),
+      ("HELLO%WORLD", "hello beautiful world", true),
+      ("HELLO%WORLD", "helloworld", true),
+      ("HELLO%WORLD", "greetings world", false),
+      ("WORLD", "hello", false))
+    cases.foreach { case (pat, in, want) =>
+      assert(evalBool(s"""ilike(body, "$pat")""", Seq(in)) == Seq(want),
+        s"ilike($in, $pat) should be $want")
+    }
+    assert(evalBool("ilike(body, \"50\\\\%off\")", Seq("50%OFF")) == Seq(true))
+    assert(evalBool("ilike(body, \"a\\\\_b\")", Seq("A_B")) == Seq(true))
+  }
+
   test("ilike: case-insensitive across tiers") {
     val bodies = Seq("ERROR at foo", "no match")
     assert(evalBool("ilike(body, \"error%\")", bodies) == Seq(true, false))
