@@ -86,14 +86,16 @@ object PlanBench {
     println(s"[plan] $label executed plan string size: " + ep.toString.length)
     val planStr = ep.toString
     val codegenIds = "\\*\\((\\d+)\\)".r.findAllMatchIn(planStr).map(_.group(1)).toSet
-    val interpretedNodes = planStr.linesIterator
-      .count(l => l.contains("+- ") && !l.contains("*("))
+    // root line + `+- ` + `:- ` children (left sides of joins render as :-)
+    def opLines = planStr.linesIterator.zipWithIndex.collect {
+      case (l, i) if i == 0 || l.contains("+- ") || l.contains(":- ") => l
+    }
+    val interpretedNodes = opLines.count(l => !l.contains("*("))
     println(s"[plan] $label wholestage regions: " + codegenIds.size +
       " " + codegenIds.toSeq.sorted.mkString("[", ",", "]") +
       ", non-codegen operators: " + interpretedNodes +
       ", top: " + planStr.linesIterator.take(1).mkString)
-    planStr.linesIterator
-      .filter(l => l.contains("+- ") && !l.contains("*("))
+    opLines.filter(l => !l.contains("*("))
       .foreach(l => println(s"[plan] $label NON-CODEGEN: " + l.trim))
   }
 }

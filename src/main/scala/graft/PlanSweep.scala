@@ -38,9 +38,14 @@ object PlanSweep {
         val planStr = ep.toString
         val sa = planStr.linesIterator.count(_.contains("SortAggregate"))
         sortAggs += sa
-        val nonCodegen = planStr.linesIterator
-          .filter(l => l.contains("+- ") && !l.contains("*("))
-          .map(_.trim.stripPrefix("+- ").takeWhile(_ != ' ')).toSeq
+        // operator lines: the root (line 0) plus every tree-drawn child —
+        // `+- ` AND `:- ` (left children of binary nodes like joins)
+        val opLines = planStr.linesIterator.zipWithIndex.filter { case (l, i) =>
+          i == 0 || l.contains("+- ") || l.contains(":- ")
+        }.map(_._1).toSeq
+        val nonCodegen = opLines
+          .filter(l => !l.contains("*("))
+          .map(_.trim.stripPrefix("+- ").stripPrefix(":- ").takeWhile(_ != ' '))
         val regions = "\\*\\((\\d+)\\)".r.findAllMatchIn(planStr).map(_.group(1)).toSet
         println(s"[sweep] $name: regions=${regions.size} sortAgg=$sa " +
           s"nonCodegen=${nonCodegen.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }.toSeq.sorted.mkString("{", ", ", "}")}")

@@ -196,6 +196,20 @@ final class BodyEditWorker(keys: Array[String], toKeys: Array[String])
     val v = parent.asInstanceOf[ObjectNode].remove(keys.last)
     setAt(root, toKeys, v)
   }
+
+  /** Copy `keys` -> `toKeys` inside the body: one parse, one render —
+    * equivalent to set(body, to, get(body, from)) without the intermediate
+    * canonical-JSON round-trip. Body unchanged when the source is absent.
+    */
+  def copyWithin(body: UTF8String): UTF8String = {
+    val root = parseObject(body)
+    if (root == null) return body
+    val v = walk(root, keys)
+    if (v == null) return body
+    // deepCopy: Merge installs the value node into the target map, and a
+    // shared subtree would otherwise alias its source
+    setAt(root, toKeys, v.deepCopy[JsonNode]())
+  }
 }
 
 /** set: body column + value -> edited body. Handles null body (fresh
@@ -265,6 +279,25 @@ case class BodyJsonMove(child: Expression, fromKeys: Seq[String], toKeys: Seq[St
     copy(child = newChild)
 }
 
+case class BodyJsonCopy(child: Expression, fromKeys: Seq[String], toKeys: Seq[String])
+    extends UnaryExpression {
+  private lazy val worker = new BodyEditWorker(fromKeys.toArray, toKeys.toArray)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    worker.copyWithin(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[BodyEditWorker].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"""
+         |${ev.value} = $w.copyWithin($input);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BodyJsonCopy =
+    copy(child = newChild)
+}
+
 case class BodyJsonExists(child: Expression, keys: Seq[String]) extends UnaryExpression {
   private lazy val worker = new BodyEditWorker(keys.toArray, Array.empty)
   override def dataType: DataType = BooleanType
@@ -319,6 +352,8 @@ object BodyEdit {
     ExpressionUtils.column(BodyJsonDelete(ExpressionUtils.expression(body), keys))
   def move(body: Column, fromKeys: Seq[String], toKeys: Seq[String]): Column =
     ExpressionUtils.column(BodyJsonMove(ExpressionUtils.expression(body), fromKeys, toKeys))
+  def copyWithin(body: Column, fromKeys: Seq[String], toKeys: Seq[String]): Column =
+    ExpressionUtils.column(BodyJsonCopy(ExpressionUtils.expression(body), fromKeys, toKeys))
   def exists(body: Column, keys: Seq[String]): Column =
     ExpressionUtils.column(BodyJsonExists(ExpressionUtils.expression(body), keys))
   def get(body: Column, keys: Seq[String]): Column =

@@ -26,9 +26,11 @@ object TimeFormats {
     */
   private val strptimeMap: Map[Char, String] = Map(
     'Y' -> "yyyy", 'y' -> "yy",
-    'm' -> "MM", 'o' -> "M", 'q' -> "M", // %o "_1" / %q "1": unpadded month
+    // %o "_1" / %e "_2" are Go space-padded: `[ ]` skips the pad space when
+    // present (syslog single-digit days); %q "1" / %g "2" are bare unpadded
+    'm' -> "MM", 'o' -> "[ ]M", 'q' -> "M",
     'b' -> "MMM", 'h' -> "MMM", 'B' -> "MMMM",
-    'd' -> "dd", 'e' -> "d", 'g' -> "d", // %e "_2" / %g "2": unpadded day
+    'd' -> "dd", 'e' -> "[ ]d", 'g' -> "d",
     'a' -> "EEE", 'A' -> "EEEE",
     'H' -> "HH", 'I' -> "hh", 'l' -> "h",
     'p' -> "a", 'P' -> "a",
@@ -67,7 +69,10 @@ object TimeFormats {
         i += 2
       } else { appendLiteral(c); i += 1 }
     }
-    sb.toString
+    // %L/%f/%s are the Go `999`-family (ctimefmt.go): OPTIONAL on parse and
+    // greedy on digit count. Bracket the `.S`-runs so the parse kernel gives
+    // them appendFraction(0, 9) instead of a mandatory exact-width fraction.
+    sb.toString.replaceAll("\\.(S+)", "[.$1]")
   }
 
   /** Go reference-time layout -> Java pattern: a longest-match scan over the
@@ -80,20 +85,32 @@ object TimeFormats {
     val tokens = Seq( // longest-first at each scan position
       "January" -> "MMMM", "Jan" -> "MMM",
       "Monday" -> "EEEE", "Mon" -> "EEE",
-      ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
-      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSS]", ".999" -> "[.SSS]",
       "2006" -> "yyyy", "15" -> "HH",
       "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm", "05" -> "ss",
-      "06" -> "yy", "_2" -> "d",
+      "06" -> "yy",
+      // Go `_2` skips one leading pad space when present — Java optional
+      // section `[ ]d` (classic syslog "Jan  2 15:04:05" days 1-9)
+      "_2" -> "[ ]d",
       "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s",
       "PM" -> "a", "pm" -> "a",
       "Z07:00" -> "XXX", "Z0700" -> "XX",
       "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
       "MST" -> "zzz")
+    val fracRun = "\\.(0+|9+)".r
     val sb = new StringBuilder
     var i = 0
     while (i < layout.length) {
-      tokens.find { case (go, _) => layout.startsWith(go, i) } match {
+      // fraction runs of ANY width: `.000...` = mandatory exact-width
+      // (stdFracSecond0), `.999...` = optional greedy (stdFracSecond9);
+      // the kernel reads the brackets to pick appendFraction bounds
+      val frac = fracRun.findPrefixMatchOf(layout.substring(i))
+      if (frac.isDefined) {
+        val run = frac.get.group(1)
+        val w = math.min(run.length, 9)
+        val ss = "." + ("S" * w)
+        sb.append(if (run.charAt(0) == '9') s"[$ss]" else ss)
+        i += frac.get.end
+      } else tokens.find { case (go, _) => layout.startsWith(go, i) } match {
         case Some((go, jv)) => sb.append(jv); i += go.length
         case None =>
           val c = layout.charAt(i)
@@ -225,7 +242,13 @@ final class TimeParseWorker(javaPattern: String, defaultZone: String)
     for (m <- fracRe.findAllMatchIn(javaPattern)) {
       if (m.start > last) b.appendPattern(javaPattern.substring(last, m.start))
       val optional = m.group(1) != null
-      b.appendFraction(ChronoField.NANO_OF_SECOND, if (optional) 0 else 1, 9, true)
+      // bracketed = Go 999-family: optional, greedy on digit count;
+      // bare = Go 000-family: mandatory, EXACTLY the layout's width
+      if (optional) b.appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+      else {
+        val w = m.group(2).length
+        b.appendFraction(ChronoField.NANO_OF_SECOND, w, w, true)
+      }
       last = m.end
     }
     if (last < javaPattern.length) b.appendPattern(javaPattern.substring(last))
@@ -240,6 +263,9 @@ final class TimeParseWorker(javaPattern: String, defaultZone: String)
   def parse(input: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
     if (input == null) return null
     try {
+      // deliberate leniency vs Go (which rejects surrounding whitespace):
+      // Spark's native timestamp parser trims too, so both engine paths
+      // accept padded inputs consistently
       val ta = fmt.parse(input.toString.trim)
       if (ta.isSupported(ChronoField.INSTANT_SECONDS)) {
         val nano =
@@ -249,10 +275,20 @@ final class TimeParseWorker(javaPattern: String, defaultZone: String)
         java.lang.Long.valueOf(
           ta.getLong(ChronoField.INSTANT_SECONDS) * 1000000000L + nano)
       } else {
-        // date-only / partial patterns: assemble with midnight defaults
+        // date-only / partial patterns: assemble with midnight defaults;
+        // year-less layouts (rfc3164 syslog "Jan _2 15:04:05") take the
+        // reference's SetTimestampYear heuristic (timeutils.go:89-103):
+        // current year, minus one if that lands >7 days in the future
         val z = Option(ta.query(TemporalQueries.zone()))
           .getOrElse(ZoneId.of(defaultZone, ZoneId.SHORT_IDS))
-        val date = LocalDate.from(ta)
+        val date =
+          if (ta.isSupported(ChronoField.YEAR)) LocalDate.from(ta)
+          else {
+            val now = java.time.LocalDate.now(z)
+            val md = java.time.MonthDay.from(ta)
+            val d = md.atYear(now.getYear)
+            if (d.isAfter(now.plusDays(7))) d.minusYears(1) else d
+          }
         val time =
           if (ta.isSupported(ChronoField.HOUR_OF_DAY)) LocalTime.from(ta)
           else LocalTime.MIDNIGHT

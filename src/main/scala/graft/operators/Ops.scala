@@ -303,7 +303,9 @@ object Ops {
             // typed static value: dispatch on its JSON shape at plan build
             val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(value)
             if (node.isNumber) field match {
-              case Attr(_) | Top(_) | BodyPath(_) =>
+              case Attr(_) | BodyPath(_) => FieldCols.setNumber(field, lit(node.asDouble()))
+              case Top(n) if Set("severity_number", "trace_flags", "turn_idx",
+                  "timestamp", "observed_timestamp").contains(n) =>
                 FieldCols.setNumber(field, lit(node.asDouble()))
               case other => // string-typed destination: Go %v rendering
                 FieldCols.setString(other, lit(node.asText()))
@@ -480,14 +482,14 @@ object Ops {
       case (BodyPath(fk), BodyPath(tk)) =>
         val newBody =
           if (deleteFrom) BodyEdit.move(col("body"), fk, tk)
-          else BodyEdit.set(col("body"), tk, BodyEdit.get(col("body"), fk))
+          else BodyEdit.copyWithin(col("body"), fk, tk)
         FieldCols.applyUpdates(df, Seq("body" -> newBody), Some(g))
       case (BodyPath(fk), Body) =>
         // subtree to root: objects MERGE into the remaining root map
         // (body_field.go:127-133); scalars replace the body
         val newBody =
           if (deleteFrom) BodyEdit.move(col("body"), fk, Nil)
-          else BodyEdit.set(col("body"), Nil, BodyEdit.get(col("body"), fk))
+          else BodyEdit.copyWithin(col("body"), fk, Nil)
         FieldCols.applyUpdates(df, Seq("body" -> newBody), Some(g))
       case (Body, BodyPath(tk)) =>
         // whole body into a path: a JSON-object body merges as the map it

@@ -114,6 +114,49 @@ class TimeTableSpec extends SparkSuite {
     }
   }
 
+  test("rfc3164 syslog: space-padded day, year-less layout takes the " +
+      "SetTimestampYear heuristic (timeutils.go:89-103)") {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    def expected(mo: Int, d: Int, h: Int, mi: Int, s: Int): Long = {
+      val now = LocalDate.now(ZoneOffset.UTC)
+      val cand = LocalDate.of(now.getYear, mo, d)
+      val yr = if (cand.isAfter(now.plusDays(7))) now.getYear - 1 else now.getYear
+      LocalDateTime.of(yr, mo, d, h, mi, s).toEpochSecond(ZoneOffset.UTC) * 1000000000L
+    }
+    for ((layoutType, layout) <- Seq(
+        "gotime" -> "Jan _2 15:04:05", "strptime" -> "%b %e %H:%M:%S")) {
+      // single-digit day arrives space-padded (two spaces after the month)
+      check(s"syslog-$layoutType-padded", "pad",
+        runStr(TimeParserSpec(FieldRef.Body, layoutType, layout), "Jan  2 15:04:05"),
+        expected(1, 2, 15, 4, 5), 0L)
+      check(s"syslog-$layoutType-two-digit", "nopad",
+        runStr(TimeParserSpec(FieldRef.Body, layoutType, layout), "Jan 12 15:04:05"),
+        expected(1, 12, 15, 4, 5), 0L)
+    }
+  }
+
+  test("fraction width semantics: .000 exact-mandatory, .999 optional-greedy") {
+    // gotime ".000": EXACTLY three digits required (stdFracSecond0)
+    val exact = TimeParserSpec(FieldRef.Body, "gotime", "2006-01-02 15:04:05.000")
+    assert(runStr(exact, "2023-01-02 03:04:05.120").isDefined)
+    assert(runStr(exact, "2023-01-02 03:04:05.12").isEmpty) // 2 digits: Go errors
+    assert(runStr(exact, "2023-01-02 03:04:05").isEmpty) // absent: Go errors
+    // gotime ".999": optional and greedy on digit count
+    val opt = TimeParserSpec(FieldRef.Body, "gotime", "2006-01-02 15:04:05.999")
+    assert(runStr(opt, "2023-01-02 03:04:05").isDefined) // no fraction ok
+    assert(runStr(opt, "2023-01-02 03:04:05.12").contains(
+      ns(2023, 1, 2, 3, 4, 5, 120000000, 0)))
+    // non-3/6/9 widths translate too (".9999")
+    val w4 = TimeParserSpec(FieldRef.Body, "gotime", "2006-01-02 15:04:05.9999")
+    assert(runStr(w4, "2023-01-02 03:04:05.1234").contains(
+      ns(2023, 1, 2, 3, 4, 5, 123400000, 0)))
+    // strptime %L is the 999-family: input without sub-seconds parses
+    val l = TimeParserSpec(FieldRef.Body, "strptime", "%Y-%m-%d %H:%M:%S.%L")
+    assert(runStr(l, "2023-01-02 03:04:05").isDefined)
+    assert(runStr(l, "2023-01-02 03:04:05.5").contains(
+      ns(2023, 1, 2, 3, 4, 5, 500000000, 0)))
+  }
+
   test("epoch layout table: string and numeric samples (parser_test.go:265-424)") {
     val base = 1136214245L * 1000000000L
     val epochCases = Seq(
