@@ -135,6 +135,22 @@ object Queries {
           map_contains_key(col("attributes_string"), "a2").as("has_a2"))
     }),
 
+    // body-path writes (stanza BodyField.Set/Delete/Merge through the JSON
+    // body, SURVEY §2.10): in-body move with nested-path create, EXPR add
+    // into a body path, body-subtree copy into an attribute
+    "q_body_edit" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        MoveOp(Common("mv"), FieldRef.parse("body.k"), FieldRef.parse("body.metrics.k")),
+        CopyOp(Common("cp"), FieldRef.parse("body.metrics"),
+          FieldRef.Attr(Seq("metrics_json"))),
+        AddOp(Common("add"), FieldRef.parse("body.route_tag"),
+          "EXPR(attributes.event_type)"),
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(eventsAsLogs(s, d))
+        .select(col("event_id"), col("body"),
+          col("attributes_string").getItem("metrics_json").as("metrics_json"))
+    }),
+
     // severity_parser: alias mapping + canonical text (SURVEY §2.1 #9)
     "q_severity_parser" -> ((s, d) => {
       val spec = PipelineSpec(Seq(
@@ -382,6 +398,16 @@ object Queries {
 
     "q_field_ops" ->
       """SELECT event_id, event_type AS a3, false AS has_a1, false AS has_a2 FROM events""",
+
+    // body re-renders canonical sorted-key JSON after the in-body move;
+    // metrics_json is the compact subtree at copy time (after the move,
+    // before the add)
+    "q_body_edit" ->
+      """SELECT event_id,
+        |  '{"metrics":{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+        |    || '},"route_tag":"' || event_type || '"}' AS body,
+        |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS metrics_json
+        |FROM events""".stripMargin,
 
     "q_severity_parser" ->
       """SELECT CASE event_type WHEN 'error' THEN 'ERROR'
