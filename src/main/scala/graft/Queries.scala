@@ -179,6 +179,22 @@ object Queries {
       Pipeline.compile(spec)(logs).select(col("event_id"), col("timestamp"))
     }),
 
+    // gotime text-month layout through the java.time kernel (SURVEY §2.10):
+    // UPPER-cased month names exercise Go's case-insensitive name matching
+    // (Spark's native parser rejects both the case and the EEE-free subset)
+    "q_time_gotime" -> ((s, d) => {
+      val logs = eventsAsLogs(s, d)
+        .withColumn("attributes_string",
+          map(lit("t"), upper(date_format((col("timestamp") / 1e9).cast("timestamp"),
+            "dd-MMM-yyyy HH:mm:ss"))))
+        .withColumn("timestamp", lit(0L))
+      val spec = PipelineSpec(Seq(
+        TimeParserOp(Common("time"), TimeParserSpec(FieldRef.Attr(Seq("t")),
+          "gotime", "02-Jan-2006 15:04:05")),
+        NoopOp(Common("noop"))))
+      Pipeline.compile(spec)(logs).select(col("event_id"), col("timestamp"))
+    }),
+
     // trace_parser: hex validate/decode + sink-side zero padding (SURVEY §2.1 #11)
     "q_trace_parser" -> ((s, d) => {
       val logs = eventsAsLogs(s, d)
@@ -420,6 +436,11 @@ object Queries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_time_parser" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS timestamp
+        |FROM events""".stripMargin,
+
+    // second-truncated round trip: the rendered text drops sub-seconds
+    "q_time_gotime" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS timestamp
         |FROM events""".stripMargin,
 
