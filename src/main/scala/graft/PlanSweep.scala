@@ -45,7 +45,10 @@ object PlanSweep {
         }.map(_._1).toSeq
         val nonCodegen = opLines
           .filter(l => !l.contains("*("))
-          .map(_.trim.stripPrefix("+- ").stripPrefix(":- ").takeWhile(_ != ' '))
+          // strip ALL leading tree-drawing characters (nested join branches
+          // render as ":  +- Exchange"), not just one prefix
+          .map(_.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '|')
+            .takeWhile(_ != ' '))
         val regions = "\\*\\((\\d+)\\)".r.findAllMatchIn(planStr).map(_.group(1)).toSet
         println(s"[sweep] $name: regions=${regions.size} sortAgg=$sa " +
           s"nonCodegen=${nonCodegen.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }.toSeq.sorted.mkString("{", ", ", "}")}")

@@ -70,9 +70,11 @@ object TimeFormats {
       } else { appendLiteral(c); i += 1 }
     }
     // %L/%f/%s are the Go `999`-family (ctimefmt.go): OPTIONAL on parse and
-    // greedy on digit count. Bracket the `.S`-runs so the parse kernel gives
-    // them appendFraction(0, 9) instead of a mandatory exact-width fraction.
-    sb.toString.replaceAll("\\.(S+)", "[.$1]")
+    // greedy on digit count. Bracket the `.S`/`,S`-runs (Go commaOrPeriod:
+    // ',' is a legal fraction separator — log4j/python "%H:%M:%S,%L") so the
+    // parse kernel gives them appendFraction(0, 9) instead of a mandatory
+    // exact-width fraction.
+    sb.toString.replaceAll("([.,])(S+)", "[$1$2]")
   }
 
   /** Go reference-time layout -> Java pattern: a longest-match scan over the
@@ -96,18 +98,21 @@ object TimeFormats {
       "Z07:00" -> "XXX", "Z0700" -> "XX",
       "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
       "MST" -> "zzz")
-    val fracRun = "\\.(0+|9+)".r
+    // fraction runs of ANY width: `.000...` = mandatory exact-width
+    // (stdFracSecond0), `.999...` = optional greedy (stdFracSecond9); Go
+    // also accepts ',' as the separator (commaOrPeriod). The digit run must
+    // END the number (format.go "String of digits must end here") — without
+    // the lookahead, date separators like "02.01.2006" would misread ".0"
+    // as a fraction.
+    val fracRun = "([.,])(0+|9+)(?![0-9])".r
     val sb = new StringBuilder
     var i = 0
     while (i < layout.length) {
-      // fraction runs of ANY width: `.000...` = mandatory exact-width
-      // (stdFracSecond0), `.999...` = optional greedy (stdFracSecond9);
-      // the kernel reads the brackets to pick appendFraction bounds
       val frac = fracRun.findPrefixMatchOf(layout.substring(i))
       if (frac.isDefined) {
-        val run = frac.get.group(1)
+        val run = frac.get.group(2)
         val w = math.min(run.length, 9)
-        val ss = "." + ("S" * w)
+        val ss = frac.get.group(1) + ("S" * w)
         sb.append(if (run.charAt(0) == '9') s"[$ss]" else ss)
         i += frac.get.end
       } else tokens.find { case (go, _) => layout.startsWith(go, i) } match {
@@ -237,17 +242,25 @@ final class TimeParseWorker(javaPattern: String, defaultZone: String)
   @transient private lazy val fmt: DateTimeFormatter = {
     val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
     // split out fraction runs (".SSS", "[.SSSSSS]") into appendFraction
-    val fracRe = "(\\[)?\\.(S+)\\]?".r
+    val fracRe = "(\\[)?([.,])(S+)\\]?".r
     var last = 0
     for (m <- fracRe.findAllMatchIn(javaPattern)) {
       if (m.start > last) b.appendPattern(javaPattern.substring(last, m.start))
       val optional = m.group(1) != null
+      val sep = m.group(2).charAt(0)
       // bracketed = Go 999-family: optional, greedy on digit count;
-      // bare = Go 000-family: mandatory, EXACTLY the layout's width
-      if (optional) b.appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
-      else {
-        val w = m.group(2).length
-        b.appendFraction(ChronoField.NANO_OF_SECOND, w, w, true)
+      // bare = Go 000-family: mandatory, EXACTLY the layout's width.
+      // appendFraction's built-in decimal point is '.' only, so the
+      // separator is appended as a literal (optional sections included).
+      if (optional) {
+        b.optionalStart()
+        b.appendLiteral(sep)
+        b.appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, false)
+        b.optionalEnd()
+      } else {
+        val w = m.group(3).length
+        b.appendLiteral(sep)
+        b.appendFraction(ChronoField.NANO_OF_SECOND, w, w, false)
       }
       last = m.end
     }
@@ -285,8 +298,13 @@ final class TimeParseWorker(javaPattern: String, defaultZone: String)
           if (ta.isSupported(ChronoField.YEAR)) LocalDate.from(ta)
           else {
             val now = java.time.LocalDate.now(z)
-            val md = java.time.MonthDay.from(ta)
-            val d = md.atYear(now.getYear)
+            // Go time.Date NORMALIZES overflow (Feb 29 in a non-leap year
+            // -> Mar 1), so build by month/day offsets, not MonthDay.atYear
+            // (which clamps to Feb 28)
+            val mo = ta.get(ChronoField.MONTH_OF_YEAR)
+            val day = ta.get(ChronoField.DAY_OF_MONTH)
+            val d = LocalDate.of(now.getYear, 1, 1)
+              .plusMonths(mo - 1).plusDays(day - 1)
             if (d.isAfter(now.plusDays(7))) d.minusYears(1) else d
           }
         val time =

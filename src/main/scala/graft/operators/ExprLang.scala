@@ -235,13 +235,23 @@ object ExprLang {
 
     /** expr-lang `+`/`-` (add/transformer_test.go `EXPR(body.key +
       * "_suffix")`): `+` concatenates when either side is a known string
-      * (Go expr string+string), adds when either side is known numeric;
-      * field+field defaults to concat (the overwhelmingly common shape in
-      * pipeline configs). `-` is always numeric.
+      * (Go expr string+string), adds when either side is known numeric.
+      * Field+field is dynamically typed in the reference; here it resolves
+      * PER ROW — when both sides are attribute refs and both keys sit in
+      * the number map, float64 addition, else string concat (Go %v
+      * rendering for the numeric result). `-` is always numeric.
       */
     def parseAdd(): V = {
       def knownStr(v: V) = v match { case LStr(_) | CStr(_) => true; case _ => false }
       def knownNum(v: V) = v match { case LNum(_, _) | CNum(_) => true; case _ => false }
+      def numKey(v: V): Option[Column] = v match {
+        case Field(FieldRef.Attr(keys)) =>
+          Some(map_contains_key(col("attributes_number"), keys.mkString(".")))
+        case _ => None
+      }
+      def goNum(c: Column): Column =
+        when(c === c.cast("long").cast("double"), c.cast("long").cast("string"))
+          .otherwise(c.cast("string"))
       var l = parseAtom()
       var go = true
       while (go) peek match {
@@ -251,7 +261,12 @@ object ExprLang {
             case (LNum(a, ai), LNum(b, bi)) => LNum(a + b, ai && bi)
             case _ if knownStr(l) || knownStr(r) => CStr(concat(asStr(l), asStr(r)))
             case _ if knownNum(l) || knownNum(r) => CNum(asNum(l) + asNum(r))
-            case _ => CStr(concat(asStr(l), asStr(r)))
+            case _ => (numKey(l), numKey(r)) match {
+              case (Some(ln), Some(rn)) =>
+                CStr(when(ln && rn, goNum(asNum(l) + asNum(r)))
+                  .otherwise(concat(asStr(l), asStr(r))))
+              case _ => CStr(concat(asStr(l), asStr(r)))
+            }
           }
         case Some(TOp("-")) =>
           next(); val r = parseAtom()

@@ -282,6 +282,11 @@ object FieldCols {
     case _ => "string"
   }
 
+  /** Is this top-level column numeric? (single source of truth for the
+    * typed-value dispatch in AddOp / copyMove)
+    */
+  def isNumericTop(n: String): Boolean = topType(n) != "string"
+
   /** Apply a batch of column updates, optionally gated per-row: when `gate`
     * is false the original column value is kept (the reference's `if:` skip
     * and `on_error: send` pass-the-original-entry semantics,

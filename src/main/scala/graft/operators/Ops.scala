@@ -292,20 +292,37 @@ object Ops {
       case NoopOp(_) => df
 
       case AddOp(_, field, value, isJson) =>
+        // EXPR values can ERROR at runtime in the reference (nil + string,
+        // expr.go RunWithExprEnv) — a null evaluation result here gates the
+        // write so the entry passes through unchanged (on_error: send).
+        // Documented approximation: an EXPR that legitimately evaluates to
+        // nil (bare absent field) also skips the write, where the reference
+        // would store a nil-valued key.
+        var exprGate: Option[Column] = None
         val updates =
           if (!isJson) {
             val v =
-              if (value.startsWith("EXPR(") && value.endsWith(")"))
-                ExprLang.stringExpr(value.substring(5, value.length - 1))
-              else lit(value)
+              if (value.startsWith("EXPR(") && value.endsWith(")")) {
+                val c = ExprLang.stringExpr(value.substring(5, value.length - 1))
+                exprGate = Some(c.isNotNull)
+                c
+              } else lit(value)
             FieldCols.setString(field, v)
           } else {
             // typed static value: dispatch on its JSON shape at plan build
             val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(value)
             if (node.isNumber) field match {
+              // int64 config values above 2^53 would corrupt through a
+              // double round-trip: body paths take the exact JSON text,
+              // long-typed tops the exact long (attributes_number is
+              // double-typed by model, like reference float64 round-trips)
+              case BodyPath(keys) if node.isIntegralNumber =>
+                Seq("body" -> graft.functions.BodyEdit.set(col("body"), keys,
+                  lit(node.toString)))
+              case Top(n) if FieldCols.isNumericTop(n) && node.isIntegralNumber =>
+                FieldCols.setNumber(field, lit(node.asLong()))
               case Attr(_) | BodyPath(_) => FieldCols.setNumber(field, lit(node.asDouble()))
-              case Top(n) if Set("severity_number", "trace_flags", "turn_idx",
-                  "timestamp", "observed_timestamp").contains(n) =>
+              case Top(n) if FieldCols.isNumericTop(n) =>
                 FieldCols.setNumber(field, lit(node.asDouble()))
               case other => // string-typed destination: Go %v rendering
                 FieldCols.setString(other, lit(node.asText()))
@@ -320,7 +337,8 @@ object Ops {
               case other => FieldCols.setString(other, lit(node.toString))
             }
           }
-        FieldCols.applyUpdates(df, updates, Some(gate))
+        FieldCols.applyUpdates(df, updates,
+          Some(exprGate.map(gate && _).getOrElse(gate)))
 
       case RemoveOp(c, field) =>
         // missing field is an error (remove/transformer.go:38-42) — only
@@ -508,8 +526,7 @@ object Ops {
             when(map_contains_key(col("attributes_string"), k),
               BodyEdit.setRaw(col("body"), tk, sval))
               .otherwise(BodyEdit.set(col("body"), tk, sval))
-          case Top(n) if Set("severity_number", "trace_flags", "turn_idx",
-              "timestamp", "observed_timestamp").contains(n) =>
+          case Top(n) if FieldCols.isNumericTop(n) =>
             BodyEdit.set(col("body"), tk, sval)
           case _ => BodyEdit.setRaw(col("body"), tk, sval)
         }

@@ -83,6 +83,34 @@ class AddTableSpec extends SparkSuite {
     assert(s == Map("new" -> """{"nest":{"key":"val"}}"""))
   }
 
+  test("numeric attr + numeric attr adds per row; string side concatenates") {
+    val in = LogFrames.withDefaults(
+      Seq(("{}", Map("s" -> "x"), Map("price" -> 10.5, "tax" -> 5.2)))
+        .toDF("body", "attributes_string", "attributes_number"))
+    val spec = PipelineConfig.fromJson(
+      """{"operators": [
+        |{"type":"add","field":"attributes.total","value":"EXPR(attributes.price + attributes.tax)"},
+        |{"type":"add","field":"attributes.tagged","value":"EXPR(attributes.s + attributes.s)"},
+        |{"type":"noop","id":"__noop"}]}""".stripMargin)
+    val r = Pipeline.compile(spec)(in)
+      .select("attributes_string").collect()(0).getMap[String, String](0)
+    assert(r("total") == "15.7")
+    assert(r("tagged") == "xx")
+  }
+
+  test("EXPR runtime error (nil + string) skips the write, entry unchanged") {
+    val (_, attrs, _, _, _) = run(
+      """{"type":"add","field":"attributes.tagged","value":"EXPR(attributes.absent + \"_suffix\")"}""")
+    assert(!attrs.contains("tagged"))
+  }
+
+  test("int64 above 2^53 stays exact into body paths and long tops") {
+    val (body, _, _, _, _) = run(
+      """{"type":"add","field":"body.new","value":1726531200123456789}""")
+    assert(body ==
+      """{"key":"val","nested":{"nestedkey":"nestedval"},"new":1726531200123456789}""")
+  }
+
   test("typed bool lands in the bool map; bool to body path is a JSON bool") {
     val (_, _, _, b, _) = run("""{"type":"add","field":"attributes.new","value":true}""")
     assert(b == Map("new" -> true))

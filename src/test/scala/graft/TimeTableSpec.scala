@@ -157,6 +157,21 @@ class TimeTableSpec extends SparkSuite {
       ns(2023, 1, 2, 3, 4, 5, 500000000, 0)))
   }
 
+  test("dot-separated date layouts are NOT fractions; comma fractions parse") {
+    // "02.01.2006": '.' + digits is a date separator here (Go requires a
+    // fraction's digit run to end the number)
+    val de = TimeParserSpec(FieldRef.Body, "gotime", "02.01.2006 15:04:05")
+    assert(runStr(de, "02.01.2023 03:04:05").contains(ns(2023, 1, 2, 3, 4, 5, 0, 0)))
+    // Go commaOrPeriod: ',' separates fractions too (log4j default layout)
+    val comma = TimeParserSpec(FieldRef.Body, "strptime", "%Y-%m-%d %H:%M:%S,%L")
+    assert(runStr(comma, "2023-01-02 03:04:05,120").contains(
+      ns(2023, 1, 2, 3, 4, 5, 120000000, 0)))
+    assert(runStr(comma, "2023-01-02 03:04:05").isDefined) // optional
+    val gComma = TimeParserSpec(FieldRef.Body, "gotime", "2006-01-02 15:04:05,999")
+    assert(runStr(gComma, "2023-01-02 03:04:05,12").contains(
+      ns(2023, 1, 2, 3, 4, 5, 120000000, 0)))
+  }
+
   test("epoch layout table: string and numeric samples (parser_test.go:265-424)") {
     val base = 1136214245L * 1000000000L
     val epochCases = Seq(
