@@ -220,14 +220,60 @@ object ScaleUp {
           col("fingerprint"), col("unix_milli"), col("value")).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // dependency graph at 100x with the APPROX quantile default (round-4
+    // verdict #3): the pass condition is bounded aggregation state — the
+    // sketch buffer is fixed by the accuracy parameter where exact
+    // percentile's buffer grows with per-group span count
+    results += op("dep_graph", smallE, bigE, smallEvents, bigEvents) { e =>
+      TraceExporter.dependencyGraph(
+        TraceExporter.spansV3(TraceQueries.spansFrom(e)))
+        .agg(count(lit(1)), sum(col("total_count")))
+        .collect().head.getLong(1)
+    }
+
+    // otlp_proto decode boundary (round-4 verdict #5): the Kafka-payload
+    // decode enters the plan through a typed flatMap — measure its
+    // bytes/s at 100x against a parquet-scan-class baseline over the SAME
+    // binary column (sum of value lengths: scan + codegen, no decode).
+    // Promotion to a Generator expression is warranted only if decode is
+    // >2x off the scan class.
+    def kafkaAt(t: DataFrame, n: Long, files: Int) =
+      materialize(spark, s"$workDir/kafka_logs_$n", files)(
+        graft.sinks.KafkaExport.logsToKafka(
+          graft.pipeline.Pipeline.compile(SparkEntry.transcriptPipeline)(
+            Transcripts.toLogFrame(t))).toDF)
+    val (smallK, bigK) = (kafkaAt(smallT, smallConvs, 4), kafkaAt(bigT, bigConvs, 64))
+    results += op("otlp_decode", smallK, bigK, turnsSmall, turnsBig) { k =>
+      graft.sources.LogSources.fromKafka(k, "otlp_proto")
+        .agg(count(lit(1)), sum(length(col("body"))))
+        .collect().head.getLong(0)
+    }
+    val otlpDecodeStats = {
+      val bytesBigK = bigK.agg(sum(length(col("value")))).collect().head.getLong(0)
+      def scan() = bigK.agg(sum(length(col("value")))).collect().head.getLong(0)
+      def decode() = graft.sources.LogSources.fromKafka(bigK, "otlp_proto")
+        .agg(count(lit(1))).collect().head.getLong(0)
+      scan(); decode() // warm
+      val (_, scanSec) = timed(scan())
+      val (recs, decSec) = timed(decode())
+      System.err.println(f"[scaleup] otlp_decode: bytes=$bytesBigK " +
+        f"decode=${decSec}%.2fs (${bytesBigK / 1e6 / decSec}%.1f MB/s) " +
+        f"scan-baseline=${scanSec}%.2fs (${bytesBigK / 1e6 / scanSec}%.1f MB/s)")
+      f""""otlp_decode_bytes":{"payload_bytes":$bytesBigK,"records":$recs,""" +
+        f""""decode_sec":$decSec%.2f,"decode_mb_per_sec":${bytesBigK / 1e6 / decSec}%.1f,""" +
+        f""""scan_baseline_sec":$scanSec%.2f,"scan_mb_per_sec":${bytesBigK / 1e6 / scanSec}%.1f,""" +
+        f""""decode_vs_scan":${decSec / math.max(1e-9, scanSec)}%.2f}"""
+    }
 
     val bytesBig = dirBytes(s"$workDir/transcripts_$bigConvs")
     val head = s"""{"turns_small":$turnsSmall,"turns_big":$turnsBig,""" +
       s""""transcripts_big_bytes":$bytesBig,""" +
       s""""docs_big":$bigDocs,"vecs_big":$bigVecs,"""
     ScaleupResult(
-      full = head + (results.map(_.json) :+ minhashStages).mkString(",") + "}",
-      compact = head + (results.map(_.compactJson) :+ minhashStages).mkString(",") + "}")
+      full = head + (results.map(_.json) :+ minhashStages :+ otlpDecodeStats)
+        .mkString(",") + "}",
+      compact = head + (results.map(_.compactJson) :+ minhashStages :+ otlpDecodeStats)
+        .mkString(",") + "}")
   }
 
   def main(args: Array[String]): Unit = {

@@ -195,7 +195,8 @@ object TraceQueries {
       val q = (i: Int, name: String) =>
         round(element_at(col("duration_quantiles"), i) / 1000.0)
           .cast("long").as(name)
-      TraceExporter.dependencyGraph(TraceExporter.spansV3(spans))
+      TraceExporter.dependencyGraph(TraceExporter.spansV3(spans),
+          approxQuantiles = false)
         .select(col("timestamp"), col("src"), col("dest"),
           col("deployment_environment"), col("k8s_cluster_name"),
           col("k8s_namespace_name"),

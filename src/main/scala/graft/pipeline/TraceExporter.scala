@@ -384,7 +384,8 @@ object TraceExporter {
     * high-cardinality random span_id with no locality. Root spans
     * (parent_span_id = '') are filtered before the shuffle.
     */
-  def dependencyGraph(spansV3: DataFrame): DataFrame = {
+  def dependencyGraph(spansV3: DataFrame,
+      approxQuantiles: Boolean = true): DataFrame = {
     def resTag(k: String): Column =
       coalesce(col("resources_string").getItem(k), lit(""))
     val base = spansV3.select(
@@ -420,8 +421,22 @@ object TraceExporter {
         col("deployment_environment"), col("k8s_cluster_name"),
         col("k8s_namespace_name"))
       .agg(
-        expr("percentile(cast(duration_nano as double), " +
-          "array(0.5D, 0.75D, 0.9D, 0.95D, 0.99D))").as("duration_quantiles"),
+        // the reference's own MV is sampling-based-approximate
+        // (`quantilesState(0.5, 0.75, 0.9, 0.95, 0.99)`,
+        // squashed_traces_migrations.go:527), so approx is the PARITY
+        // default and the scale-safe plan: approx_percentile's KLL-style
+        // sketch buffer is bounded by the accuracy parameter, where exact
+        // `percentile` buffers every distinct value of a group — one hot
+        // service edge in one minute at 100x is an unbounded aggregation
+        // buffer. Exact mode stays for the DuckDB oracle row
+        // (quantile_cont has no sketch-identical analogue to compare
+        // against).
+        (if (approxQuantiles)
+          expr("cast(approx_percentile(cast(duration_nano as double), " +
+            "array(0.5D, 0.75D, 0.9D, 0.95D, 0.99D), 10000) as array<double>)")
+        else
+          expr("percentile(cast(duration_nano as double), " +
+            "array(0.5D, 0.75D, 0.9D, 0.95D, 0.99D))")).as("duration_quantiles"),
         sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("error_count"),
         count(lit(1)).as("total_count"))
   }

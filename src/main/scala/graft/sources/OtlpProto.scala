@@ -989,12 +989,13 @@ object OtlpProto {
 
   // ---- metrics DataFrame adapters ------------------------------------------
 
-  private def decodedMetricRows(df: DataFrame, valueCol: Column) = {
+  private def decodedMetricRows(df: DataFrame, valueCol: Column,
+      parser: Array[Byte] => Seq[OtlpMetricRow]) = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(valueCol.cast("binary").as("v")).as[Array[Byte]]
       .flatMap { bytes =>
-        try parseMetricsData(bytes)
+        try parser(bytes)
         catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => Seq.empty }
       }
   }
@@ -1004,8 +1005,15 @@ object OtlpProto {
     * `histogramSeries`, `summarySeries`, `expHistRows`). One decode pass;
     * the split is a column filter on `shape`.
     */
-  def fromOtlpProtoMetrics(df: DataFrame, valueCol: Column): OtlpMetricFrames = {
-    val all = decodedMetricRows(df, valueCol).toDF().cache()
+  def fromOtlpProtoMetrics(df: DataFrame, valueCol: Column): OtlpMetricFrames =
+    metricFramesFrom(df, valueCol, parseMetricsData)
+
+  /** The four-family fan-out for any payload->rows parser (the firehose
+    * `otlp_v1` framing reuses it with its length-delimited record parser).
+    */
+  def metricFramesFrom(df: DataFrame, valueCol: Column,
+      parser: Array[Byte] => Seq[OtlpMetricRow]): OtlpMetricFrames = {
+    val all = decodedMetricRows(df, valueCol, parser).toDF().cache()
     def shaped(shape: String, keep: Seq[String]): DataFrame =
       all.filter(col("shape") === shape).select(keep.map(col): _*)
     val ident = Seq("metric_name", "description", "unit", "metric_type",

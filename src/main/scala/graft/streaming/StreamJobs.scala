@@ -33,6 +33,15 @@ final case class MeterDelta(dimensions: String, log_count: Long, log_size: Long,
   */
 object StreamJobs {
 
+  /** Default state TTL for the delta-flush jobs: eviction ON. The reference
+    * purges its accumulator at every flush tick
+    * (`connectors/signozmeterconnector/connector.go:165-221` resetState), so
+    * a bounded state lifetime is the parity default; unbounded retention
+    * (`stateTtl = None`) is the explicit opt-in for bounded-cardinality jobs
+    * that want exact cross-run cumulative totals.
+    */
+  val DefaultStateTtl: Option[String] = Some("30 minutes")
+
   /** Apply the full parse->route->export chain to a streaming transcript
     * source. Stateless: works under any output mode / trigger.
     */
@@ -65,7 +74,7 @@ object StreamJobs {
     * event-time approximation for watermarked pipelines.)
     */
   def meterDeltas(logsV2: DataFrame, dimCols: Seq[String] = Seq("route"),
-      stateTtl: Option[String] = None): Dataset[MeterDelta] = {
+      stateTtl: Option[String] = DefaultStateTtl): Dataset[MeterDelta] = {
     val spark = logsV2.sparkSession
     import spark.implicits._
     // STRUCT key (the dimension values as a list), not a separator-joined
@@ -90,7 +99,7 @@ object StreamJobs {
     * `MetricFrames.withDefaults`.
     */
   def meterConnectorStream(logsV2: DataFrame, dims: Seq[String],
-      connectorId: String, stateTtl: Option[String] = None): DataFrame = {
+      connectorId: String, stateTtl: Option[String] = DefaultStateTtl): DataFrame = {
     val spark = logsV2.sparkSession
     import spark.implicits._
     val keyed = logsV2.select(
@@ -135,9 +144,12 @@ object StreamJobs {
     * at every flush, `connector.go:165-221` resetState — the cumulative
     * carry here exists only for delta==cumulative assertions): with a TTL,
     * idle dimension keys are EVICTED after `stateTtl` of processing time
-    * instead of accumulating forever on high-cardinality tuples. `None`
-    * keeps NoTimeout (bounded-cardinality jobs, and exact cross-run
-    * cumulative totals).
+    * instead of accumulating forever on high-cardinality tuples. Eviction
+    * is the DEFAULT (30 minutes — the reference never keeps a dimension
+    * tuple past its flush tick, so unbounded retention is the deviation,
+    * not the parity path); pass `None` to opt in to NoTimeout
+    * (bounded-cardinality jobs that want exact cross-run cumulative
+    * totals).
     */
   private[graft] def meterDeltaFn(stateTtl: Option[String])
       : (Seq[String], Iterator[(Seq[String], Long)],

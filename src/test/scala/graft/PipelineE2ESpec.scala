@@ -107,7 +107,12 @@ class PipelineE2ESpec extends SparkSuite {
     // (route, record_size) rows fed over 3 micro-batches = 3 flush ticks
     val in = MemoryStream[(String, Long)]
     val logsShaped = in.toDF().toDF("route", "record_size")
-    val deltas = StreamJobs.meterDeltas(logsShaped, dimCols = Seq("route"))
+    // stateTtl = None here ONLY because a live ProcessingTimeTimeout query
+    // re-runs empty batches to service timers, livelocking
+    // processAllAvailable; the default (TTL on) path is asserted in the
+    // "meter delta state TTL" test below via TestGroupState
+    val deltas = StreamJobs.meterDeltas(logsShaped, dimCols = Seq("route"),
+      stateTtl = None)
     val q = deltas.writeStream.outputMode("append")
       .format("memory").queryName("graft_meter_deltas").start()
     val batches = Seq(
@@ -142,7 +147,8 @@ class PipelineE2ESpec extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Map[String, String], Long)]
     val logsShaped = in.toDF().toDF("resources_string", "record_size")
-    val frames = StreamJobs.meterConnectorStream(logsShaped, Seq("role"), "cid-9")
+    val frames = StreamJobs.meterConnectorStream(logsShaped, Seq("role"), "cid-9",
+      stateTtl = None) // None: live-timer livelock, see delta-flush test note
     val q = frames.writeStream.outputMode("append")
       .format("memory").queryName("graft_meter_frames").start()
     try {
@@ -165,7 +171,10 @@ class PipelineE2ESpec extends SparkSuite {
 
   test("meter delta state TTL: idle dimension keys are evicted on timeout") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
-    val fn = StreamJobs.meterDeltaFn(Some("30 minutes"))
+    // the DEFAULT path must be the evicting one (reference purges state at
+    // every flush; unbounded retention is the opt-in deviation)
+    assert(StreamJobs.DefaultStateTtl.isDefined)
+    val fn = StreamJobs.meterDeltaFn(StreamJobs.DefaultStateTtl)
     // batch 1: key gets data -> delta emitted, state kept, timeout armed
     val live = TestGroupState.create[(Long, Long)](
       optionalState = org.apache.spark.api.java.Optional.empty(),
@@ -194,7 +203,7 @@ class PipelineE2ESpec extends SparkSuite {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
     val out2 = fn(Seq("r1"), Iterator((Seq("r1"), 3L)), reborn).toSeq
     assert(out2 == Seq(MeterDelta("r1", 1L, 3L, 1L, 3L)))
-    // default (None) keeps NoTimeout semantics: no timer is ever armed
+    // the None opt-out keeps NoTimeout semantics: no timer is ever armed
     val noTtl = TestGroupState.create[(Long, Long)](
       optionalState = org.apache.spark.api.java.Optional.empty(),
       timeoutConf = GroupStateTimeout.NoTimeout,

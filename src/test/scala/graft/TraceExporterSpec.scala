@@ -231,7 +231,8 @@ class TraceExporterSpec extends SparkSuite {
       .withColumn("start_ts", lit(T0))
       .withColumn("end_ts", lit(T0) + col("dur"))
       .drop("dur"))
-    val out = TraceExporter.dependencyGraph(TraceExporter.spansV3(df))
+    val out = TraceExporter.dependencyGraph(TraceExporter.spansV3(df),
+        approxQuantiles = false)
       .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dest")) -> r)
       .toMap
     assert(out.keySet == Set(("A", "B"), ("A", "mysql"), ("B", "kafka")))
@@ -246,5 +247,44 @@ class TraceExporterSpec extends SparkSuite {
     assert(msg.getAs[String]("deployment_environment") == "prod")
     assert(msg.getAs[Long]("error_count") == 1L)
     assert(out.values.forall(_.getAs[Long]("timestamp") == 1672531200L))
+  }
+
+  test("dependencyGraph: approx quantiles (the scale default, matching the " +
+      "reference MV's sampling-based quantilesState) agree with exact within " +
+      "tolerance and use a bounded sketch aggregate") {
+    // one hot edge with a wide duration spread (the shape that makes exact
+    // percentile's per-group buffer unbounded at scale)
+    val n = 5000
+    val rows = (1 to n).map { i =>
+      ("t" + (i % 97), "s" + i, "", 3, if (i % 10 == 0) 2 else 0,
+        i.toLong * 1000000L, Map("db.system" -> "mysql"),
+        Map("service.name" -> "A"))
+    }
+    val df = SpanFrames.withDefaults(rows.toDF(
+      "trace_id", "span_id", "parent_span_id", "kind", "status_code", "dur",
+      "attributes_string", "resources_string")
+      .withColumn("start_ts", lit(T0))
+      .withColumn("end_ts", lit(T0) + col("dur"))
+      .drop("dur"))
+    val spans = TraceExporter.spansV3(df)
+    def quantiles(approx: Boolean): Seq[Double] = {
+      val r = TraceExporter.dependencyGraph(spans, approxQuantiles = approx)
+        .collect()
+      assert(r.length == 1)
+      r.head.getSeq[Double](r.head.fieldIndex("duration_quantiles"))
+    }
+    val exact = quantiles(false)
+    val approx = quantiles(true)
+    // approx_percentile(accuracy=10000) guarantees rank error <= n/10000;
+    // on 5k uniform durations that is < 1 rank = 1e6 ns. Allow 2 ranks.
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 2000000.0, s"exact=$e approx=$a")
+    }
+    // the plan must be the bounded-sketch aggregate, not exact percentile
+    val plan = TraceExporter.dependencyGraph(spans).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("approx_percentile"))
+    assert(!plan.replace("approx_percentile", "").contains("percentile("),
+      "exact percentile must not appear in the default plan")
   }
 }
