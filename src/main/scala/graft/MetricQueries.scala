@@ -155,6 +155,52 @@ object MetricQueries {
           sum(col("value").cast("long")).as("sum_value"))
     }),
 
+    // metadataexporter METRICS context (exporter.go:758-856): per-datapoint
+    // attr metadata rows over every family's flattened datapoint, resource
+    // unfiltered, flat FNV pair (SURVEY §2.5 / round-4 missing #2)
+    "q_metric_attr_metadata" -> ((s, d) => {
+      graft.pipeline.Metadata.metricAttributesMetadata(eventsAsGauges(s, d))
+        .select(col("rounded_unix_milli"), col("data_source"),
+          col("resource_fingerprint"), col("attr_fingerprint"),
+          element_at(col("attrs"), "event_type").as("event_type"),
+          element_at(col("resource_attrs"), "service.name").as("service_name"))
+    }),
+
+    // firehose cwmetrics records (built deterministically from events,
+    // decoded by FirehoseMetrics.fromFirehoseCwMetrics) driving samplesV4:
+    // the decode -> fingerprint-chain -> samples path end-to-end, with the
+    // full 6-attr CloudWatch resource + the semconv-mapped dimension
+    "q_firehose_metrics" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val ev = read(s, d, "events")
+      val record = to_json(struct(
+        lit("ms").as("metric_stream_name"),
+        (col("user_id") % 3).cast("string").as("account_id"),
+        lit("us-east-1").as("region"),
+        when(col("event_id") % 3 === 0, "AWS/EC2")
+          .when(col("event_id") % 3 === 1, "AWS/Lambda")
+          .otherwise("Custom").as("namespace"),
+        concat(lit("M"), (col("event_id") % 2).cast("string")).as("metric_name"),
+        map(lit("InstanceId"),
+          concat(lit("i-"), (col("user_id") % 5).cast("string"))).as("dimensions"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000").as("timestamp"),
+        struct(
+          (floor(col("value")) + 2.0).cast("double").as("max"),
+          lit(0.0).as("min"),
+          floor(col("value")).cast("double").as("sum"),
+          lit(3.0).as("count")).as("value"),
+        // every 11th datum ships without a unit -> dropped by the gate
+        // (to_json omits null fields)
+        when(col("event_id") % 11 =!= 0, lit("Count")).as("unit")))
+      val frames = graft.sources.FirehoseMetrics.fromFirehoseCwMetrics(
+        ev.select(record.as("record")), col("record"))
+      MetricsExporter.samplesV4(MetricsExporter.scalarPoints(frames))
+        .groupBy(col("env"), col("temporality"), col("metric_name"),
+          col("fingerprint"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_value"))
+    }),
+
     // reduced 60s cumulative->delta with reset detection
     "q_metrics_reduced60" -> ((s, d) => {
       val points = MetricsExporter.withReduction(
@@ -210,9 +256,82 @@ object MetricQueries {
     signed(withName)
   }
 
+  /** The chain over ARBITRARY name-sorted resource kv pairs (the firehose
+    * CloudWatch resource has 5-6 attrs) and an expression-valued metric
+    * name; same structure as [[chainSql]], which stays for the
+    * single-attr-resource oracles.
+    */
+  private def chainSqlRes(resourceKv: Seq[String], pointKv: Seq[String],
+      nameExpr: String): String = {
+    val resource = fnvFold(fnvBasis, kvBytes(resourceKv))
+    val scope = fnvFold(s"($resource)", kvBytes(Seq(
+      "'__scope.name__'", "''", "'__scope.schema_url__'", "''",
+      "'__scope.version__'", "''")))
+    val point = fnvFold(s"($scope)", kvBytes(pointKv))
+    val withName = fnvFold(s"($point)",
+      s"list_concat(list_concat(${bytesSql("'__name__'")}, [255]), ${bytesSql(nameExpr)})")
+    signed(withName)
+  }
+
   private val svcSql = "'svc-' || CAST(user_id % 4 AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+
+    "q_metric_attr_metadata" -> {
+      val attrFp = Queries.fnvSignedSql(Seq("'event_type'", "event_type"))
+      val resFp = Queries.fnvSignedSql(Seq(
+        "'service.name'", "'svc-' || CAST(user_id % 4 AS VARCHAR)"))
+      s"""SELECT DISTINCT
+         |  (epoch_ms(ts) // 21600000) * 21600000 AS rounded_unix_milli,
+         |  'metrics' AS data_source,
+         |  $resFp AS resource_fingerprint,
+         |  $attrFp AS attr_fingerprint,
+         |  event_type,
+         |  'svc-' || CAST(user_id % 4 AS VARCHAR) AS service_name
+         |FROM events""".stripMargin
+    },
+
+    "q_firehose_metrics" -> {
+      val awsRes = Seq(
+        "'aws.cloudwatch.metric_stream_name'", "'ms'",
+        "'cloud.account.id'", "acct",
+        "'cloud.provider'", "'aws'",
+        "'cloud.region'", "'us-east-1'",
+        "'service.name'", "svc",
+        "'service.namespace'", "'AWS'")
+      val customRes = awsRes.dropRight(2)
+      val pointKv = Seq("'__temporality__'", "'Unspecified'",
+        "'service.instance.id'", "inst")
+      val name = "'aws_' || svc || '_' || mname || '_' || stat"
+      val fpAws = chainSqlRes(awsRes, pointKv, name)
+      val fpCustom = chainSqlRes(customRes, pointKv, name)
+      s"""WITH d AS (
+         |  SELECT DISTINCT
+         |    CAST(user_id % 3 AS VARCHAR) AS acct,
+         |    'i-' || CAST(user_id % 5 AS VARCHAR) AS inst,
+         |    CASE WHEN event_id % 3 = 0 THEN 'EC2'
+         |         WHEN event_id % 3 = 1 THEN 'Lambda' ELSE 'Custom' END AS svc,
+         |    CASE WHEN event_id % 3 = 2 THEN 0 ELSE 1 END AS is_aws,
+         |    'M' || CAST(event_id % 2 AS VARCHAR) AS mname,
+         |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         |    floor(value) AS fv
+         |  FROM events WHERE event_id % 11 <> 0),
+         |s AS (
+         |  SELECT d.*, st.stat,
+         |    CASE st.stat WHEN 'sum' THEN fv WHEN 'count' THEN 3.0
+         |                 WHEN 'min' THEN 0.0 ELSE fv + 2.0 END AS value
+         |  FROM d CROSS JOIN (VALUES ('sum'), ('count'), ('min'), ('max'))
+         |       AS st(stat))
+         |SELECT '' AS env, 'Unspecified' AS temporality,
+         |       'aws_' || svc || '_' || mname || '_' || stat AS metric_name,
+         |       CASE WHEN is_aws = 1 THEN $fpAws ELSE $fpCustom END
+         |         AS fingerprint,
+         |       n, sum_value
+         |FROM (
+         |  SELECT acct, inst, svc, is_aws, mname, stat, count(*) AS n,
+         |         CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS sum_value
+         |  FROM s GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+    },
 
     "q_metrics_samples" -> {
       val fp = chainSql(svcSql,

@@ -330,7 +330,7 @@ object Queries {
   )
 
   /** DuckDB byte list of a VARCHAR's UTF-8 encoding. */
-  private def bytesSql(s: String): String =
+  private[graft] def bytesSql(s: String): String =
     s"list_transform(generate_series(1, octet_length(encode($s))), " +
       s"i -> CAST('0x' || substr(hex(encode($s)), i*2-1, 2) AS INT))"
 
@@ -339,7 +339,7 @@ object Queries {
     * reference's FingerprintHash byte stream (hash.go:32-52). Result is the
     * SIGNED 64-bit reinterpretation, matching the Spark kernel's LongType.
     */
-  private def fnvSignedSql(parts: Seq[String]): String = {
+  private[graft] def fnvSignedSql(parts: Seq[String]): String = {
     val byteList = parts.map(p => s"list_concat(${bytesSql(p)}, [255])")
       .reduce((a, b) => s"list_concat($a, $b)")
     s"""(SELECT CAST(CAST(u AS HUGEINT)

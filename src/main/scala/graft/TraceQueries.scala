@@ -205,6 +205,17 @@ object TraceQueries {
           col("error_count"), col("total_count"))
     }),
 
+    // metadataexporter TRACES context (exporter.go:686-758): per-span attr
+    // metadata rows — span attrs + the spliced `name` attr, span-start 6h
+    // window, flat FNV FingerprintHash pair (SURVEY §2.5 / round-4 missing #2)
+    "q_span_attr_metadata" -> ((s, d) => {
+      graft.pipeline.Metadata.spanAttributesMetadata(eventsAsSpans(s, d))
+        .select(col("rounded_unix_milli"), col("data_source"),
+          col("resource_fingerprint"), col("attr_fingerprint"),
+          element_at(col("attrs"), "name").as("span_name"),
+          element_at(col("resource_attrs"), "service.name").as("service_name"))
+    }),
+
     // signoz_calls_total (spanmetrics processor): minute-bucketed key with
     // the always-prepended http.status_code dim (resolved from the NUMBER
     // attr map via Go FormatFloat) + a configured dimension
@@ -296,6 +307,30 @@ object TraceQueries {
       |     ELSE 'STATUS_CODE_UNSET' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // the flat FNV pair over the span-lift attrs (sorted keys: event_type,
+    // http.status_code, http.url, name, value) + {service.name} resource;
+    // doubles render integral-as-int like AttrsMeta
+    "q_span_attr_metadata" -> {
+      val vstr = "CASE WHEN value = trunc(value) " +
+        "THEN CAST(CAST(value AS BIGINT) AS VARCHAR) ELSE CAST(value AS VARCHAR) END"
+      val attrFp = Queries.fnvSignedSql(Seq(
+        "'event_type'", "event_type",
+        "'http.status_code'", "CAST(200 + (event_id % 4) * 100 AS VARCHAR)",
+        "'http.url'", "'https://api.example.com:8443/v' || CAST(event_id % 10 AS VARCHAR)",
+        "'name'", "event_type",
+        "'value'", vstr))
+      val resFp = Queries.fnvSignedSql(Seq(
+        "'service.name'", "'svc-' || CAST(user_id % 4 AS VARCHAR)"))
+      s"""SELECT DISTINCT
+         |  (epoch_ms(ts) // 21600000) * 21600000 AS rounded_unix_milli,
+         |  'traces' AS data_source,
+         |  $resFp AS resource_fingerprint,
+         |  $attrFp AS attr_fingerprint,
+         |  event_type AS span_name,
+         |  'svc-' || CAST(user_id % 4 AS VARCHAR) AS service_name
+         |FROM events""".stripMargin
+    },
 
     // replicate the full pricing computation: glob match (LIKE), subtract vs
     // additive billing, skip semantics (no model / no rule / all-zero counts)

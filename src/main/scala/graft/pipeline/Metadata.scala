@@ -31,18 +31,84 @@ object Metadata {
   def attributesMetadata(
       logsV2: DataFrame,
       skipKeys: Set[String] = Set.empty,
-      existing: Option[DataFrame] = None): DataFrame = {
+      existing: Option[DataFrame] = None): DataFrame =
+    metadataRows(
+      logsV2.withColumn("__unix_milli", expr("timestamp div 1000000")),
+      "logs",
+      col("resources_string"),
+      col("attributes_string"), col("attributes_number"), col("attributes_bool"),
+      skipKeys, existing)
+
+  /** PushTraces context (`exporter/metadataexporter/exporter.go:686-758`):
+    * one row per span — span attrs with the span NAME spliced in as attr
+    * `name` (`exporter.go:731`, overwriting a same-named span attr like the
+    * Go map write does), skip-keys removed from BOTH attr sets
+    * (`shouldSkipAttributeFromDB` runs on resource and span attrs in this
+    * context), window = the span START timestamp's 6-hour floor
+    * (`exporter.go:735-737` — event time, not arrival time), fingerprints =
+    * the flat name-sorted FNV FingerprintHash, dedup + anti-join shared
+    * with the logs context. Input: the RAW span frame
+    * ([[graft.model.SpanFrames.withDefaults]] shape) — the reference
+    * consumes the ptrace input in parallel with the traces exporter, not
+    * the shaped index rows.
+    */
+  def spanAttributesMetadata(
+      spans: DataFrame,
+      skipKeys: Set[String] = Set.empty,
+      existing: Option[DataFrame] = None): DataFrame =
+    metadataRows(
+      spans.withColumn("__unix_milli", expr("start_ts div 1000000")),
+      "traces",
+      col("resources_string"),
+      map_concat(
+        graft.functions.MapFilterKeys(col("attributes_string"), Seq("name"),
+          keep = false),
+        map(lit("name"), coalesce(col("name"), lit("")))),
+      col("attributes_number"), col("attributes_bool"),
+      skipKeys, existing)
+
+  /** PushMetrics context (`exporter.go:758-856`): one row per datapoint of
+    * every family (the [[graft.model.MetricFrames]] union row IS the
+    * flattened datapoint — attrs are already AsString-rendered string
+    * maps), resource attrs unfiltered (the reference applies no
+    * shouldSkipAttributeFromDB in this context), window from the
+    * datapoint's own unix_milli (the reference stamps wall-clock receive
+    * time — `time.Now()` at exporter.go:833 — which a deterministic engine
+    * derives from event time, same policy as the tag sinks).
+    */
+  def metricAttributesMetadata(
+      dps: DataFrame,
+      skipKeys: Set[String] = Set.empty,
+      existing: Option[DataFrame] = None): DataFrame =
+    metadataRows(
+      dps.withColumn("__unix_milli", col("unix_milli")),
+      "metrics",
+      col("resource_attrs"),
+      col("attrs"),
+      map().cast(graft.model.LogSchema.mapSD),
+      map().cast(graft.model.LogSchema.mapSB),
+      skipKeys, existing)
+
+  private def metadataRows(
+      in: DataFrame,
+      dataSource: String,
+      resStrings: org.apache.spark.sql.Column,
+      attrStrings: org.apache.spark.sql.Column,
+      attrNumbers: org.apache.spark.sql.Column,
+      attrBools: org.apache.spark.sql.Column,
+      skipKeys: Set[String],
+      existing: Option[DataFrame]): DataFrame = {
     val skip = skipKeys.toSeq.sorted
-    val rows = logsV2
+    val rows = in
       .withColumn("rounded_unix_milli",
-        expr(s"((timestamp div 1000000) div $sixHoursMs) * $sixHoursMs"))
+        expr(s"(__unix_milli div $sixHoursMs) * $sixHoursMs"))
       .withColumn("__res", AttrsMeta.of(
-        col("resources_string"),
+        resStrings,
         map().cast(graft.model.LogSchema.mapSD),
-        map().cast(graft.model.LogSchema.mapSB), skip))
+        map().cast(graft.model.LogSchema.mapSB),
+        if (dataSource == "metrics") Nil else skip))
       .withColumn("__att", AttrsMeta.of(
-        col("attributes_string"), col("attributes_number"), col("attributes_bool"),
-        skip))
+        attrStrings, attrNumbers, attrBools, skip))
       // Dedup happens over SCALAR columns only: a dropDuplicates that
       // carries map payloads plans first(map) aggregates, and any
       // var-length/complex aggregation BUFFER forces SortAggregate (sorts
@@ -60,7 +126,7 @@ object Metadata {
       .distinct()
       .select(
         col("rounded_unix_milli"),
-        lit("logs").as("data_source"),
+        lit(dataSource).as("data_source"),
         col("resource_fingerprint"),
         col("attr_fingerprint"),
         graft.functions.JsonTypedMaps.of(col("__res_json"))

@@ -175,4 +175,124 @@ class SamplerHistogramSpec extends SparkSuite {
     assert(keysOf(strings) == Set("a.1"))
     assert(keysOf(bools) == Set("c.d.0"))
   }
+
+  // ---- decision-wait streaming form ---------------------------------------
+
+  import graft.streaming.TailSampler.{SpanBuf, TraceDecision}
+
+  private def span(tid: String, sid: String, attrs: Map[String, String] = Map.empty,
+      nums: Map[String, Double] = Map.empty): SpanBuf =
+    SpanBuf(tid, sid, attrs, nums)
+
+  test("row evaluator is bit-equivalent to the batch Column tree (strict, " +
+      "regex, invert, numeric, and-op, sub-policy priority, probabilistic)") {
+    val policies = Seq(
+      Policy("errors", 0, priority = 0, filterOp = "and",
+        stringFilters = Seq(
+          StringFilter("source", Seq("unknown")),
+          StringFilter("path", Seq("^/internal"), regexMatch = true))),
+      Policy("keep-vips", 100, priority = 1,
+        stringFilters = Seq(StringFilter("tier", Seq("basic"), invert = true)),
+        numericFilters = Seq(NumericFilter("latency_ms", 100, 5000)),
+        subPolicies = Seq(
+          Policy("sub-never", 0, priority = 0,
+            stringFilters = Seq(StringFilter("drop", Seq("yes")))),
+          Policy("sub-prob", 37.5, priority = 1,
+            stringFilters = Seq(StringFilter("sample", Seq("maybe")))))),
+      Policy("half", 50, priority = 2,
+        stringFilters = Seq(StringFilter("half", Seq("on")))))
+    val cases: Seq[(Map[String, String], Map[String, Double])] = Seq(
+      (Map("source" -> "unknown", "path" -> "/internal/x"), Map.empty),
+      (Map("source" -> "unknown"), Map.empty), // and-op fails
+      (Map("tier" -> "gold"), Map("latency_ms" -> 200.0)),
+      (Map("tier" -> "basic"), Map("latency_ms" -> 200.0)),
+      (Map("tier" -> "gold", "drop" -> "yes"), Map("latency_ms" -> 150.0)),
+      (Map("tier" -> "gold", "sample" -> "maybe"), Map("latency_ms" -> 150.0)),
+      (Map("half" -> "on"), Map.empty),
+      (Map.empty, Map.empty)) // nothing matches -> default sample
+    val traced = cases.zipWithIndex.map { case ((s, n), i) =>
+      (f"deadbeefdeadbeefdeadbeefdeadbe$i%02x", s, n)
+    }
+    val batch = graft.model.LogFrames.withDefaults(
+      traced.toDF("trace_id", "attributes_string", "attributes_number"))
+      .select(col("trace_id"), TailSampler.decision(policies, col("trace_id"),
+        col("attributes_string"), col("attributes_number")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    traced.foreach { case (tid, s, n) =>
+      val row = TailSampler.decisionRow(policies, tid, Seq(span(tid, "s1", s, n)))
+      assert(row == batch(tid), s"trace $tid: row=$row batch=${batch(tid)}")
+    }
+    // sanity: the case set exercises both decisions
+    assert(batch.values.toSet == Set(0, 1))
+  }
+
+  test("decision-wait: spans buffer across micro-batches, the tick decides " +
+      "over ALL buffered spans, late spans inherit the decision") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // and-op policy whose two filters are satisfied by DIFFERENT spans of
+    // the same trace: only the buffered-trace evaluation (reference
+    // semantics — filters scan every span of the trace) can sample it
+    val policies = Seq(
+      Policy("pair", 100, filterOp = "and", stringFilters = Seq(
+        StringFilter("a", Seq("1")), StringFilter("b", Seq("2")))),
+      Policy("drop-all", 0, priority = 1,
+        stringFilters = Seq(StringFilter("x", Seq("y")))))
+    val fn = TailSampler.decisionWaitFn(policies, "30 seconds", Some("10 minutes"))
+    def st(opt: Option[TraceDecision], t: Long, timedOut: Boolean) =
+      TestGroupState.create[TraceDecision](
+        optionalState = opt.map(org.apache.spark.api.java.Optional.of[TraceDecision])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[TraceDecision]()),
+        timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = t,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+        hasTimedOut = timedOut)
+    val tid = "deadbeefdeadbeefdeadbeefdeadbeef"
+    val s1 = span(tid, "s1", Map("a" -> "1"))
+    val s2 = span(tid, "s2", Map("b" -> "2"))
+
+    // batch 1: first span arrives -> buffered, wait timer armed, no output
+    val g1 = st(None, 1000L, timedOut = false)
+    assert(fn(tid, Iterator(s1), g1).isEmpty)
+    assert(g1.get == TraceDecision(decided = false, 1, Seq(s1)))
+    assert(g1.getTimeoutTimestampMs.isPresent)
+
+    // batch 2 (out-of-order sibling): appended, timer NOT reset
+    val g2 = st(Some(g1.get), 5000L, timedOut = false)
+    assert(fn(tid, Iterator(s2), g2).isEmpty)
+    assert(g2.get.buffered == Seq(s1, s2))
+    assert(!g2.getTimeoutTimestampMs.isPresent, "buffering must not re-arm the timer")
+
+    // decision tick: and-op satisfied only by the UNION of buffered spans
+    // -> Sampled, both spans released, buffer cleared, retention armed
+    val g3 = st(Some(g2.get), 31000L, timedOut = true)
+    assert(fn(tid, Iterator.empty, g3).toSeq == Seq(s1, s2))
+    assert(g3.get == TraceDecision(decided = true, 1, Nil))
+
+    // late span: forwarded immediately under the retained Sampled decision
+    val late = span(tid, "s3", Map("c" -> "3"))
+    val g4 = st(Some(g3.get), 40000L, timedOut = false)
+    assert(fn(tid, Iterator(late), g4).toSeq == Seq(late))
+
+    // a NotSampled trace: buffered spans dropped at the tick, late spans
+    // dropped under the retained decision
+    val tid2 = "00000000000000000000000000000002"
+    val d1 = span(tid2, "d1", Map("x" -> "y"))
+    val g5 = st(Some(TraceDecision(decided = false, 1, Seq(d1))), 31000L, timedOut = true)
+    assert(fn(tid2, Iterator.empty, g5).isEmpty)
+    assert(g5.get.decision == 0)
+    val g6 = st(Some(g5.get), 40000L, timedOut = false)
+    assert(fn(tid2, Iterator(span(tid2, "d2", Map("x" -> "y"))), g6).isEmpty)
+
+    // retention expiry on a decided trace: state removed (dropTrace)
+    val g7 = st(Some(g3.get), 700000L, timedOut = true)
+    assert(fn(tid, Iterator.empty, g7).isEmpty)
+    assert(g7.isRemoved)
+
+    // single-span trace with neither filter set -> no policy matches ->
+    // default Sampled at the tick
+    val tid3 = "00000000000000000000000000000003"
+    val n1 = span(tid3, "n1")
+    val g8 = st(Some(TraceDecision(decided = false, 1, Seq(n1))), 31000L, timedOut = true)
+    assert(fn(tid3, Iterator.empty, g8).toSeq == Seq(n1))
+  }
 }
