@@ -126,39 +126,38 @@ object FirehoseMetrics {
       m.getField("metric_name"))
 
     val v = m.getField("value")
-    val stats = array(
-      struct(lit("sum").as("stat"), v.getField("sum").as("sv")),
-      struct(lit("count").as("stat"), v.getField("count").as("sv")),
-      struct(lit("min").as("stat"), v.getField("min").as("sv")),
-      struct(lit("max").as("stat"), v.getField("max").as("sv")))
-
     val rows = valid.select(
       namePrefix.as("__prefix"),
       nn(m.getField("unit")).as("unit"),
       coalesce(m.getField("timestamp"), lit(0L)).as("unix_milli"),
-      attrs.as("attrs"),
-      resource.as("resource_attrs"),
-      stats.as("__stats"))
       // full-datum dedup (maps canonicalized key-sorted, like the
-      // reference's fmt.Sprint key); struct array carries the 4 stats so
-      // one distinct covers them all. Scalars only -> codegen HashAggregate.
-      .select(col("__prefix"), col("unit"), col("unix_milli"),
-        graft.functions.MapSortedJson(col("attrs")).as("__attrs_json"),
-        graft.functions.MapSortedJson(col("resource_attrs")).as("__res_json"),
-        col("__stats"))
+      // reference's fmt.Sprint key); the 4 stats ride as plain double
+      // columns so the distinct stays a pure-scalar codegen HashAggregate
+      // (an array<struct> group key forces the object hash path)
+      graft.functions.MapSortedJson(attrs).as("__attrs_json"),
+      graft.functions.MapSortedJson(resource).as("__res_json"),
+      coalesce(v.getField("sum"), lit(0.0)).as("__sum"),
+      coalesce(v.getField("count"), lit(0.0)).as("__count"),
+      coalesce(v.getField("min"), lit(0.0)).as("__min"),
+      coalesce(v.getField("max"), lit(0.0)).as("__max"))
       .distinct()
 
+    val stats = array(
+      struct(lit("sum").as("stat"), col("__sum").as("sv")),
+      struct(lit("count").as("stat"), col("__count").as("sv")),
+      struct(lit("min").as("stat"), col("__min").as("sv")),
+      struct(lit("max").as("stat"), col("__max").as("sv")))
     MetricFrames.withDefaults(rows
       .select(col("__prefix"), col("unit"), col("unix_milli"),
         graft.functions.JsonTypedMaps.of(col("__attrs_json"))
           .getField("strings").as("attrs"),
         graft.functions.JsonTypedMaps.of(col("__res_json"))
           .getField("strings").as("resource_attrs"),
-        explode(col("__stats")).as("__s"))
+        explode(stats).as("__s"))
       .select(
         concat(col("__prefix"), lit("_"), col("__s.stat")).as("metric_name"),
         col("unit"), col("unix_milli"), col("attrs"), col("resource_attrs"),
-        coalesce(col("__s.sv"), lit(0.0)).as("value"))
+        col("__s.sv").as("value"))
       .withColumn("metric_type", lit("Gauge"))
       .withColumn("temporality", lit("Unspecified"))
       .withColumn("is_monotonic", lit(false)))
