@@ -102,10 +102,14 @@ object ScaleUp {
     // it to ~3, leaving 29 cores idle and inflating the small-side time),
     // and the ~1 GB big input gets ~512 x 2 MB tasks (~0.1 s fixed cost per
     // task is noise on a tens-of-seconds job)
+    val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
     try sectionInner(spark, workDir, smallDocs, bigDocs, smallVecs, bigVecs,
       smallConvs, bigConvs)
-    finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prevBatch)
+    }
   }
 
   private def sectionInner(spark: SparkSession, workDir: String,
@@ -223,11 +227,23 @@ object ScaleUp {
     // dependency graph at 100x with the APPROX quantile default (round-4
     // verdict #3): the pass condition is bounded aggregation state — the
     // sketch buffer is fixed by the accuracy parameter where exact
-    // percentile's buffer grows with per-group span count
+    // percentile's buffer grows with per-group span count. Edges enriched
+    // exactly like q_dep_graph (db/messaging attrs + per-event services so
+    // the trace-co-partitioned self-join produces cross-service edges).
     results += op("dep_graph", smallE, bigE, smallEvents, bigEvents) { e =>
-      TraceExporter.dependencyGraph(
-        TraceExporter.spansV3(TraceQueries.spansFrom(e)))
-        .agg(count(lit(1)), sum(col("total_count")))
+      val emptyMap = map().cast("map<string,string>")
+      val spans = TraceQueries.spansFrom(e)
+        .withColumn("attributes_string", map_concat(
+          col("attributes_string"),
+          when(col("event_id") % 11 === 0,
+            map(lit("db.system"), lit("postgres"))).otherwise(emptyMap),
+          when(col("event_id") % 13 === 0,
+            map(lit("messaging.system"), lit("kafka"))).otherwise(emptyMap)))
+        .withColumn("resources_string", map(lit("service.name"),
+          concat(lit("svc-"), (col("event_id") % 4).cast("string"))))
+      TraceExporter.dependencyGraph(TraceExporter.spansV3(spans))
+        .agg(count(lit(1)).as("edges"),
+          coalesce(sum(col("total_count")), lit(0L)).as("spans"))
         .collect().head.getLong(1)
     }
 
@@ -237,11 +253,19 @@ object ScaleUp {
     // binary column (sum of value lengths: scan + codegen, no decode).
     // Promotion to a Generator expression is warranted only if decode is
     // >2x off the scan class.
+    // megabyte-scale binary rows need scan-side care: the vectorized
+    // reader's default 4096-row columnar batch times 256 KB messages is
+    // ~1 GB PER TASK (OnHeapColumnVector.appendBytes OOM at 32 tasks), and
+    // tiny splits still decompress whole row groups. Default split size +
+    // a 64-row columnar batch keeps a task's resident batch ~16 MB — the
+    // same settings a production job reading a payload-bytes column needs.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
     def kafkaAt(t: DataFrame, n: Long, files: Int) =
       materialize(spark, s"$workDir/kafka_logs_$n", files)(
         graft.sinks.KafkaExport.logsToKafka(
           graft.pipeline.Pipeline.compile(SparkEntry.transcriptPipeline)(
-            Transcripts.toLogFrame(t))).toDF)
+            Transcripts.toLogFrame(t)), maxMessageBytes = 262144).toDF)
     val (smallK, bigK) = (kafkaAt(smallT, smallConvs, 4), kafkaAt(bigT, bigConvs, 64))
     results += op("otlp_decode", smallK, bigK, turnsSmall, turnsBig) { k =>
       graft.sources.LogSources.fromKafka(k, "otlp_proto")
