@@ -616,3 +616,85 @@ object AnyKeyContains {
   def apply(m: Column, subs: Seq[String]): Column =
     ExpressionUtils.column(AnyKeyContains(ExpressionUtils.expression(m), subs))
 }
+
+/** Key-normalizing map transform: strip ASCII spaces from every key, then
+  * apply exact renames — the codegen replacement for
+  * `transform_keys(m, (k, _) => when(...)...)` (a CodegenFallback HOF) in
+  * the firehose cwmetrics dimension normalization
+  * (`cwmetricstream/metricsbuilder.go` normaliseAttributeName +
+  * ToSemConvAttributeKey). Space (0x20) never occurs inside a UTF-8
+  * multi-byte sequence, so a byte filter is charset-safe. Fast path: no
+  * spaces and no rename hits returns the input map unchanged.
+  */
+final class MapRenameKeysWorker(renames: Array[Array[String]]) extends Serializable {
+  @transient private lazy val table: java.util.HashMap[UTF8String, UTF8String] = {
+    val t = new java.util.HashMap[UTF8String, UTF8String](renames.length * 2)
+    renames.foreach(r => t.put(UTF8String.fromString(r(0)), UTF8String.fromString(r(1))))
+    t
+  }
+  private def normalize(k: UTF8String): UTF8String = {
+    val bytes = k.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val stripped =
+      if (spaces == 0) k
+      else {
+        val out = new Array[Byte](bytes.length - spaces)
+        var o = 0
+        i = 0
+        while (i < bytes.length) {
+          if (bytes(i) != 0x20) { out(o) = bytes(i); o += 1 }
+          i += 1
+        }
+        UTF8String.fromBytes(out)
+      }
+    val renamed = table.get(stripped)
+    if (renamed != null) renamed else stripped
+  }
+  def rename(m: MapData): MapData = {
+    if (m == null) return null
+    val n = m.numElements()
+    val ks = m.keyArray()
+    // fast path: nothing changes
+    var changed = false
+    var i = 0
+    while (i < n && !changed) {
+      val k = ks.getUTF8String(i)
+      if (normalize(k) ne k) changed = true
+      i += 1
+    }
+    if (!changed) return m
+    val vs = m.valueArray()
+    val outK = new Array[Any](n)
+    val outV = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      outK(i) = normalize(ks.getUTF8String(i))
+      outV(i) = if (vs.isNullAt(i)) null else vs.getUTF8String(i)
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(outK), new GenericArrayData(outV))
+  }
+}
+
+case class MapRenameKeys(child: Expression, renames: Seq[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val worker =
+    new MapRenameKeysWorker(renames.map(r => Array(r._1, r._2)).toArray)
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    worker.rename(input.asInstanceOf[MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[MapRenameKeysWorker].getName)
+    defineCodeGen(ctx, ev, input => s"$w.rename($input)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MapRenameKeys =
+    copy(child = newChild)
+}
+
+object MapRenameKeys {
+  def apply(m: Column, renames: Seq[(String, String)]): Column =
+    ExpressionUtils.column(MapRenameKeys(ExpressionUtils.expression(m), renames))
+}

@@ -74,10 +74,16 @@ object FirehoseMetrics {
     *    (`metricsbuilder.go:68-91`).
     */
   def fromFirehoseCwMetrics(df: DataFrame, recordCol: Column): DataFrame = {
+    // OptimizerFence on the parsed struct: without it Catalyst pushes the
+    // validity filter through this projection and re-substitutes the
+    // `from_json` call per field reference — measured ~6 JSON parses of
+    // every datum in the Filter alone (plus more per downstream field
+    // extraction). The fence pins ONE parse per datum.
     val datums = df
       .select(explode(split(recordCol.cast("string"), "\n")).as("__datum"))
       .filter(length(col("__datum")) > 0)
-      .select(from_json(col("__datum"), cwMetricSchema).as("__m"))
+      .select(graft.functions.OptimizerFence(
+        from_json(col("__datum"), cwMetricSchema)).as("__m"))
     val m = col("__m")
     def nn(c: Column): Column = coalesce(c, lit(""))
     val valid = datums.filter(
@@ -92,12 +98,9 @@ object FirehoseMetrics {
     // keys follow the session's map-key dedup policy (the reference's
     // PutStr loop is last-wins over random Go map order — not an order any
     // engine should promise)
-    val attrs = transform_keys(
+    val attrs = graft.functions.MapRenameKeys(
       coalesce(m.getField("dimensions"), map().cast(graft.model.LogSchema.mapSS)),
-      (k, _) => {
-        val norm = regexp_replace(k, " ", "")
-        when(norm === "InstanceId", "service.instance.id").otherwise(norm)
-      })
+      Seq("InstanceId" -> "service.instance.id"))
 
     // AWS/EC2 -> (service.namespace=AWS, service.name=EC2); Custom -> name
     val ns = m.getField("namespace")
@@ -118,12 +121,15 @@ object FirehoseMetrics {
 
     // otlpMetricName prefix: "aws" + namespace parts (split on "/", parts
     // equal to "aws" case-insensitively and empties dropped, original case
-    // kept) + metric name; the stat suffix joins after the explode
-    val namePrefix = concat_ws("_",
-      lit("aws"),
-      array_join(filter(split(ns, "/"),
-        p => lower(p) =!= "aws" && p =!= ""), "_"),
-      m.getField("metric_name"))
+    // kept) + metric name; the stat suffix joins after the explode.
+    // Expressed as a regex chain instead of `array_join(filter(split(...)))`
+    // — `filter` is a CodegenFallback HOF that de-codegens the whole
+    // enclosing projection: drop "/"-delimited aws segments, trim the
+    // leftover boundary slashes, collapse the rest (incl. empty segments)
+    // to "_". Equivalence with the HOF form is golden-tested.
+    val nsParts = regexp_replace(regexp_replace(regexp_replace(ns,
+      "(?i)(?<=^|/)aws(?=/|$)", ""), "^/+|/+$", ""), "/+", "_")
+    val namePrefix = concat_ws("_", lit("aws"), nsParts, m.getField("metric_name"))
 
     val v = m.getField("value")
     val rows = valid.select(

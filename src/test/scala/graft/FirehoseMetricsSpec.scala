@@ -99,6 +99,29 @@ class FirehoseMetricsSpec extends SparkSuite {
       Map("ClusterName" -> "c1", "BrokerID" -> "7"))
   }
 
+  test("cwmetrics otlpMetricName: the regex namespace chain is equivalent " +
+      "to split/filter(aws, empties)/join over edge namespaces") {
+    // oracle = the HOF semantics the kernel replaced: split on "/", drop
+    // parts equal to "aws" case-insensitively and empty parts, join "_"
+    def oracle(ns: String, metric: String): String =
+      (Seq("aws") ++
+        Seq(ns.split("/", -1).filter(p => p.toLowerCase != "aws" && p.nonEmpty)
+          .mkString("_")) ++ Seq(metric)).mkString("_")
+    val cases = Seq("AWS/EC2", "Custom", "aws/aws/X", "A/aws/B", "AWS",
+      "a//b", "/x/", "aws", "Aws/Kafka/Broker", "x/AWS")
+    for (ns <- cases) {
+      val datum =
+        s"""{"metric_stream_name":"s","account_id":"a","region":"r",""" +
+        s""""namespace":"$ns","metric_name":"M","dimensions":{},""" +
+        s""""timestamp":1,"value":{"max":1.0,"min":0.0,"sum":1.0,"count":1.0},""" +
+        s""""unit":"Count"}"""
+      val names = cwDecode(datum).collect()
+        .map(_.getAs[String]("metric_name")).toSet
+      assert(names.contains(oracle(ns, "M") + "_sum"),
+        s"ns=$ns got=$names want prefix=${oracle(ns, "M")}")
+    }
+  }
+
   // ---- otlp_v1 (length-delimited ExportMetricsServiceRequest) -------------
 
   private def row(name: String, v: Double): OtlpMetricRow = OtlpMetricRow(
