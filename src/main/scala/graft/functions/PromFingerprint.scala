@@ -28,11 +28,13 @@ object PromFingerprintKernel extends Serializable {
     StructField("attrs", MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)))
 
-  /** protectedLabels (rules.go:17-23) — never dropped in keep mode. */
-  private val protectedLabels: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
+  /** protectedLabels (rules.go:17-23) — never dropped in keep mode.
+    * UTF8String-keyed so the drop check never materializes a Java String.
+    */
+  private val protectedLabels: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
     Seq("le", "quantile", "__name__", "__temporality__", "deployment.environment")
-      .foreach(s.add)
+      .foreach(l => s.add(UTF8String.fromString(l)))
     s
   }
 
@@ -89,15 +91,34 @@ object PromFingerprintKernel extends Serializable {
     (outK, outV, w)
   }
 
+  private val prime64 = 1099511628211L
+
+  /** FNV-1a fold directly over the UTF8String's bytes — `toString` +
+    * re-encode in this per-row hot loop was measured as the dominant
+    * allocation (a Java String and a byte[] per key and value per chain
+    * level); UTF8String already holds UTF-8 bytes.
+    */
+  def hashAddUtf8(h0: Long, s: UTF8String): Long = {
+    var h = h0
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= prime64
+      i += 1
+    }
+    h
+  }
+
   private def hashSorted(offset: Long, ks: Array[UTF8String], vs: Array[UTF8String],
       n: Int, drop: UTF8String => Boolean): Long = {
     var h = offset
     var i = 0
     while (i < n) {
       if (drop == null || !drop(ks(i))) {
-        h = Fingerprint.hashAdd(h, ks(i).toString)
+        h = hashAddUtf8(h, ks(i))
         h = Fingerprint.hashAddByte(h, 0xff)
-        h = Fingerprint.hashAdd(h, vs(i).toString)
+        h = hashAddUtf8(h, vs(i))
         h = Fingerprint.hashAddByte(h, 0xff)
       }
       i += 1
@@ -139,13 +160,12 @@ object PromFingerprintKernel extends Serializable {
       rule: ArrayData): InternalRow = {
     if (rule == null || rule.numElements() == 0) return null
     val keep = rule.getUTF8String(0).toString == "keep"
-    val listed = new java.util.HashSet[String]()
+    val listed = new java.util.HashSet[UTF8String]()
     var i = 1
-    while (i < rule.numElements()) { listed.add(rule.getUTF8String(i).toString); i += 1 }
+    while (i < rule.numElements()) { listed.add(rule.getUTF8String(i)); i += 1 }
     val drop: UTF8String => Boolean = { k =>
-      val ks = k.toString
-      if (keep) !protectedLabels.contains(ks) && !listed.contains(ks)
-      else listed.contains(ks)
+      if (keep) !protectedLabels.contains(k) && !listed.contains(k)
+      else listed.contains(k)
     }
     val (ks, vs) = collect(base, extras)
     val (sk, sv, n) = sortAndDedup(ks, vs)
@@ -155,10 +175,12 @@ object PromFingerprintKernel extends Serializable {
   /** `Fingerprint.HashWithName` (fingerprint.go:103-109): fold
     * `__name__`, 0xFF, name — note NO trailing separator after the name.
     */
+  private val nameKey = UTF8String.fromString("__name__")
+
   def hashWithName(hash: Long, name: UTF8String): Long = {
-    var h = Fingerprint.hashAdd(hash, "__name__")
+    var h = hashAddUtf8(hash, nameKey)
     h = Fingerprint.hashAddByte(h, 0xff)
-    Fingerprint.hashAdd(h, if (name == null) "" else name.toString)
+    if (name == null) h else hashAddUtf8(h, name)
   }
 }
 

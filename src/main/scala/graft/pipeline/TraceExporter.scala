@@ -403,19 +403,32 @@ object TraceExporter {
       col("deployment_environment"), col("k8s_cluster_name"),
       col("k8s_namespace_name"), col("status_code"), col("duration_nano"))
 
-    def attrEdges(dest: Column): DataFrame = base
-      .filter(dest.isNotNull && dest =!= "" && col("kind") =!= 2)
-      .select(col("service_name").as("src") +: dest.as("dest") +: edgeCols: _*)
+    // db + messaging edges in ONE pass: explode over both candidate dests,
+    // then a codegen filter — the per-dest union form scanned the span
+    // source twice (at 100 TB an extra full pass over spans). explode keeps
+    // whole-stage codegen where an `array_compact`/`filter` HOF would not.
+    val attrEdges = base
+      .filter(col("kind") =!= 2)
+      .select(col("service_name").as("src") +:
+        explode(array(col("db_system"), col("msg_system"))).as("dest") +:
+        edgeCols: _*)
+      .filter(col("dest").isNotNull && col("dest") =!= "")
 
+    // SHUFFLE_HASH on the parents side skips both SMJ sorts (measured 4.5 s
+    // -> 3.1 s warm, 8.2 s -> 3.8 s cold at 10 M spans). Build state is the
+    // narrow (trace_id, span_id, service) projection hashed per partition —
+    // bounded by shuffle-partition sizing, the same invariant every hash
+    // aggregate in the pipeline already relies on; a single-scan
+    // window-over-tagged-union variant measured equal locally and was
+    // rejected for the complexity.
     val parents = base.select(col("trace_id"),
       col("span_id").as("parent_span_id"), col("service_name").as("src"))
     val svcEdges = base.filter(col("parent_span_id") =!= "")
-      .join(parents, Seq("trace_id", "parent_span_id"))
+      .join(parents.hint("SHUFFLE_HASH"), Seq("trace_id", "parent_span_id"))
       .filter(col("src") =!= col("service_name"))
       .select(col("src") +: col("service_name").as("dest") +: edgeCols: _*)
 
-    attrEdges(col("db_system"))
-      .unionByName(attrEdges(col("msg_system")))
+    attrEdges
       .unionByName(svcEdges)
       .groupBy(col("timestamp"), col("src"), col("dest"),
         col("deployment_environment"), col("k8s_cluster_name"),
