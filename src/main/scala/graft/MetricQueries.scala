@@ -201,6 +201,44 @@ object MetricQueries {
           sum(col("value").cast("long")).as("sum_value"))
     }),
 
+    // signoztransformprocessor metric_statements end-to-end: a datapoint
+    // set + convert_gauge_to_sum rewrite the gauge frame, the extract
+    // family appends Sum rows from a summary frame (SURVEY §2.12,
+    // internal/metrics/func_*.go)
+    "q_metric_transform" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val ev = read(s, d, "events")
+      val gauges = gaugesFrom(ev)
+      val summaries = MetricFrames.withSummaryDefaults(ev.select(
+        lit("rpc.latency").as("metric_name"),
+        lit("Summary").as("metric_type"),
+        lit("Unspecified").as("temporality"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000").as("unix_milli"),
+        (col("event_id") % 7).cast("long").as("count"),
+        floor(col("value") * 4).cast("double").as("sum_v"),
+        map(lit("event_type"), col("event_type")).as("attrs"),
+        map(lit("service.name"),
+          concat(lit("svc-"), (col("user_id") % 4).cast("string"))).as("resource_attrs")))
+      val frames = graft.sources.OtlpMetricFrames(
+        scalars = gauges,
+        histograms = MetricFrames.withHistogramDefaults(gauges.limit(0)),
+        summaries = summaries,
+        expHistograms = MetricFrames.withExpHistDefaults(gauges.limit(0)))
+      val out = graft.pipeline.MetricTransforms.applyMetricStatements(frames, Seq(
+        "datapoint" -> Seq(
+          "set(metric.name, \"events.renamed\") where attributes[\"event_type\"] == \"error\"",
+          "convert_gauge_to_sum(\"cumulative\", true)",
+          "extract_count_metric(true)",
+          "extract_sum_metric(false)")))
+      out.scalars.groupBy(
+        col("metric_name"), col("metric_type"), col("temporality"),
+        col("is_monotonic"),
+        col("attrs").getItem("event_type").as("event_type"),
+        col("resource_attrs").getItem("service.name").as("service_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_value"))
+    }),
+
     // reduced 60s cumulative->delta with reset detection
     "q_metrics_reduced60" -> ((s, d) => {
       val points = MetricsExporter.withReduction(
@@ -276,6 +314,37 @@ object MetricQueries {
   private val svcSql = "'svc-' || CAST(user_id % 4 AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+
+    "q_metric_transform" ->
+      s"""SELECT metric_name, metric_type, temporality, is_monotonic,
+         |  event_type, service_name,
+         |  count(*) AS n, CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_value
+         |FROM (
+         |  SELECT
+         |    CASE WHEN event_type = 'error' THEN 'events.renamed'
+         |         ELSE 'events.value' END AS metric_name,
+         |    'Sum' AS metric_type, 'Cumulative' AS temporality,
+         |    true AS is_monotonic, event_type,
+         |    'svc-' || CAST(user_id % 4 AS VARCHAR) AS service_name,
+         |    floor(value) AS value
+         |  FROM events
+         |  UNION ALL
+         |  -- the datapoint `set` applies to EVERY family, so the summary
+         |  -- metric is renamed too before the extracts suffix it
+         |  SELECT (CASE WHEN event_type = 'error' THEN 'events.renamed'
+         |          ELSE 'rpc.latency' END) || '_count',
+         |    'Sum', 'Cumulative', true, event_type,
+         |    'svc-' || CAST(user_id % 4 AS VARCHAR),
+         |    CAST(event_id % 7 AS DOUBLE)
+         |  FROM events
+         |  UNION ALL
+         |  SELECT (CASE WHEN event_type = 'error' THEN 'events.renamed'
+         |          ELSE 'rpc.latency' END) || '_sum',
+         |    'Sum', 'Cumulative', false, event_type,
+         |    'svc-' || CAST(user_id % 4 AS VARCHAR),
+         |    floor(value * 4)
+         |  FROM events
+         |) GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "q_metric_attr_metadata" -> {
       val attrFp = Queries.fnvSignedSql(Seq("'event_type'", "event_type"))

@@ -74,6 +74,7 @@ object MetricFrames {
       "sum_v" -> lit(0.0),
       "min_v" -> lit(0.0),
       "max_v" -> lit(0.0),
+      "has_sum" -> lit(false),
       "scale" -> lit(0),
       "zero_count" -> lit(0.0),
       "positive_offset" -> lit(0),

@@ -175,7 +175,40 @@ object OttlStatements {
       case FieldRef.AttrsRoot => Seq.empty
       case other => throw new IllegalArgumentException(s"bad map path $p -> $other")
     }
-    if (context == "resource") {
+    if (context == "span") p match {
+      // ottlspan context (testdata/config.yaml trace_statements): the span
+      // frame carries the same typed attr maps as LogRow, so only the
+      // span-specific top-level paths need mapping
+      case "name" => FieldRef.Top("name")
+      case "kind.string" | "kind" => FieldRef.Top("kind")
+      case "status.code" => FieldRef.Top("status_code")
+      case "status.message" => FieldRef.Top("status_message")
+      case "trace_id.string" => FieldRef.Top("trace_id")
+      case "span_id.string" => FieldRef.Top("span_id")
+      case "parent_span_id.string" => FieldRef.Top("parent_span_id")
+      case "trace_state" => FieldRef.Top("trace_state")
+      case _ if p == "attributes" => FieldRef.AttrsRoot
+      case _ if p == "resource.attributes" => FieldRef.ResourceRoot
+      case _ if p.startsWith("resource.attributes") =>
+        FieldRef.Resource(key(p.stripPrefix("resource.attributes")))
+      case _ if p.startsWith("attributes") => FieldRef.Attr(key(p.stripPrefix("attributes")))
+      case other => throw new IllegalArgumentException(s"unsupported span-context path: $other")
+    }
+    else if (context == "datapoint") p match {
+      // ottldatapoint context (metric_statements): metric.* are the
+      // enclosing-metric scalars, attributes is the datapoint attr map
+      case "metric.name" => FieldRef.Top("metric_name")
+      case "metric.description" => FieldRef.Top("description")
+      case "metric.unit" => FieldRef.Top("unit")
+      case "time_unix_nano" | "time" => FieldRef.Top("unix_milli")
+      case _ if p == "attributes" => FieldRef.AttrsRoot
+      case _ if p == "resource.attributes" => FieldRef.ResourceRoot
+      case _ if p.startsWith("resource.attributes") =>
+        FieldRef.Resource(key(p.stripPrefix("resource.attributes")))
+      case _ if p.startsWith("attributes") => FieldRef.Attr(key(p.stripPrefix("attributes")))
+      case other => throw new IllegalArgumentException(s"unsupported datapoint-context path: $other")
+    }
+    else if (context == "resource") {
       if (p == "attributes") FieldRef.ResourceRoot
       else if (p.startsWith("attributes")) FieldRef.Resource(key(p.stripPrefix("attributes")))
       else throw new IllegalArgumentException(s"unsupported resource-context path: $p")
@@ -287,17 +320,18 @@ object OttlStatements {
       stmts.foldLeft(acc)((d, s) => applyStmt(d, parse(s), context))
     }
 
-  /** Config loader for the processor's `log_statements` JSON
-    * (`signoztransformprocessor/config.go` mapstructure field names).
+  /** Config loader for the processor's statement-list JSON
+    * (`signoztransformprocessor/config.go` mapstructure field names:
+    * `log_statements` / `trace_statements` / `metric_statements`).
     */
-  def fromJson(json: String): Seq[(String, Seq[String])] = {
+  def fromJson(json: String, signal: String = "log_statements"): Seq[(String, Seq[String])] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val blocks =
       if (root.isArray) root
       else {
-        val b = root.get("log_statements")
-        require(b != null && b.isArray, "config needs a 'log_statements' array")
+        val b = root.get(signal)
+        require(b != null && b.isArray, s"config needs a '$signal' array")
         b
       }
     import scala.jdk.CollectionConverters._

@@ -1030,7 +1030,7 @@ object OtlpProto {
         shaped("summary", ident ++ Seq("count", "sum_v", "quantiles"))),
       expHistograms = graft.model.MetricFrames.withExpHistDefaults(
         shaped("exp_histogram", ident ++ Seq("count", "sum_v", "min_v",
-          "max_v", "scale", "zero_count", "positive_offset",
+          "max_v", "has_sum", "scale", "zero_count", "positive_offset",
           "positive_counts", "negative_offset", "negative_counts"))))
   }
 
