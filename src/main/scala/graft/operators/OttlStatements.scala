@@ -13,21 +13,29 @@ import org.apache.spark.sql.functions._
   *  - `delete_key(attributes | resource.attributes, "key") [where cond]`
   *  - `keep_keys(attributes | resource.attributes, ["k1", "k2"]) [where cond]`
   *  - `replace_pattern(target, "regex", "replacement") [where cond]`
+  *  - `delete_matching_keys` / `keep_matching_keys(map, "key_regex")`
+  *  - `truncate_all(map, limit)` / `limit(map, n, ["priority", ...])`
+  *  - `replace_all_patterns(map, "key"|"value", "regex", "replacement")`
+  *  - `replace_match(target, "glob", "repl")` / `replace_all_matches(map, ...)`
   *
-  * over the `log` and `resource` contexts. Spark-first restatement: each
-  * statement compiles to gated column updates over the LogRow frame
-  * ([[FieldCols.applyUpdates]] — per-row `when(cond, new).otherwise(old)`,
-  * the same machinery the pipeline operators use), and `where` conditions
-  * reuse the [[ExprLang]] translator after a path-syntax rewrite (OTTL
-  * `resource.attributes["k"]` == stanza `resource["k"]`). Everything stays
-  * a pure projection — one whole-stage-codegen pass, zero shuffle.
+  * over the `log`, `resource`, `span` and `datapoint` contexts. Spark-first
+  * restatement: each statement compiles to gated column updates over the
+  * LogRow frame ([[FieldCols.applyUpdates]] — per-row
+  * `when(cond, new).otherwise(old)`, the same machinery the pipeline
+  * operators use), and `where` conditions reuse the [[ExprLang]] translator
+  * after a path-syntax rewrite (OTTL `resource.attributes["k"]` == stanza
+  * `resource["k"]`). Everything stays a pure projection — one
+  * whole-stage-codegen pass (the map editors are codegen kernels,
+  * [[graft.functions.MapKeysRegex]] et al.), zero shuffle.
   *
   * Scope notes (documented simplifications):
   *  - `set` with a path-valued `value` copies via stringify-on-read (the
   *    engine's `fmt.Sprintf("%v")` convention); literal values keep their
   *    type (string/number/bool -> the matching typed map);
-  *  - OTTL converter functions beyond the ported custom trio
-  *    (EXPR/GrokParse/HexToInt, see [[ExprLang]]) are out of scope;
+  *  - converter calls in value position cover the high-traffic upstream
+  *    subset (Concat/Int/Double/Len/Substring/ConvertCase lower|upper/
+  *    SHA256/IsMatch) plus the ported custom trio (EXPR/GrokParse/HexToInt
+  *    via [[ExprLang]]); anything else fails at compile, not silently;
   *  - `replace_pattern` follows RE2 `ReplaceAllString` semantics: `$1`
   *    group references, no-op when the target field is unset.
   */
@@ -41,12 +49,38 @@ object OttlStatements {
   final case class KeepKeysStmt(map: String, keys: Seq[String], where: Option[String]) extends Stmt
   final case class ReplacePatternStmt(target: String, pattern: String,
       replacement: String, where: Option[String]) extends Stmt
+  /** keep=false: `delete_matching_keys`; keep=true: `keep_matching_keys`
+    * (unanchored key regex, upstream ottlfuncs semantics).
+    */
+  final case class MatchingKeysStmt(map: String, pattern: String, keep: Boolean,
+      where: Option[String]) extends Stmt
+  final case class TruncateAllStmt(map: String, limit: Int,
+      where: Option[String]) extends Stmt
+  final case class LimitStmt(map: String, n: Int, priority: Seq[String],
+      where: Option[String]) extends Stmt
+  /** mode = "key" | "value" (`replace_all_patterns`). */
+  final case class ReplaceAllPatternsStmt(map: String, mode: String,
+      pattern: String, replacement: String, where: Option[String]) extends Stmt
+  /** Whole-value glob match -> replacement (`replace_match`, single field). */
+  final case class ReplaceMatchStmt(target: String, glob: String,
+      replacement: String, where: Option[String]) extends Stmt
+  /** Whole-value glob match over every string value (`replace_all_matches`). */
+  final case class ReplaceAllMatchesStmt(map: String, glob: String,
+      replacement: String, where: Option[String]) extends Stmt
 
   sealed trait Value
   final case class VStr(s: String) extends Value
   final case class VNum(d: Double) extends Value
   final case class VBool(b: Boolean) extends Value
   final case class VPath(p: String) extends Value
+  /** An OTTL converter call in value position (`set(target, Concat(...))`).
+    * Supported: Concat, Int, Double, Len, Substring, ConvertCase
+    * (lower/upper), SHA256, IsMatch — the high-traffic subset of the
+    * upstream standard library; unknown converters fail at compile.
+    */
+  final case class VFunc(name: String, args: Seq[Value]) extends Value
+  /** A list literal in converter-argument position (`Concat([a, b], "-")`). */
+  final case class VList(items: Seq[Value]) extends Value
 
   // ---- statement parsing ---------------------------------------------------
 
@@ -83,6 +117,32 @@ object OttlStatements {
       case "replace_pattern" =>
         require(args.size == 3, s"replace_pattern needs 3 args: $statement")
         ReplacePatternStmt(args.head, unquote(args(1)), unquote(args(2)), where)
+      case "delete_matching_keys" | "keep_matching_keys" =>
+        require(args.size == 2, s"$fn needs 2 args: $statement")
+        MatchingKeysStmt(args.head, unquote(args(1)),
+          keep = fn == "keep_matching_keys", where)
+      case "truncate_all" =>
+        require(args.size == 2, s"truncate_all needs 2 args: $statement")
+        TruncateAllStmt(args.head, args(1).trim.toInt, where)
+      case "limit" =>
+        require(args.size == 3, s"limit needs 3 args: $statement")
+        val list = args(2).trim
+        require(list.startsWith("[") && list.endsWith("]"),
+          s"limit needs a priority-key list literal: $statement")
+        LimitStmt(args.head, args(1).trim.toInt,
+          splitArgs(list.substring(1, list.length - 1)).map(unquote), where)
+      case "replace_all_patterns" =>
+        require(args.size == 4, s"replace_all_patterns needs 4 args: $statement")
+        val mode = unquote(args(1))
+        require(mode == "key" || mode == "value",
+          s"replace_all_patterns mode must be key|value: $statement")
+        ReplaceAllPatternsStmt(args.head, mode, unquote(args(2)), unquote(args(3)), where)
+      case "replace_match" =>
+        require(args.size == 3, s"replace_match needs 3 args: $statement")
+        ReplaceMatchStmt(args.head, unquote(args(1)), unquote(args(2)), where)
+      case "replace_all_matches" =>
+        require(args.size == 3, s"replace_all_matches needs 3 args: $statement")
+        ReplaceAllMatchesStmt(args.head, unquote(args(1)), unquote(args(2)), where)
       case other =>
         throw new IllegalArgumentException(s"unsupported OTTL function: $other")
     }
@@ -159,6 +219,13 @@ object OttlStatements {
     else if (t == "false") VBool(false)
     else if (t.nonEmpty && (t.head.isDigit || t.head == '-' || t.head == '.'))
       VNum(t.toDouble)
+    else if (t.startsWith("[") && t.endsWith("]"))
+      VList(splitArgs(t.substring(1, t.length - 1)).map(parseValue))
+    else if (t.nonEmpty && t.head.isUpper && t.contains("(") && t.endsWith(")")) {
+      // converter call: OTTL converters are UpperCamelCase, paths lowercase
+      val open = t.indexOf('(')
+      VFunc(t.substring(0, open), splitArgs(t.substring(open + 1, t.length - 1)).map(parseValue))
+    }
     else VPath(t)
   }
 
@@ -260,6 +327,71 @@ object OttlStatements {
 
   // ---- compilation ---------------------------------------------------------
 
+  /** Compile a value (literal / path / converter call) to a Column and its
+    * type kind ("string" | "number" | "bool") for the typed-map write
+    * dispatch. Converter semantics follow the upstream ottlfuncs docs;
+    * unknown converters fail at compile like an unparseable statement does.
+    */
+  private def compileValue(v: Value, context: String): (Column, String) = v match {
+    case VStr(s) => (lit(s), "string")
+    case VNum(d) => (lit(d), "number")
+    case VBool(b) => (lit(b), "bool")
+    case VPath(p) => (FieldCols.readString(pathToRef(p, context)), "string")
+    case VList(_) =>
+      throw new IllegalArgumentException("a list literal is only valid inside a converter call")
+    case VFunc(name, args) =>
+      def one(i: Int): Column = compileValue(args(i), context)._1
+      def str(i: Int): String = args(i) match {
+        case VStr(s) => s
+        case other => throw new IllegalArgumentException(s"$name arg ${i + 1} must be a string literal, got $other")
+      }
+      def num(i: Int): Int = args(i) match {
+        case VNum(d) => d.toInt
+        case other => throw new IllegalArgumentException(s"$name arg ${i + 1} must be an int literal, got $other")
+      }
+      name match {
+        case "Concat" =>
+          // Concat(values[], delimiter): nil values render empty
+          require(args.size == 2, "Concat needs ([values], delimiter)")
+          val items = args.head match {
+            case VList(is) => is.map(i => coalesce(compileValue(i, context)._1.cast("string"), lit("")))
+            case other => throw new IllegalArgumentException(s"Concat needs a list, got $other")
+          }
+          (concat_ws(str(1), items: _*), "string")
+        case "Int" =>
+          // Int(v): string/float/bool -> int64, nil on failure (truncation
+          // toward zero, like Go's int64(float64))
+          require(args.size == 1, "Int needs 1 arg")
+          (one(0).cast("double").cast("long").cast("double"), "number")
+        case "Double" =>
+          require(args.size == 1, "Double needs 1 arg")
+          (one(0).cast("double"), "number")
+        case "Len" =>
+          require(args.size == 1, "Len needs 1 arg")
+          (length(one(0).cast("string")).cast("double"), "number")
+        case "Substring" =>
+          // Substring(target, start, length), 0-based start
+          require(args.size == 3, "Substring needs 3 args")
+          (substring(one(0).cast("string"), num(1) + 1, num(2)), "string")
+        case "ConvertCase" =>
+          require(args.size == 2, "ConvertCase needs 2 args")
+          str(1) match {
+            case "lower" => (graft.functions.FastLower(one(0).cast("string")), "string")
+            case "upper" => (upper(one(0).cast("string")), "string")
+            case other => throw new IllegalArgumentException(
+              s"ConvertCase supports lower|upper here, got: $other")
+          }
+        case "SHA256" =>
+          require(args.size == 1, "SHA256 needs 1 arg")
+          (sha2(one(0).cast("string"), 256), "string")
+        case "IsMatch" =>
+          require(args.size == 2, "IsMatch needs 2 args")
+          (one(0).cast("string").rlike(str(1)), "bool")
+        case other =>
+          throw new IllegalArgumentException(s"unsupported OTTL converter: $other")
+      }
+  }
+
   /** Apply one parsed statement to a LogRow frame. */
   def applyStmt(df: DataFrame, stmt: Stmt, context: String = "log"): DataFrame = {
     val whereGate = stmt.where.map(w => ExprLang.boolExpr(rewriteCondition(w, context)))
@@ -281,6 +413,16 @@ object OttlStatements {
             val read = FieldCols.readString(pathToRef(p, context))
             // OTTL `set` is a no-op when the value resolves to nil
             gated(FieldCols.setString(ref, read), extraGate = Some(read.isNotNull))
+          case f: VFunc =>
+            val (c, kind) = compileValue(f, context)
+            val updates = kind match {
+              case "number" => FieldCols.setNumber(ref, c)
+              case "bool" => FieldCols.setBool(ref, c)
+              case _ => FieldCols.setString(ref, c)
+            }
+            gated(updates, extraGate = Some(c.isNotNull))
+          case other =>
+            throw new IllegalArgumentException(s"cannot set from value $other")
         }
       case DeleteKeyStmt(m, key, _) =>
         val ref = pathToRef(m, context) match {
@@ -309,8 +451,78 @@ object OttlStatements {
         val jp = graft.functions.RegexNamedGroups.scan(pattern).javaPattern
         gated(FieldCols.setString(ref, regexp_replace(read, jp, replacement)),
           extraGate = Some(read.isNotNull))
+
+      case MatchingKeysStmt(m, pattern, keep, _) =>
+        onMapRoot(m, context, "delete/keep_matching_keys",
+          c => graft.functions.MapKeysRegex(c, pattern, keep),
+          typedToo = true)(u => gated(u))
+      case TruncateAllStmt(m, limit, _) =>
+        // upstream truncates Str values only — the typed maps pass through
+        onMapRoot(m, context, "truncate_all",
+          c => graft.functions.MapTruncateValues(c, limit),
+          typedToo = false)(u => gated(u))
+      case ReplaceAllPatternsStmt(m, mode, pattern, replacement, _) =>
+        // key mode renames keys of every typed map; value mode touches only
+        // string values (upstream replace_all_patterns semantics)
+        onMapRoot(m, context, "replace_all_patterns",
+          c => graft.functions.MapReplacePatterns(c, mode, pattern, replacement),
+          typedToo = mode == "key")(u => gated(u))
+      case ReplaceAllMatchesStmt(m, glob, replacement, _) =>
+        // whole-value glob match -> the literal replacement (string values)
+        onMapRoot(m, context, "replace_all_matches",
+          c => graft.functions.MapReplacePatterns(c, "value",
+            graft.pipeline.Enrich.globToRegex(glob),
+            java.util.regex.Matcher.quoteReplacement(replacement)),
+          typedToo = false)(u => gated(u))
+      case ReplaceMatchStmt(target, glob, replacement, _) =>
+        val ref = pathToRef(target, context)
+        val read = FieldCols.readString(ref)
+        gated(FieldCols.setString(ref, lit(replacement)),
+          extraGate = Some(read.isNotNull &&
+            read.rlike(graft.pipeline.Enrich.globToRegex(glob))))
+      case LimitStmt(m, n, priority, _) =>
+        pathToRef(m, context) match {
+          case FieldRef.AttrsRoot =>
+            // one joint budget across the three typed maps (they are ONE
+            // logical pcommon.Map in the reference); subexpression
+            // elimination shares the struct across the three updates
+            val limited = graft.functions.LimitTypedMaps(
+              col("attributes_string"), col("attributes_number"),
+              col("attributes_bool"), n, priority)
+            gated(Seq(
+              "attributes_string" -> limited.getField("strings"),
+              "attributes_number" -> limited.getField("numbers"),
+              "attributes_bool" -> limited.getField("bools")))
+          case FieldRef.ResourceRoot =>
+            val limited = graft.functions.LimitTypedMaps(
+              col("resources_string"),
+              map().cast(graft.model.LogSchema.mapSD),
+              map().cast(graft.model.LogSchema.mapSB), n, priority)
+            gated(Seq("resources_string" -> limited.getField("strings")))
+          case other =>
+            throw new IllegalArgumentException(s"limit needs a map, got $other")
+        }
     }
   }
+
+  /** Apply a map-valued editor to the attr/resource root maps: attrs span
+    * the three typed maps (`typedToo` controls whether the number/bool maps
+    * participate), the resource root is a single string map.
+    */
+  private def onMapRoot(m: String, context: String, what: String,
+      f: Column => Column, typedToo: Boolean)(
+      gated: Seq[(String, Column)] => DataFrame): DataFrame =
+    pathToRef(m, context) match {
+      case FieldRef.AttrsRoot =>
+        val base = Seq("attributes_string" -> f(col("attributes_string")))
+        gated(if (typedToo) base ++ Seq(
+          "attributes_number" -> f(col("attributes_number")),
+          "attributes_bool" -> f(col("attributes_bool"))) else base)
+      case FieldRef.ResourceRoot =>
+        gated(Seq("resources_string" -> f(col("resources_string"))))
+      case other =>
+        throw new IllegalArgumentException(s"$what needs a map, got $other")
+    }
 
   /** Apply a statement block list (the processor's `log_statements` config
     * shape: `[{context: log|resource, statements: [...]}, ...]`), in order.
