@@ -28,6 +28,30 @@ object MetricQueries {
     gaugesFrom(read(spark, dir, "events"))
   }
 
+  /** Deterministic CloudWatch metric-stream records from an events table
+    * (one JSON datum per record): shared by q_firehose_metrics and the
+    * scale-up bench's firehose decode row. Every 11th datum ships without a
+    * unit -> dropped by the validity gate (to_json omits null fields).
+    */
+  private[graft] def firehoseRecordsFrom(ev: DataFrame): DataFrame =
+    ev.select(to_json(struct(
+      lit("ms").as("metric_stream_name"),
+      (col("user_id") % 3).cast("string").as("account_id"),
+      lit("us-east-1").as("region"),
+      when(col("event_id") % 3 === 0, "AWS/EC2")
+        .when(col("event_id") % 3 === 1, "AWS/Lambda")
+        .otherwise("Custom").as("namespace"),
+      concat(lit("M"), (col("event_id") % 2).cast("string")).as("metric_name"),
+      map(lit("InstanceId"),
+        concat(lit("i-"), (col("user_id") % 5).cast("string"))).as("dimensions"),
+      expr("unix_micros(cast(ts as timestamp)) div 1000").as("timestamp"),
+      struct(
+        (floor(col("value")) + 2.0).cast("double").as("max"),
+        lit(0.0).as("min"),
+        floor(col("value")).cast("double").as("sum"),
+        lit(3.0).as("count")).as("value"),
+      when(col("event_id") % 11 =!= 0, lit("Count")).as("unit"))).as("record"))
+
   /** The gauge lift as a pure DataFrame->DataFrame so the scale-up bench can
     * apply it to a synthetic events table of the same shape.
     */
@@ -172,28 +196,8 @@ object MetricQueries {
     // full 6-attr CloudWatch resource + the semconv-mapped dimension
     "q_firehose_metrics" -> ((s, d) => {
       SparkEntry.configure(s)
-      val ev = read(s, d, "events")
-      val record = to_json(struct(
-        lit("ms").as("metric_stream_name"),
-        (col("user_id") % 3).cast("string").as("account_id"),
-        lit("us-east-1").as("region"),
-        when(col("event_id") % 3 === 0, "AWS/EC2")
-          .when(col("event_id") % 3 === 1, "AWS/Lambda")
-          .otherwise("Custom").as("namespace"),
-        concat(lit("M"), (col("event_id") % 2).cast("string")).as("metric_name"),
-        map(lit("InstanceId"),
-          concat(lit("i-"), (col("user_id") % 5).cast("string"))).as("dimensions"),
-        expr("unix_micros(cast(ts as timestamp)) div 1000").as("timestamp"),
-        struct(
-          (floor(col("value")) + 2.0).cast("double").as("max"),
-          lit(0.0).as("min"),
-          floor(col("value")).cast("double").as("sum"),
-          lit(3.0).as("count")).as("value"),
-        // every 11th datum ships without a unit -> dropped by the gate
-        // (to_json omits null fields)
-        when(col("event_id") % 11 =!= 0, lit("Count")).as("unit")))
       val frames = graft.sources.FirehoseMetrics.fromFirehoseCwMetrics(
-        ev.select(record.as("record")), col("record"))
+        firehoseRecordsFrom(read(s, d, "events")), col("record"))
       MetricsExporter.samplesV4(MetricsExporter.scalarPoints(frames))
         .groupBy(col("env"), col("temporality"), col("metric_name"),
           col("fingerprint"))

@@ -135,6 +135,27 @@ object Queries {
           map_contains_key(col("attributes_string"), "a2").as("has_a2"))
     }),
 
+    // OTTL standard-library editors + converters end-to-end (upstream
+    // ottlfuncs the transform processor registers wholesale; SURVEY §2.12):
+    // converter set, key-regex rename, truncate, regex delete, resource copy
+    "q_ottl_transform" -> ((s, d) => {
+      val stmts = Seq(
+        "log" -> Seq(
+          """set(attributes["tag"], Concat([attributes["event_type"], "evt"], "-"))""",
+          """set(attributes["is_err"], IsMatch(attributes["event_type"], "^err"))""",
+          """replace_all_patterns(attributes, "key", "^event_", "e_")""",
+          """truncate_all(attributes, 6)""",
+          """delete_matching_keys(attributes, "^value$")"""),
+        "resource" -> Seq("""set(attributes["copy"], attributes["user_id"])"""))
+      graft.operators.OttlStatements.applyAll(eventsAsLogs(s, d), stmts)
+        .select(col("event_id"),
+          col("attributes_string").getItem("e_type").as("e_type"),
+          col("attributes_string").getItem("tag").as("tag"),
+          col("attributes_bool").getItem("is_err").as("is_err"),
+          map_contains_key(col("attributes_number"), "value").as("has_value"),
+          col("resources_string").getItem("copy").as("r_copy"))
+    }),
+
     // body-path writes (stanza BodyField.Set/Delete/Merge through the JSON
     // body, SURVEY §2.10): in-body move with nested-path create, EXPR add
     // into a body path, body-subtree copy into an attribute
@@ -353,6 +374,15 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q_ottl_transform" ->
+      """SELECT event_id,
+        |  substr(event_type, 1, 6) AS e_type,
+        |  substr(event_type || '-evt', 1, 6) AS tag,
+        |  regexp_matches(event_type, '^err') AS is_err,
+        |  false AS has_value,
+        |  CAST(user_id AS VARCHAR) AS r_copy
+        |FROM events""".stripMargin,
     "q_router" ->
       s"""SELECT $routeCase AS route, count(*) AS n FROM events GROUP BY 1""",
 

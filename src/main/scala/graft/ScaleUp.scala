@@ -224,6 +224,19 @@ object ScaleUp {
           col("fingerprint"), col("unix_milli"), col("value")).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // firehose cwmetrics decode at 100x: JSON datum split/parse -> validity
+    // gate -> full-datum distinct -> 4-stat explode -> fingerprint chain.
+    // q_firehose_metrics is the slowest non-quadratic driver query at sf0.1;
+    // this row shows the cost is per-query fixed overhead plus a linear
+    // decode, not a degrading plan (the distinct is the one shuffle).
+    results += op("firehose_cwmetrics", smallE, bigE, smallEvents, bigEvents) { e =>
+      val frames = graft.sources.FirehoseMetrics.fromFirehoseCwMetrics(
+        MetricQueries.firehoseRecordsFrom(e), col("record"))
+      MetricsExporter.samplesV4(MetricsExporter.scalarPoints(frames))
+        .select(xxhash64(col("temporality"), col("metric_name"),
+          col("fingerprint"), col("unix_milli"), col("value")).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
+    }
     // dependency graph at 100x with the APPROX quantile default (round-4
     // verdict #3): the pass condition is bounded aggregation state — the
     // sketch buffer is fixed by the accuracy parameter where exact
