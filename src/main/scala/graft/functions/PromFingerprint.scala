@@ -146,10 +146,57 @@ object PromFingerprintKernel extends Serializable {
       new ArrayBasedMapData(new GenericArrayData(outK), new GenericArrayData(outV)))
   }
 
+  // Memoized per distinct (offset, map content): metric attribute sets are
+  // low-cardinality relative to datapoints (series count << sample count —
+  // the same fact the reference's ttlcache-keyed fingerprint dedup exploits,
+  // exporter.go:1110-1125), and the sort + struct build dominated a 36 M-row
+  // chain profile. Bounded: past 2^17 distinct entries the cache stops
+  // inserting (worst case for a genuinely high-cardinality stream is the
+  // one-pass key build, ~10% of a miss). Shared across tasks -> concurrent.
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, InternalRow]()
+
   def compute(base: MapData, extras: MapData, offset: Long): InternalRow = {
+    val sb = new java.lang.StringBuilder(48)
+    sb.append(offset).append('\u0002')
+    def add(m: MapData): Unit = if (m != null) {
+      val ks = m.keyArray(); val vs = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        sb.append(ks.getUTF8String(i)).append('\u0000')
+        if (!vs.isNullAt(i)) sb.append(vs.getUTF8String(i))
+        sb.append('\u0001')
+        i += 1
+      }
+    }
+    add(base); add(extras)
+    val key = sb.toString
+    val hit = cache.get(key)
+    if (hit != null) return hit
     val (ks, vs) = collect(base, extras)
     val (sk, sv, n) = sortAndDedup(ks, vs)
-    result(hashSorted(offset, sk, sv, n, null), sk, sv, n, null)
+    val r = result(hashSorted(offset, sk, sv, n, null), sk, sv, n, null)
+    // the fresh result references UTF8Strings backed by the INPUT row's
+    // buffer (UnsafeMapData slices), which Spark reuses across rows — the
+    // row being processed copies them out synchronously, but a cached copy
+    // must own its bytes
+    if (cache.size < (1 << 17)) cache.put(key, cloneRow(r))
+    r
+  }
+
+  private def cloneRow(r: InternalRow): InternalRow = {
+    val m = r.getMap(1)
+    val n = m.numElements()
+    val ks = new Array[Any](n)
+    val vs = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      ks(i) = m.keyArray().getUTF8String(i).clone()
+      vs(i) = m.valueArray().getUTF8String(i).clone()
+      i += 1
+    }
+    InternalRow(r.getLong(0),
+      new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs)))
   }
 
   /** Rule encoding: element 0 is "keep" or "drop", the rest are the listed

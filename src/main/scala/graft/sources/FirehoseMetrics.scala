@@ -154,11 +154,18 @@ object FirehoseMetrics {
       struct(lit("min").as("stat"), col("__min").as("sv")),
       struct(lit("max").as("stat"), col("__max").as("sv")))
     MetricFrames.withDefaults(rows
+      // maps materialize BELOW the explode: expressions in the same select
+      // list as a generator land in the Project ABOVE the Generate and are
+      // re-evaluated per EXPLODED row — measured as 2 JSON parses x 4 stats
+      // per datum (+20 s at 10 M datums) before this split
       .select(col("__prefix"), col("unit"), col("unix_milli"),
         graft.functions.JsonTypedMaps.of(col("__attrs_json"))
           .getField("strings").as("attrs"),
         graft.functions.JsonTypedMaps.of(col("__res_json"))
           .getField("strings").as("resource_attrs"),
+        col("__sum"), col("__count"), col("__min"), col("__max"))
+      .select(col("__prefix"), col("unit"), col("unix_milli"),
+        col("attrs"), col("resource_attrs"),
         explode(stats).as("__s"))
       .select(
         concat(col("__prefix"), lit("_"), col("__s.stat")).as("metric_name"),
