@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.JsonCanon
-import graft.sources.{OtlpProto, OtlpProtoEncode}
+import graft.sources.{OtlpJson, OtlpProto, OtlpProtoEncode}
 import graft.sources.OtlpProto.{OtlpMetricRow, OtlpRow, OtlpSpanRow}
 
 /** One producer record, shaped for Spark's Kafka sink (`topic`/`value`
@@ -16,9 +16,10 @@ final case class KafkaMessage(topic: String, value: Array[Byte])
   * span / metric frames back into Kafka producer messages.
   *
   *  - Encodings (`marshaler.go:41-76`): logs `otlp_proto` (default) /
-  *    `raw`; traces + metrics `otlp_proto`. (`otlp_json` and the Jaeger
-  *    trace encodings are out of scope — they wrap the same pdata walk in a
-  *    different serialization; nothing in this engine consumes them.)
+  *    `otlp_json` / `raw`; traces + metrics `otlp_proto` / `otlp_json`
+  *    ([[graft.sources.OtlpJson]] — the exporter's experimental pdata
+  *    JSONMarshaler encoding, `factory.go:132-193`). The Jaeger trace
+  *    encodings live in [[JaegerMarshal]].
   *  - Topic routing (`utils.go:12-20`, `kafka_exporter.go:43/77/110`): the
   *    tenant id (the reference reads it from grpc client metadata
   *    `signoz_tenant_id`; here a job parameter) prefixes the signal topic:
@@ -139,6 +140,9 @@ object KafkaExport {
       case "otlp_proto" =>
         typed.mapPartitions(
           batched(_, topic, maxMessageBytes, logRowSize, OtlpProtoEncode.encodeLogsData))
+      case "otlp_json" =>
+        typed.mapPartitions(
+          batched(_, topic, maxMessageBytes, logRowSize, OtlpJson.encodeLogsJson))
       case "raw" =>
         // one message per record; post-normalize bodies are strings, so the
         // payload is the Go-JSON-quoted body (Str("") marshals to `""` and
@@ -173,11 +177,15 @@ object KafkaExport {
     val spark = df.sparkSession
     import spark.implicits._
     val topic = tracesTopic(tenant)
-    if (encoding != "otlp_proto") unrecognized(encoding)
+    val encodeBatch: Seq[OtlpSpanRow] => Array[Byte] = encoding match {
+      case "otlp_proto" => OtlpProtoEncode.encodeTracesData
+      case "otlp_json" => OtlpJson.encodeTracesJson
+      case other => unrecognized(other)
+    }
     graft.model.SpanFrames.withDefaults(df)
       .select(spanCols.map(col): _*).as[OtlpSpanRow]
       .mapPartitions(
-        batched(_, topic, maxMessageBytes, spanRowSize, OtlpProtoEncode.encodeTracesData))
+        batched(_, topic, maxMessageBytes, spanRowSize, encodeBatch))
   }
 
   // ---- metrics -------------------------------------------------------------
@@ -203,13 +211,17 @@ object KafkaExport {
     val spark = df.sparkSession
     import spark.implicits._
     val topic = metricsTopic(tenant)
-    if (encoding != "otlp_proto") unrecognized(encoding)
+    val encodeBatch: Seq[OtlpMetricRow] => Array[Byte] = encoding match {
+      case "otlp_proto" => OtlpProtoEncode.encodeMetricsData
+      case "otlp_json" => OtlpJson.encodeMetricsJson
+      case other => unrecognized(other)
+    }
     val withAll = withMetricUnionDefaults(df)
     val cols = implicitly[org.apache.spark.sql.Encoder[OtlpMetricRow]]
       .schema.fieldNames.toSeq
     withAll.select(cols.map(col): _*).as[OtlpMetricRow]
       .mapPartitions(
-        batched(_, topic, maxMessageBytes, metricRowSize, OtlpProtoEncode.encodeMetricsData))
+        batched(_, topic, maxMessageBytes, metricRowSize, encodeBatch))
   }
 
   /** Lift any one MetricFrames family to the full union column set. */
