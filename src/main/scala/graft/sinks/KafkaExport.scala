@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.JsonCanon
-import graft.sources.{OtlpJson, OtlpProto, OtlpProtoEncode}
+import graft.sources.{Jaeger, OtlpJson, OtlpProto, OtlpProtoEncode}
 import graft.sources.OtlpProto.{OtlpMetricRow, OtlpRow, OtlpSpanRow}
 
-/** One producer record, shaped for Spark's Kafka sink (`topic`/`value`
-  * columns; `df.write.format("kafka")` picks them up by name).
+/** One producer record, shaped for Spark's Kafka sink (`topic`/`value`/
+  * `key` columns; `df.write.format("kafka")` picks them up by name —
+  * a null key means unkeyed, the default for every encoding except the
+  * Jaeger ones, which key by trace id for Jaeger-ingester partitioning).
   */
-final case class KafkaMessage(topic: String, value: Array[Byte])
+final case class KafkaMessage(topic: String, value: Array[Byte],
+    key: Array[Byte] = null)
 
 /** Kafka exporter analogue (`exporter/signozkafkaexporter`): serialize log /
   * span / metric frames back into Kafka producer messages.
@@ -177,15 +180,35 @@ object KafkaExport {
     val spark = df.sparkSession
     import spark.implicits._
     val topic = tracesTopic(tenant)
-    val encodeBatch: Seq[OtlpSpanRow] => Array[Byte] = encoding match {
-      case "otlp_proto" => OtlpProtoEncode.encodeTracesData
-      case "otlp_json" => OtlpJson.encodeTracesJson
+    val typed = graft.model.SpanFrames.withDefaults(df)
+      .select(spanCols.map(col): _*).as[OtlpSpanRow]
+    encoding match {
+      case "otlp_proto" =>
+        typed.mapPartitions(batched(_, topic, maxMessageBytes, spanRowSize,
+          OtlpProtoEncode.encodeTracesData))
+      case "otlp_json" =>
+        typed.mapPartitions(batched(_, topic, maxMessageBytes, spanRowSize,
+          OtlpJson.encodeTracesJson))
+      case "jaeger_proto" | "jaeger_json" =>
+        // jaeger_marshaler.go: ONE message per span, Process spliced in,
+        // message key = span.TraceID.String()
+        val json = encoding == "jaeger_json"
+        typed.map { r =>
+          val s = Jaeger.fromSpanRow(r)
+          val bytes = if (json) Jaeger.encodeSpanJson(s) else Jaeger.encodeSpanProto(s)
+          KafkaMessage(topic, bytes, jaegerTraceIdKey(s.traceId))
+        }
       case other => unrecognized(other)
     }
-    graft.model.SpanFrames.withDefaults(df)
-      .select(spanCols.map(col): _*).as[OtlpSpanRow]
-      .mapPartitions(
-        batched(_, topic, maxMessageBytes, spanRowSize, encodeBatch))
+  }
+
+  /** `model.TraceID.String()`: `%016x` of the low half alone when the high
+    * half is zero, the full 32 hex chars otherwise.
+    */
+  private def jaegerTraceIdKey(hex: String): Array[Byte] = {
+    val full = if (hex.isEmpty) "0" * 32 else hex
+    val s = if (full.length == 32 && full.startsWith("0" * 16)) full.substring(16) else full
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
   // ---- metrics -------------------------------------------------------------
