@@ -156,6 +156,43 @@ object Queries {
           col("resources_string").getItem("copy").as("r_copy"))
     }),
 
+    // widened OTTL converter set end-to-end (upstream ottlfuncs
+    // StandardFuncs, SURVEY §2.12 round-5 addendum): hash/string/format
+    // converters, the strptime Time chain with Unix* extractors and
+    // Go-anchored TruncateTime, Duration literals, merge_maps+ParseJSON,
+    // type predicates — every column DuckDB-replicable
+    "q_ottl_converters" -> ((s, d) => {
+      val logs = eventsAsLogs(s, d).withColumn("attributes_string",
+        map_concat(col("attributes_string"), map(lit("ets"),
+          date_format(timestamp_micros(expr("timestamp div 1000")),
+            "yyyy-MM-dd HH:mm:ss"))))
+      val stmts = Seq("log" -> Seq(
+        """set(attributes["md5"], MD5(attributes["event_type"]))""",
+        """set(attributes["camel"], ConvertCase(attributes["event_type"], "camel"))""",
+        """set(attributes["fmt"], Format("%s=%.2f", [attributes["event_type"], attributes["value"]]))""",
+        """set(attributes["ms"], UnixMilli(Time(attributes["ets"], "%Y-%m-%d %H:%M:%S")))""",
+        """set(attributes["trunc_ms"], UnixMilli(TruncateTime(Time(attributes["ets"], "%Y-%m-%d %H:%M:%S"), "1h")))""",
+        """set(attributes["hr"], Hour(Time(attributes["ets"], "%Y-%m-%d %H:%M:%S")))""",
+        """set(attributes["dmin"], Minutes(Duration("90s")))""",
+        """set(attributes["fnv"], FNV(attributes["event_type"]))""",
+        """set(attributes["is_str"], IsString(attributes["event_type"]))""",
+        """merge_maps(attributes, ParseJSON(body), "upsert")"""))
+      val a = col("attributes_string")
+      val n = col("attributes_number")
+      graft.operators.OttlStatements.applyAll(logs, stmts).select(
+        col("event_id"),
+        a.getItem("md5").as("md5"),
+        a.getItem("camel").as("camel"),
+        a.getItem("fmt").as("fmt"),
+        n.getItem("ms").cast("long").as("ms"),
+        n.getItem("trunc_ms").cast("long").as("trunc_ms"),
+        n.getItem("hr").cast("long").as("hr"),
+        n.getItem("dmin").as("dmin"),
+        n.getItem("fnv").as("fnv"),
+        n.getItem("k").as("k"),
+        col("attributes_bool").getItem("is_str").as("is_str"))
+    }),
+
     // body-path writes (stanza BodyField.Set/Delete/Merge through the JSON
     // body, SURVEY §2.10): in-body move with nested-path create, EXPR add
     // into a body path, body-subtree copy into an attribute
@@ -373,7 +410,34 @@ object Queries {
        |    AS UBIGINT) AS u))""".stripMargin
   }
 
+  /** Plain DuckDB FNV-1a 64 over one value's UTF-8 bytes (no separators) —
+    * the upstream `FNV` converter (hash/fnv New64a), signed reinterpretation.
+    */
+  private[graft] def fnvPlainSql(part: String): String =
+    s"""(SELECT CAST(CAST(u AS HUGEINT)
+       |  - CASE WHEN u >= CAST('9223372036854775808' AS UBIGINT)
+       |         THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT)
+       | FROM (SELECT CAST(list_reduce(
+       |    list_prepend(CAST('14695981039346656037' AS HUGEINT), ${bytesSql(part)}),
+       |    (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |                 * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+       |    AS UBIGINT) AS u))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q_ottl_converters" ->
+      s"""SELECT event_id,
+         |  md5(event_type) AS md5,
+         |  upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS camel,
+         |  event_type || '=' || printf('%.2f', value) AS fmt,
+         |  epoch_ms(date_trunc('second', ts)) AS ms,
+         |  epoch_ms(date_trunc('hour', ts)) AS trunc_ms,
+         |  CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(1.5 AS DOUBLE) AS dmin,
+         |  CAST(${fnvPlainSql("event_type")} AS DOUBLE) AS fnv,
+         |  CAST(json_extract(props, '$$.k') AS DOUBLE) AS k,
+         |  true AS is_str
+         |FROM events""".stripMargin,
 
     "q_ottl_transform" ->
       """SELECT event_id,

@@ -67,6 +67,12 @@ object OttlStatements {
   /** Whole-value glob match over every string value (`replace_all_matches`). */
   final case class ReplaceAllMatchesStmt(map: String, glob: String,
       replacement: String, where: Option[String]) extends Stmt
+  /** `merge_maps(target, source, strategy)` — strategy insert|update|upsert
+    * (upstream merge_maps editor). Source is a map-valued converter
+    * (ParseJSON / ParseKeyValue / ExtractPatterns / ExtractGrokPatterns).
+    */
+  final case class MergeMapsStmt(target: String, source: Value, strategy: String,
+      where: Option[String]) extends Stmt
 
   sealed trait Value
   final case class VStr(s: String) extends Value
@@ -143,6 +149,12 @@ object OttlStatements {
       case "replace_all_matches" =>
         require(args.size == 3, s"replace_all_matches needs 3 args: $statement")
         ReplaceAllMatchesStmt(args.head, unquote(args(1)), unquote(args(2)), where)
+      case "merge_maps" =>
+        require(args.size == 3, s"merge_maps needs 3 args: $statement")
+        val strategy = unquote(args(2))
+        require(Set("insert", "update", "upsert")(strategy),
+          s"merge_maps strategy must be insert|update|upsert: $statement")
+        MergeMapsStmt(args.head, parseValue(args(1)), strategy, where)
       case other =>
         throw new IllegalArgumentException(s"unsupported OTTL function: $other")
     }
@@ -327,10 +339,69 @@ object OttlStatements {
 
   // ---- compilation ---------------------------------------------------------
 
+  /** Exact integer division on LONG columns (epoch-nano arithmetic must not
+    * round through double — ns values exceed 2^53).
+    */
+  private def idiv(c: Column, k: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.{GraftBridge => EU}
+    EU.column(IntegralDivide(EU.expression(c.cast("long")), EU.expression(lit(k))))
+  }
+
+  /** Translate a Go `fmt.Sprintf` format to java.util.Formatter + the cast
+    * type each verb expects (`Format` converter). Supported verbs:
+    * %v %s %d %x %X %o %f %e %E %g %G %t %%. Documented divergence: float
+    * precision ties round HALF_UP (java.util.Formatter) where Go rounds
+    * half-to-even.
+    */
+  private[operators] def goFormatToJava(fmtStr: String): (String, Seq[String]) = {
+    val sb = new StringBuilder
+    val casts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < fmtStr.length) {
+      val c = fmtStr.charAt(i)
+      if (c == '%' && i + 1 < fmtStr.length) {
+        var j = i + 1
+        while (j < fmtStr.length && "+-# 0123456789.".indexOf(fmtStr.charAt(j)) >= 0) j += 1
+        require(j < fmtStr.length, s"dangling %% in format: $fmtStr")
+        fmtStr.charAt(j) match {
+          case '%' => sb.append(fmtStr.substring(i, j + 1))
+          case 'v' => sb.append(fmtStr.substring(i, j)).append('s'); casts += "string"
+          case 's' => sb.append(fmtStr.substring(i, j + 1)); casts += "string"
+          case 'd' | 'x' | 'X' | 'o' => sb.append(fmtStr.substring(i, j + 1)); casts += "long"
+          case 'f' | 'e' | 'E' | 'g' | 'G' => sb.append(fmtStr.substring(i, j + 1)); casts += "double"
+          case 't' => sb.append(fmtStr.substring(i, j)).append('b'); casts += "boolean"
+          case other => throw new IllegalArgumentException(s"unsupported Format verb %$other")
+        }
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, casts.toSeq)
+  }
+
   /** Compile a value (literal / path / converter call) to a Column and its
-    * type kind ("string" | "number" | "bool") for the typed-map write
-    * dispatch. Converter semantics follow the upstream ottlfuncs docs;
-    * unknown converters fail at compile like an unparseable statement does.
+    * type kind for the typed-map write dispatch:
+    * `"string" | "number" | "bool"` (literals and scalar converters),
+    * `"time" | "duration"` (LONG nanoseconds — written exactly to the long
+    * top-level time fields, as float64 into the number map), and
+    * `"map" | "maps"` (map-valued converters, only legal under
+    * `merge_maps`). Converter semantics follow the upstream ottlfuncs docs
+    * (the reference registers `ottlfuncs.StandardFuncs` wholesale,
+    * `internal/logs/functions.go:28`); unknown converters fail at compile
+    * like an unparseable statement does.
+    *
+    * Documented engine policies (a deterministic columnar engine can't
+    * reproduce Go-map/pointer behaviors):
+    *  - slices (`Split`) and `Keys`/`Values` render as JSON arrays — the
+    *    exporters' own AsString convention; Keys/Values are SORTED (Go map
+    *    iteration order is random);
+    *  - `FNV` returns the int64 hash through the float64 number map
+    *    (exact only to 2^53 there; exact when set on a long field);
+    *  - `FormatTime` renders at microsecond precision (Spark formatter);
+    *  - `IsMap`/`IsList` test the serialized-JSON shape of the value (the
+    *    engine stores nested structures as serialized JSON);
+    *  - `UUID`/`Now` are nondeterministic by nature (excluded from golden
+    *    exactness, shape-tested only).
     */
   private def compileValue(v: Value, context: String): (Column, String) = v match {
     case VStr(s) => (lit(s), "string")
@@ -349,6 +420,16 @@ object OttlStatements {
         case VNum(d) => d.toInt
         case other => throw new IllegalArgumentException(s"$name arg ${i + 1} must be an int literal, got $other")
       }
+      /** A time/duration-valued argument as LONG nanos. */
+      def timeArg(i: Int): Column = {
+        val (c, k) = compileValue(args(i), context)
+        k match {
+          case "time" | "duration" => c
+          case _ => c.cast("long")
+        }
+      }
+      /** time arg -> TIMESTAMP column (micros, session TZ = UTC). */
+      def tsCol(i: Int): Column = timestamp_micros(idiv(timeArg(i), 1000L))
       name match {
         case "Concat" =>
           // Concat(values[], delimiter): nil values render empty
@@ -378,15 +459,220 @@ object OttlStatements {
           str(1) match {
             case "lower" => (graft.functions.FastLower(one(0).cast("string")), "string")
             case "upper" => (upper(one(0).cast("string")), "string")
+            case "snake" =>
+              // strcase.ToSnake shape: delimiters -> _, case boundaries -> _
+              val s0 = regexp_replace(one(0).cast("string"), "[\\s-]+", "_")
+              val s1 = regexp_replace(s0, "([a-z0-9])([A-Z])", "$1_$2")
+              (lower(regexp_replace(s1, "([A-Z]+)([A-Z][a-z])", "$1_$2")), "string")
+            case "camel" =>
+              // strcase.ToCamel shape: UpperCamel over separated tokens
+              (regexp_replace(
+                initcap(regexp_replace(one(0).cast("string"), "[_\\s-]+", " ")),
+                " ", ""), "string")
             case other => throw new IllegalArgumentException(
-              s"ConvertCase supports lower|upper here, got: $other")
+              s"ConvertCase supports lower|upper|snake|camel, got: $other")
           }
+        case "Trim" =>
+          // Trim(target, replacement?): strips the cutset (default " ")
+          require(args.size == 1 || args.size == 2, "Trim needs 1-2 args")
+          (trim(one(0).cast("string"), if (args.size == 2) str(1) else " "), "string")
+        case "Split" =>
+          require(args.size == 2, "Split needs 2 args")
+          (to_json(split(one(0).cast("string"),
+            java.util.regex.Pattern.quote(str(1)))), "string")
+        case "Format" =>
+          // Format(formatString, [args]) — Go Sprintf verbs
+          require(args.size == 2, "Format needs (formatString, [args])")
+          val items = args(1) match {
+            case VList(is) => is
+            case other => throw new IllegalArgumentException(s"Format needs a list, got $other")
+          }
+          val (javaFmt, casts) = goFormatToJava(str(0))
+          require(casts.size == items.size,
+            s"Format: ${casts.size} verbs but ${items.size} args")
+          val cols = items.zip(casts).map { case (it, t) =>
+            compileValue(it, context)._1.cast(t)
+          }
+          (format_string(javaFmt, cols: _*), "string")
+        case "String" =>
+          require(args.size == 1, "String needs 1 arg")
+          (one(0).cast("string"), "string")
         case "SHA256" =>
           require(args.size == 1, "SHA256 needs 1 arg")
           (sha2(one(0).cast("string"), 256), "string")
+        case "SHA512" =>
+          require(args.size == 1, "SHA512 needs 1 arg")
+          (sha2(one(0).cast("string"), 512), "string")
+        case "SHA1" =>
+          require(args.size == 1, "SHA1 needs 1 arg")
+          (sha1(one(0).cast("string")), "string")
+        case "MD5" =>
+          require(args.size == 1, "MD5 needs 1 arg")
+          (md5(one(0).cast("string")), "string")
+        case "FNV" =>
+          // FNV-1a 64 over the UTF-8 bytes, int64 like the upstream hash/fnv
+          require(args.size == 1, "FNV needs 1 arg")
+          (graft.functions.FnvOverBytes(
+            encode(one(0).cast("string"), "UTF-8"), 0xcbf29ce484222325L), "number")
+        case "Hex" =>
+          // hex.EncodeToString of the string's bytes (lowercase)
+          require(args.size == 1, "Hex needs 1 arg")
+          (lower(hex(one(0).cast("string"))), "string")
+        case "Log" =>
+          require(args.size == 1, "Log needs 1 arg")
+          (log(one(0).cast("double")), "number")
         case "IsMatch" =>
           require(args.size == 2, "IsMatch needs 2 args")
           (one(0).cast("string").rlike(str(1)), "bool")
+        case "IsString" | "IsInt" | "IsDouble" | "IsBool" =>
+          require(args.size == 1, s"$name needs 1 arg")
+          val want = name match {
+            case "IsString" => "string"
+            case "IsInt" => "int"
+            case "IsDouble" => "float" // engine numbers are float64, like
+            case _ => "bool"           // JSON-round-tripped pcommon values
+          }
+          args.head match {
+            case VPath(p) => (FieldCols.typeName(pathToRef(p, context)) === want, "bool")
+            case VStr(_) => (lit(want == "string"), "bool")
+            case VNum(_) => (lit(want == "float"), "bool")
+            case VBool(_) => (lit(want == "bool"), "bool")
+            case f: VFunc =>
+              val (c, k) = compileValue(f, context)
+              val actual = k match {
+                case "number" => "float"
+                case "time" | "duration" => "int"
+                case other => other
+              }
+              (c.isNotNull && lit(actual == want), "bool")
+            case other =>
+              throw new IllegalArgumentException(s"$name cannot type-test $other")
+          }
+        case "IsMap" | "IsList" =>
+          require(args.size == 1, s"$name needs 1 arg")
+          val prefix = if (name == "IsMap") "{" else "["
+          val read = args.head match {
+            case VPath(p) => FieldCols.readString(pathToRef(p, context))
+            case a => compileValue(a, context)._1.cast("string")
+          }
+          (coalesce(ltrim(read).startsWith(prefix), lit(false)), "bool")
+        // ---- time & duration ----------------------------------------------
+        case "Time" =>
+          // Time(target, format, location?) — strptime-style format
+          require(args.size == 2 || args.size == 3, "Time needs 2-3 args")
+          (graft.functions.TimeFormats.parseToNanos(one(0), "strptime", str(1),
+            location = if (args.size == 3) Some(str(2)) else None), "time")
+        case "Duration" =>
+          require(args.size == 1, "Duration needs 1 arg")
+          args.head match {
+            case VStr(s) =>
+              val ns = graft.functions.GoDurationKernel.parse(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s))
+              require(ns != null, s"invalid duration literal: $s")
+              (lit(ns.longValue()), "duration")
+            case _ => (graft.functions.GoDurationParse(one(0).cast("string")), "duration")
+          }
+        case "Unix" =>
+          // Unix(seconds, nanoseconds?) -> time
+          require(args.size == 1 || args.size == 2, "Unix needs 1-2 args")
+          val base = one(0).cast("long") * lit(1000000000L)
+          (if (args.size == 2) base + one(1).cast("long") else base, "time")
+        case "UnixSeconds" => (idiv(timeArg(0), 1000000000L), "number")
+        case "UnixMilli" => (idiv(timeArg(0), 1000000L), "number")
+        case "UnixMicro" => (idiv(timeArg(0), 1000L), "number")
+        case "UnixNano" => (timeArg(0), "number")
+        case "TruncateTime" =>
+          // t.Truncate(d): round down to a multiple of d since Go's ZERO
+          // time (year 1) — offset the epoch-based remainder by
+          // (year1->epoch mod d). d <= 0 returns t unchanged (Go parity).
+          require(args.size == 2, "TruncateTime needs 2 args")
+          val dNs: Long = args(1) match {
+            case VFunc("Duration", Seq(VStr(s))) =>
+              val ns = graft.functions.GoDurationKernel.parse(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s))
+              require(ns != null, s"invalid duration literal: $s")
+              ns.longValue()
+            case VStr(s) =>
+              val ns = graft.functions.GoDurationKernel.parse(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s))
+              require(ns != null, s"invalid duration literal: $s")
+              ns.longValue()
+            case other => throw new IllegalArgumentException(
+              s"TruncateTime needs a duration literal, got $other")
+          }
+          val t = timeArg(0)
+          if (dNs <= 0) (t, "time")
+          else {
+            val offMod = (BigInt(62135596800L) * BigInt(1000000000L) % BigInt(dNs)).toLong
+            (t - pmod(lit(offMod) + pmod(t, lit(dNs)), lit(dNs)), "time")
+          }
+        case "FormatTime" =>
+          require(args.size == 2, "FormatTime needs 2 args")
+          (date_format(tsCol(0),
+            graft.functions.TimeFormats.gotimeToJava(str(1))), "string")
+        case "Hour" => (hour(tsCol(0)).cast("double"), "number")
+        case "Minute" => (minute(tsCol(0)).cast("double"), "number")
+        case "Second" => (second(tsCol(0)).cast("double"), "number")
+        case "Day" => (dayofmonth(tsCol(0)).cast("double"), "number")
+        case "Month" => (month(tsCol(0)).cast("double"), "number")
+        case "Year" => (year(tsCol(0)).cast("double"), "number")
+        // duration extractors (Go time.Duration methods: Hours/Minutes/
+        // Seconds are float64, the sub-second ones integral)
+        case "Hours" => (timeArg(0).cast("double") / lit(3.6e12), "number")
+        case "Minutes" => (timeArg(0).cast("double") / lit(6.0e10), "number")
+        case "Seconds" => (timeArg(0).cast("double") / lit(1.0e9), "number")
+        case "Milliseconds" => (idiv(timeArg(0), 1000000L), "number")
+        case "Microseconds" => (idiv(timeArg(0), 1000L), "number")
+        case "Nanoseconds" => (timeArg(0), "number")
+        case "Now" => (unix_micros(current_timestamp()) * lit(1000L), "time")
+        case "UUID" => (expr("uuid()"), "string")
+        // ---- map-valued (legal only under merge_maps) ----------------------
+        case "ParseJSON" =>
+          require(args.size == 1, "ParseJSON needs 1 arg")
+          (graft.functions.JsonTypedMaps.of(one(0).cast("string")), "maps")
+        case "ParseKeyValue" =>
+          // ParseKeyValue(target, delimiter = "=", pair_delimiter = " ")
+          require(args.nonEmpty && args.size <= 3, "ParseKeyValue needs 1-3 args")
+          (graft.functions.KeyValueMap(one(0).cast("string"),
+            if (args.size >= 2) str(1) else "=",
+            if (args.size >= 3) str(2) else " "), "map")
+        case "ExtractPatterns" =>
+          require(args.size == 2, "ExtractPatterns needs 2 args")
+          (graft.functions.RegexExtractNamedGroups(one(0).cast("string"), str(1)), "map")
+        case "ExtractGrokPatterns" =>
+          // (target, pattern, namedCapturesOnly? — the engine always keeps
+          // named captures only, the upstream default used in configs)
+          require(args.size >= 2, "ExtractGrokPatterns needs 2+ args")
+          val expanded = graft.functions.Grok.expand(str(1))
+          (graft.functions.RegexExtractNamedGroups(one(0).cast("string"),
+            expanded.regex), "map")
+        case "Keys" | "Values" =>
+          require(args.size == 1, s"$name needs 1 arg")
+          val isKeys = name == "Keys"
+          def render(m: Column): Column =
+            to_json(array_sort(if (isKeys) map_keys(m) else map_values(m)))
+          args.head match {
+            case VPath(p) => pathToRef(p, context) match {
+              case FieldRef.AttrsRoot =>
+                val parts =
+                  if (isKeys) Seq(
+                    map_keys(col("attributes_string")),
+                    map_keys(col("attributes_number")),
+                    map_keys(col("attributes_bool")))
+                  else Seq(
+                    map_values(col("attributes_string")),
+                    map_values(col("attributes_number")).cast("array<string>"),
+                    map_values(col("attributes_bool")).cast("array<string>"))
+                (to_json(array_sort(concat(parts: _*))), "string")
+              case FieldRef.ResourceRoot => (render(col("resources_string")), "string")
+              case other => throw new IllegalArgumentException(s"$name needs a map, got $other")
+            }
+            case f: VFunc =>
+              val (c, k) = compileValue(f, context)
+              require(k == "map", s"$name needs a map-valued converter")
+              (render(c), "string")
+            case other => throw new IllegalArgumentException(s"$name needs a map, got $other")
+          }
         case other =>
           throw new IllegalArgumentException(s"unsupported OTTL converter: $other")
       }
@@ -417,7 +703,12 @@ object OttlStatements {
             val (c, kind) = compileValue(f, context)
             val updates = kind match {
               case "number" => FieldCols.setNumber(ref, c)
+              // LONG nanos: exact on the long top-level time fields, float64
+              // through the number map (setNumber's per-target casts)
+              case "time" | "duration" => FieldCols.setNumber(ref, c)
               case "bool" => FieldCols.setBool(ref, c)
+              case "map" | "maps" => throw new IllegalArgumentException(
+                s"${f.name} is map-valued — use merge_maps(target, ${f.name}(...), strategy)")
               case _ => FieldCols.setString(ref, c)
             }
             gated(updates, extraGate = Some(c.isNotNull))
@@ -480,6 +771,59 @@ object OttlStatements {
         gated(FieldCols.setString(ref, lit(replacement)),
           extraGate = Some(read.isNotNull &&
             read.rlike(graft.pipeline.Enrich.globToRegex(glob))))
+      case MergeMapsStmt(target, source, strategy, _) =>
+        // upstream merge_maps editor: insert = only keys NEW to the target,
+        // update = only keys the target already has (value AND type move),
+        // upsert = all source keys override. Key-in-exactly-one-typed-map
+        // invariant preserved via the MergeMaps eviction arguments.
+        import graft.functions.{MapKeysIn, MergeMaps, StringifyTypedMaps}
+        val (srcCol, kind) = compileValue(source, context)
+        val emptySD = map().cast(graft.model.LogSchema.mapSD)
+        val emptySB = map().cast(graft.model.LogSchema.mapSB)
+        val emptySS = map().cast(graft.model.LogSchema.mapSS)
+        val (ss, sn, sb) = kind match {
+          case "maps" => (srcCol.getField("strings"), srcCol.getField("numbers"),
+            srcCol.getField("bools"))
+          case "map" => (srcCol, emptySD, emptySB)
+          case other => throw new IllegalArgumentException(
+            s"merge_maps needs a map-valued source, got kind $other")
+        }
+        pathToRef(target, context) match {
+          case FieldRef.AttrsRoot =>
+            val tS = col("attributes_string")
+            val tN = col("attributes_number")
+            val tB = col("attributes_bool")
+            val (fS, fN, fB) = strategy match {
+              case "upsert" => (ss, sn, sb)
+              case "insert" => (
+                MapKeysIn(ss, tS, tN, tB, present = false),
+                MapKeysIn(sn, tS, tN, tB, present = false),
+                MapKeysIn(sb, tS, tN, tB, present = false))
+              case "update" => (
+                MapKeysIn(ss, tS, tN, tB, present = true),
+                MapKeysIn(sn, tS, tN, tB, present = true),
+                MapKeysIn(sb, tS, tN, tB, present = true))
+            }
+            gated(Seq(
+              "attributes_string" -> MergeMaps(tS, fS, fN, fB),
+              "attributes_number" -> MergeMaps(tN, fN, fS, fB),
+              "attributes_bool" -> MergeMaps(tB, fB, fS, fN)))
+          case FieldRef.ResourceRoot =>
+            // resources are force-stringified (engine convention)
+            val rs = col("resources_string")
+            val asStrings = kind match {
+              case "maps" => StringifyTypedMaps(ss, sn, sb)
+              case _ => srcCol
+            }
+            val f = strategy match {
+              case "upsert" => asStrings
+              case "insert" => MapKeysIn(asStrings, rs, emptySS, emptySS, present = false)
+              case "update" => MapKeysIn(asStrings, rs, emptySS, emptySS, present = true)
+            }
+            gated(Seq("resources_string" -> MergeMaps(rs, f, emptySS, emptySS)))
+          case other =>
+            throw new IllegalArgumentException(s"merge_maps needs a map target, got $other")
+        }
       case LimitStmt(m, n, priority, _) =>
         pathToRef(m, context) match {
           case FieldRef.AttrsRoot =>
