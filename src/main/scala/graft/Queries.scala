@@ -193,6 +193,40 @@ object Queries {
         col("attributes_bool").getItem("is_str").as("is_str"))
     }),
 
+    // contrib attributes-processor analogue end-to-end (the processor the
+    // reference's collectorsimulator test drives): regexp include + strict
+    // exclude gating, insert/upsert/from_attribute, SHA-256 hash, convert
+    // to int, named-group extract, delete — every action DuckDB-replicable
+    "q_attributes_processor" -> ((s, d) => {
+      val logs = eventsAsLogs(s, d).withColumn("attributes_string",
+        map_concat(col("attributes_string"), map(
+          lit("req"), concat_ws(" ", col("attributes_string").getItem("event_type"),
+            concat(lit("/u/"), col("resources_string").getItem("user_id"))),
+          lit("k_s"), get_json_object(col("body"), "$.k"))))
+      val cfg = """{
+        "include": {"match_type": "regexp",
+          "attributes": [{"key": "event_type", "value": "^(error|purchase|click)"}]},
+        "exclude": {"match_type": "strict",
+          "attributes": [{"key": "event_type", "value": "click"}]},
+        "actions": [
+          {"key": "flagged", "value": true, "action": "insert"},
+          {"key": "etype_copy", "from_attribute": "event_type", "action": "upsert"},
+          {"key": "etype_copy", "action": "hash"},
+          {"key": "k_s", "action": "convert", "converted_type": "int"},
+          {"key": "req", "pattern": "^(?P<verb>[a-z]+) (?P<path>\\S+)$", "action": "extract"},
+          {"key": "req", "action": "delete"}
+        ]}"""
+      graft.pipeline.AttributesProcessor.compile(cfg)(logs).select(
+        col("event_id"),
+        map_contains_key(col("attributes_bool"), "flagged").as("flagged"),
+        col("attributes_string").getItem("etype_copy").as("etype_hash"),
+        col("attributes_number").getItem("k_s").as("k_i"),
+        col("attributes_string").getItem("verb").as("verb"),
+        col("attributes_string").getItem("path").as("path"),
+        map_contains_key(col("attributes_string"), "req").as("has_req"),
+        col("attributes_string").getItem("k_s").as("k_s_str"))
+    }),
+
     // body-path writes (stanza BodyField.Set/Delete/Merge through the JSON
     // body, SURVEY §2.10): in-body move with nested-path create, EXPR add
     // into a body path, body-subtree copy into an attribute
@@ -424,6 +458,19 @@ object Queries {
        |    AS UBIGINT) AS u))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q_attributes_processor" ->
+      """SELECT event_id,
+        |  matched AS flagged,
+        |  CASE WHEN matched THEN sha256(event_type) END AS etype_hash,
+        |  CASE WHEN matched
+        |    THEN CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+        |  END AS k_i,
+        |  CASE WHEN matched THEN event_type END AS verb,
+        |  CASE WHEN matched THEN '/u/' || user_id END AS path,
+        |  NOT matched AS has_req,
+        |  CASE WHEN NOT matched THEN json_extract_string(props, '$.k') END AS k_s_str
+        |FROM (SELECT *, event_type IN ('error', 'purchase') AS matched FROM events)""".stripMargin,
 
     "q_ottl_converters" ->
       s"""SELECT event_id,
