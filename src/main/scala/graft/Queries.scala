@@ -193,6 +193,30 @@ object Queries {
         col("attributes_bool").getItem("is_str").as("is_str"))
     }),
 
+    // clickhousesystemtables metrics slice: view_refreshes-shaped rows (here
+    // synthesized per event_type) expanded to the 5 OTel gauges with the
+    // never-succeeded age skip (system_metrics.go scrape + collect)
+    "q_view_refresh" -> ((s, d) => {
+      SparkEntry.configure(s)
+      val rows = read(s, d, "events").groupBy(col("event_type")).agg(
+        count(lit(1)).as("retry"),
+        avg(col("value")).as("last_duration"),
+        (max(col("value")) > 150).cast("int").as("exception"))
+        .select(
+          concat(lit("host-"), substring(col("event_type"), 1, 1)).as("hostname"),
+          lit("signoz_metrics").as("database"),
+          col("event_type").as("view"),
+          when(col("event_type").isin("error", "click"), lit(-1L))
+            .otherwise(col("last_duration").cast("long")).as("last_success_age"),
+          col("last_duration"), col("exception"), col("retry"),
+          lit(0.5).as("progress"))
+      graft.sources.SystemTables.viewRefreshMetrics(rows, lit(1700000000000L))
+        .select(col("metric_name"), col("unit"), col("value"),
+          col("attrs").getItem("view").as("view"),
+          col("resource_attrs").getItem("clickhouse.hostname").as("host"),
+          col("unix_milli"))
+    }),
+
     // contrib attributes-processor analogue end-to-end (the processor the
     // reference's collectorsimulator test drives): regexp include + strict
     // exclude gating, insert/upsert/from_attribute, SHA-256 hash, convert
@@ -458,6 +482,32 @@ object Queries {
        |    AS UBIGINT) AS u))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q_view_refresh" ->
+      """WITH vr AS (
+        |  SELECT 'host-' || substr(event_type, 1, 1) AS host,
+        |    event_type AS view,
+        |    CASE WHEN event_type IN ('error', 'click') THEN -1
+        |         ELSE CAST(avg(value) AS BIGINT) END AS last_success_age,
+        |    avg(value) AS last_duration,
+        |    CASE WHEN max(value) > 150 THEN 1 ELSE 0 END AS exception,
+        |    count(*) AS retry
+        |  FROM events GROUP BY event_type
+        |), m AS (
+        |  SELECT 'clickhouse.view_refresh.last_success_age' AS metric_name, 's' AS unit,
+        |    CAST(last_success_age AS DOUBLE) AS value, view, host FROM vr
+        |  WHERE last_success_age >= 0
+        |  UNION ALL SELECT 'clickhouse.view_refresh.last_duration', 's',
+        |    last_duration, view, host FROM vr
+        |  UNION ALL SELECT 'clickhouse.view_refresh.exception', '1',
+        |    CAST(exception AS DOUBLE), view, host FROM vr
+        |  UNION ALL SELECT 'clickhouse.view_refresh.retry', '{retries}',
+        |    CAST(retry AS DOUBLE), view, host FROM vr
+        |  UNION ALL SELECT 'clickhouse.view_refresh.progress', '1',
+        |    0.5, view, host FROM vr
+        |)
+        |SELECT metric_name, unit, value, view, host,
+        |  CAST(1700000000000 AS BIGINT) AS unix_milli FROM m""".stripMargin,
 
     "q_attributes_processor" ->
       """SELECT event_id,
