@@ -171,6 +171,36 @@ object TraceQueries {
       TraceExporter.rootOperations(TraceExporter.spansV3(eventsAsSpans(s, d)))
     }),
 
+    // sub_root_operations MV: DISTINCT (name, serviceName) of spans whose
+    // parent belongs to a DIFFERENT service (trace-co-partitioned self-join,
+    // same scale shape as dependencyGraph). Resources keyed off event_id so
+    // traces actually cross services (the default lift keys them by trace).
+    "q_sub_root_ops" -> ((s, d) => {
+      val spans = eventsAsSpans(s, d)
+        .withColumn("resources_string", map(lit("service.name"),
+          concat(lit("svc-"), (col("event_id") % 4).cast("string"))))
+      TraceExporter.subRootOperations(TraceExporter.spansV3(spans))
+    }),
+
+    // usage_explorer MV: span count per service per hour
+    "q_usage_explorer" -> ((s, d) => {
+      TraceExporter.usageExplorer(TraceExporter.spansV3(eventsAsSpans(s, d)))
+    }),
+
+    // durationSort projection: the duration-ordered second index — the
+    // slowest 1000 spans via TakeOrderedAndProject (no full sort/shuffle)
+    "q_duration_sort" -> ((s, d) => {
+      TraceExporter.durationSort(TraceExporter.spansV3(eventsAsSpans(s, d)))
+        .select(col("timestamp"), col("traceID"), col("spanID"),
+          col("parentSpanID"), col("serviceName"), col("name"), col("kind"),
+          col("durationNano"), col("statusCode"), col("httpMethod"),
+          col("httpUrl"), col("httpRoute"), col("httpHost"), col("hasError"),
+          col("rpcSystem"), col("responseStatusCode"), col("isRemote"),
+          col("statusCodeString"), col("spanKind"))
+        .orderBy(col("durationNano").desc, col("timestamp"), col("spanID"))
+        .limit(1000)
+    }),
+
     // span tag metadata rows grouped per key (span_attributes sink)
     "q_span_attrs" -> ((s, d) => {
       TraceExporter.tagAttributes(TraceExporter.spansV3(eventsAsSpans(s, d)))
@@ -510,6 +540,55 @@ object TraceQueries {
     "q_root_ops" ->
       s"""SELECT DISTINCT event_type AS name, $serviceSql AS serviceName
          |FROM events WHERE event_id % 5 = 0""".stripMargin,
+
+    // child ops whose (same-trace) parent is another service
+    "q_sub_root_ops" ->
+      s"""WITH spans AS (
+         |  SELECT event_type AS name,
+         |    'svc-' || CAST(event_id % 4 AS VARCHAR) AS service_name,
+         |    $traceIdSql AS trace_id,
+         |    $spanIdSql AS span_id,
+         |    $parentSql AS parent_span_id
+         |  FROM events
+         |)
+         |SELECT DISTINCT c.name, c.service_name AS serviceName
+         |FROM spans c JOIN spans p
+         |  ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+         |WHERE c.parent_span_id != '' AND p.service_name != c.service_name""".stripMargin,
+
+    "q_usage_explorer" ->
+      s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS timestamp,
+         |       $serviceSql AS service_name, count(*) AS count
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // duration-ordered index projection: slowest 1000 spans, tie-broken on
+    // (timestamp, spanID) so the LIMIT is deterministic cross-engine
+    "q_duration_sort" ->
+      s"""SELECT
+         |  CAST(epoch_us(ts) AS BIGINT) * 1000 AS timestamp,
+         |  $traceIdSql AS traceID,
+         |  $spanIdSql AS spanID,
+         |  $parentSql AS parentSpanID,
+         |  $serviceSql AS serviceName,
+         |  event_type AS name,
+         |  CAST(event_id % 6 AS INT) AS kind,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS durationNano,
+         |  CAST(CASE WHEN event_type = 'error' THEN 2
+         |            WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS statusCode,
+         |  '' AS httpMethod,
+         |  'https://api.example.com:8443/v' || CAST(event_id % 10 AS VARCHAR) AS httpUrl,
+         |  '' AS httpRoute,
+         |  CASE WHEN event_id % 6 = 3 THEN 'api.example.com' ELSE '' END AS httpHost,
+         |  event_type = 'error' AS hasError,
+         |  '' AS rpcSystem,
+         |  CAST(200 + (event_id % 4) * 100 AS VARCHAR) AS responseStatusCode,
+         |  $isRemoteCase AS isRemote,
+         |  CASE WHEN event_type = 'error' THEN 'Error'
+         |       WHEN event_id % 7 = 0 THEN 'Ok' ELSE 'Unset' END AS statusCodeString,
+         |  $kindCase AS spanKind
+         |FROM events
+         |ORDER BY durationNano DESC, timestamp, spanID
+         |LIMIT 1000""".stripMargin,
 
     "q_dep_graph" ->
       s"""WITH spans AS (

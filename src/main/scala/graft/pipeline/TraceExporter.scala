@@ -363,6 +363,88 @@ object TraceExporter {
       .select(col("name"), col("service_name").as("serviceName"))
       .dropDuplicates()
 
+  /** `sub_root_operations` MV (squashed_traces_migrations.go:840-853,
+    * dest table `top_level_operations` — shared with [[rootOperations]]):
+    * DISTINCT (name, serviceName) over spans whose PARENT span belongs to a
+    * different service — the "entry operations" of each service that are not
+    * trace roots.
+    *
+    * The reference MV self-joins on span id alone
+    * (`A.parentSpanID = B.spanID AND A.serviceName != B.serviceName`); a
+    * parent span is by OTel definition in the same trace, so — exactly like
+    * [[dependencyGraph]]'s service edges — this join leads with trace_id and
+    * SHUFFLE_HASH so both sides co-partition on one narrow shuffle each
+    * instead of hashing 100 TB of spans on a random span_id.
+    */
+  def subRootOperations(spansV3: DataFrame): DataFrame = {
+    val parents = spansV3.select(col("trace_id"),
+      col("span_id").as("parent_span_id"),
+      col("service_name").as("parent_service"))
+    spansV3.filter(col("parent_span_id") =!= "")
+      .select(col("trace_id"), col("parent_span_id"),
+        col("name"), col("service_name"))
+      .join(parents.hint("SHUFFLE_HASH"), Seq("trace_id", "parent_span_id"))
+      .filter(col("parent_service") =!= col("service_name"))
+      .select(col("name"), col("service_name").as("serviceName"))
+      .dropDuplicates()
+  }
+
+  /** `usage_explorer_mv` (squashed_traces_migrations.go:707-724): span count
+    * per service per hour — `toStartOfHour(timestamp)` over the span start.
+    * Emitted as epoch-second hour starts (the DateTime64 rendering is the
+    * sink's concern). A two-key partial-agg groupBy: the canonical map-side
+    * combine shape at any scale.
+    */
+  def usageExplorer(spansV3: DataFrame): DataFrame =
+    spansV3.groupBy(
+        expr("(timestamp div 3600000000000) * 3600").as("timestamp"),
+        col("service_name"))
+      .agg(count(lit(1)).as("count"))
+
+  /** `durationSort` projection (squashed_traces_migrations.go:150-287:
+    * durationSortMV selects the index columns verbatim into a table with
+    * `ORDER BY (durationNano, timestamp)`). The v2 MV's materialized
+    * attribute columns (httpRoute, rpc*) come from the span attr map; the
+    * tag maps are the typed attribute maps under their v2 names.
+    *
+    * The ClickHouse table exists purely as a second physical sort order so
+    * duration-threshold queries scan a contiguous range. The Spark analogue
+    * is writing this projection `repartitionByRange(durationNano)` +
+    * `sortWithinPartitions(durationNano, timestamp)`: parquet min/max stats
+    * per file/row-group then give duration-range queries the same
+    * partition-pruned scan ([[graft.sinks.GraftTable]] write path).
+    */
+  def durationSort(spansV3: DataFrame): DataFrame = {
+    def attr(k: String): Column =
+      coalesce(col("attributes_string").getItem(k), lit(""))
+    spansV3.select(
+      col("timestamp"),
+      col("trace_id").as("traceID"),
+      col("span_id").as("spanID"),
+      col("parent_span_id").as("parentSpanID"),
+      col("service_name").as("serviceName"),
+      col("name"),
+      col("kind"),
+      col("duration_nano").as("durationNano"),
+      col("status_code").as("statusCode"),
+      col("http_method").as("httpMethod"),
+      col("http_url").as("httpUrl"),
+      attr("http.route").as("httpRoute"),
+      col("http_host").as("httpHost"),
+      col("has_error").as("hasError"),
+      attr("rpc.system").as("rpcSystem"),
+      attr("rpc.service").as("rpcService"),
+      attr("rpc.method").as("rpcMethod"),
+      col("response_status_code").as("responseStatusCode"),
+      col("attributes_string").as("stringTagMap"),
+      col("attributes_number").as("numberTagMap"),
+      col("attributes_bool").as("boolTagMap"),
+      col("is_remote").as("isRemote"),
+      col("status_message").as("statusMessage"),
+      col("status_code_string").as("statusCodeString"),
+      col("span_kind").as("spanKind"))
+  }
+
   /** `dependency_graph_minutes_v2` MV family (squashed_traces_migrations.go:
     * 477-634): per-minute (src, dest, resource-env) call edges with exact
     * duration quantiles (0.5/0.75/0.9/0.95/0.99 — the batch equivalent of
@@ -472,7 +554,12 @@ object TraceExporter {
       "span_attributes_keys" -> tagKeys(main),
       "signoz_error_index_v2" -> errorEvents(spans),
       "trace_summary" -> traceSummary(main),
+      // root_operations + sub_root_operations share the top_level_operations
+      // dest table in the reference (migrations 20/21)
       "root_operations" -> rootOperations(main),
+      "sub_root_operations" -> subRootOperations(main),
+      "usage_explorer" -> usageExplorer(main),
+      "durationSort" -> durationSort(main),
       "dependency_graph_minutes" -> dependencyGraph(main),
       "usage" -> usage(main))
   }

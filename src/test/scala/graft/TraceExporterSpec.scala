@@ -175,6 +175,64 @@ class TraceExporterSpec extends SparkSuite {
     assert(roots.map(_.getString(1)).toSet == Set("A", "B"))
   }
 
+  test("sub_root_operations: cross-service children only, trace-scoped join " +
+      "(squashed_traces_migrations.go:840-853)") {
+    val frame = spanFrame(Seq(
+      // t1: root(A) -> b(B) -> c(B): only b crosses a service boundary
+      ("t1", "s1", "", 2, Map.empty[String, String], Map("service.name" -> "A")),
+      ("t1", "s2", "s1", 1, Map.empty[String, String], Map("service.name" -> "B")),
+      ("t1", "s3", "s2", 1, Map.empty[String, String], Map("service.name" -> "B")),
+      // t2: same span ids as t1 but one service — a cross-TRACE id collision
+      // must not produce an edge (the trace-scoped join; the reference's
+      // unscoped MV relies on 8-byte id uniqueness)
+      ("t2", "s2", "s1", 1, Map.empty[String, String], Map("service.name" -> "C")),
+      ("t2", "s1", "", 2, Map.empty[String, String], Map("service.name" -> "C"))))
+      .withColumn("name", concat(lit("op-"), col("span_id")))
+    val out = TraceExporter.subRootOperations(TraceExporter.spansV3(frame))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("op-s2", "B")))
+  }
+
+  test("usage_explorer: per-service hourly span counts " +
+      "(squashed_traces_migrations.go:707-724)") {
+    val frame = spanFrame(Seq(
+      ("t1", "s1", "", 2, Map.empty[String, String], Map("service.name" -> "A")),
+      ("t1", "s2", "s1", 1, Map.empty[String, String], Map("service.name" -> "A")),
+      ("t2", "s3", "", 2, Map.empty[String, String], Map("service.name" -> "B"))))
+      // push one A span into the next hour
+      .withColumn("start_ts",
+        when(col("span_id") === "s2", lit(T0 + 3600L * 1000000000L))
+          .otherwise(col("start_ts")))
+    val out = TraceExporter.usageExplorer(TraceExporter.spansV3(frame))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val h0 = 1672531200L
+    assert(out == Set((h0, "A", 1L), (h0 + 3600L, "A", 1L), (h0, "B", 1L)))
+  }
+
+  test("durationSort projection: v2 column names, attr-sourced httpRoute/rpc* " +
+      "(squashed_traces_migrations.go:150-287)") {
+    val frame = spanFrame(Seq(("t1", "s1", "p1", 3,
+      Map("http.route" -> "/v1/:id", "rpc.system" -> "grpc",
+        "rpc.service" -> "Svc", "rpc.method" -> "Get",
+        "http.url" -> "https://h.example.com/x", "http.method" -> "POST"),
+      Map("service.name" -> "A"))))
+      .withColumn("name", lit("op"))
+    val r = TraceExporter.durationSort(TraceExporter.spansV3(frame)).collect().head
+    assert(r.getAs[String]("traceID") == "t1")
+    assert(r.getAs[String]("spanID") == "s1")
+    assert(r.getAs[String]("parentSpanID") == "p1")
+    assert(r.getAs[String]("serviceName") == "A")
+    assert(r.getAs[Long]("durationNano") == 1500000L)
+    assert(r.getAs[String]("httpRoute") == "/v1/:id")
+    assert(r.getAs[String]("rpcSystem") == "grpc")
+    assert(r.getAs[String]("rpcService") == "Svc")
+    assert(r.getAs[String]("rpcMethod") == "Get")
+    assert(r.getAs[String]("httpMethod") == "POST")
+    assert(r.getAs[String]("httpUrl") == "https://h.example.com/x")
+    assert(r.getAs[String]("spanKind") == "Client")
+    assert(r.getAs[Map[String, String]]("stringTagMap").contains("http.route"))
+  }
+
   test("span tag rows: typed + spanfield + scope skip-empty (writer.go:311-421)") {
     val frame = spanFrame(Seq(("t", "s", "", 2,
       Map("http.method" -> "GET"), Map("service.name" -> "svc"))))
