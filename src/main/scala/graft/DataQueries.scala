@@ -131,6 +131,39 @@ object DataQueries {
     "q_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // benchmark decontamination: broadcast the (deterministic doc_id%97
+    // slice as the) eval set's 5-gram shingles, one corpus pass, count
+    // distinct contaminated shingles per doc
+    "q_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.ops.Curation.contaminated(
+        all, all.filter(col("doc_id") % 97 === 0), n = 5)
+    }),
+
+    // PII redaction: deterministic injected PII (email/ip/phone/ssn built
+    // from doc_id) -> staged regexp redaction; emits per-class counts +
+    // the redacted text's md5
+    "q_pii_redact" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1555"),
+        lpad(col("doc_id") % 10000, 4, "0"),
+        lit(" at 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+        lit(" ssn 123-45-"), lpad(col("doc_id") % 10000, 4, "0")))
+      val counts = graft.ops.Curation.piiCounts(col("text"))
+      injected.select(
+        col("doc_id") +:
+          counts.map { case (n, c) => c.as(n) } :+
+          md5(graft.ops.Curation.redact(col("text"))).as("redacted_md5"): _*)
+    }),
+
+    // deterministic stratified sampling: content-hash thresholds per lang
+    // stratum (no RNG — retry-stable), verified via per-stratum counts
+    "q_sample_stratified" -> ((s, d) =>
+      graft.ops.Curation.stratifiedSample(docs(s, d), col("doc_id"),
+        col("lang"), Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.05), 1.0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))),
+
     // multimodal plumbing: binary payload -> decode stub -> frame sample
     // (oracle replicates the deterministic fake decoder's FNV state)
     "q_multimodal_decode" -> ((s, d) => {
@@ -430,6 +463,53 @@ object DataQueries {
     },
 
     "q_doc_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents"
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    // 5-gram shingle overlap vs the doc_id%97 "benchmark" slice
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len($toks) >= 5
+         |      THEN list_distinct(list_transform(generate_series(1, len($toks) - 4),
+         |           i -> array_to_string(($toks)[i:i+4], ' ')))
+         |      ELSE [array_to_string($toks, ' ')] END) AS shingle
+         |  FROM documents
+         |), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*) AS n_hits
+         |FROM sh s JOIN bench USING (shingle) GROUP BY 1""".stripMargin,
+
+    // staged PII redaction over the deterministically injected text; the
+    // regexes interpolate from Curation.piiPatterns so the two engines run
+    // the SAME pattern strings (Java-regex ∩ RE2 subset)
+    "q_pii_redact" -> {
+      val Seq(email, ipv4, phone, ssn) = graft.ops.Curation.piiPatterns.map(_._2)
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s0
+         |  FROM documents
+         |), t1 AS (SELECT doc_id, s0, regexp_replace(s0, '$email', '<EMAIL>', 'g') AS s1 FROM t0),
+         |t2 AS (SELECT *, regexp_replace(s1, '$ipv4', '<IP>', 'g') AS s2 FROM t1),
+         |t3 AS (SELECT *, regexp_replace(s2, '$phone', '<PHONE>', 'g') AS s3 FROM t2)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(s0, '$email')) AS n_email,
+         |  len(regexp_extract_all(s1, '$ipv4')) AS n_ipv4,
+         |  len(regexp_extract_all(s2, '$phone')) AS n_phone,
+         |  len(regexp_extract_all(s3, '$ssn')) AS n_ssn,
+         |  md5(regexp_replace(s3, '$ssn', '<SSN>', 'g')) AS redacted_md5
+         |FROM t3""".stripMargin
+    },
+
+    // content-hash stratified sampling (thresholds = rateHex of the query's
+    // rate map: en 0.25, de 0.5, fr 0.05, default keep-all)
+    "q_sample_stratified" ->
+      s"""SELECT lang, count(*) AS n FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+         |            WHEN 'fr' THEN '0ccd' ELSE 'zzzz' END
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-curation operators for large-scale training-data pipelines:
+  * benchmark decontamination, PII redaction, and deterministic sampling.
+  *
+  * Scale stances:
+  *  - decontamination broadcasts the (small) benchmark shingle set and makes
+  *    ONE pass over the corpus — the corpus side never shuffles on content;
+  *  - redaction is a pure per-row regexp projection (whole-stage codegen,
+  *    scan speed);
+  *  - sampling is CONTENT-hash based, not RNG based: `df.sample(seed)` is
+  *    not stable under task retries or partition re-splits, which at
+  *    1000-executor scale silently changes the sample between attempts —
+  *    a content-hash threshold is idempotent, re-runnable, and replayable
+  *    in any engine.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- decontam
+
+  /** Distinct word n-gram shingles of a benchmark/eval corpus, hashed.
+    * Collect-free: stays a DataFrame so Spark broadcasts it in the join.
+    */
+  def benchmarkShingles(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark
+      .select(explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Benchmark decontamination: documents sharing at least one word n-gram
+    * with the benchmark set (the standard 13-gram-overlap rule; `n` is a
+    * parameter because short synthetic docs need shorter shingles).
+    *
+    * Returns (id, n_hits = number of DISTINCT contaminated shingles).
+    * 100 TB shape: the corpus side is explode -> project -> broadcast-hash
+    * semi-side join -> partial-agg count on id. The only shuffle is the
+    * final per-doc count; the benchmark side (an eval set, ~10^6 shingles)
+    * broadcasts.
+    */
+  def contaminated(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 13): DataFrame = {
+    val bench = broadcast(benchmarkShingles(benchmark, textCol, n))
+    docs
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .join(bench, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The decontaminated corpus: drop every contaminated document
+    * (broadcast anti-join on the exploded shingles via a left_anti against
+    * the contaminated id set).
+    */
+  def decontaminated(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 13): DataFrame =
+    docs.join(contaminated(docs, benchmark, textCol, idCol, n)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------- redact
+
+  /** PII patterns, deliberately in the Java-regex ∩ RE2 common subset
+    * (no backrefs/lookarounds, explicit classes instead of \d/\b) so the
+    * DuckDB oracle replays them verbatim. Order matters: emails before
+    * phones (an email's digits must not be half-eaten as a phone number).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+[0-9][0-9()\\-]{6,}[0-9]", "<PHONE>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  /** Redacted text: each PII class replaced by its placeholder, applied in
+    * [[piiPatterns]] order. A chain of codegen `regexp_replace`s — one
+    * projection, scan speed.
+    */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Per-class match counts (pre-redaction), for corpus PII audits. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    // count on the progressively-redacted text so classes don't double
+    // count each other's spans (an email's digits are not also a phone)
+    val staged = piiPatterns.scanLeft(("", text)) {
+      case ((_, acc), (name, pat, repl)) => (name, regexp_replace(acc, pat, repl))
+    }
+    piiPatterns.zip(staged.map(_._2)).map { case ((name, pat, _), input) =>
+      s"n_$name" -> size(regexp_extract_all(input, lit(pat), lit(0))).cast("long")
+    }
+  }
+
+  // ---------------------------------------------------------------- sample
+
+  /** 16-bit rate threshold as a 4-hex-char lower-bound string; `"zzzz"`
+    * sorts above every hex digest, i.e. keep-everything.
+    */
+  private def rateHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    val t = math.round(rate * 65536.0).toInt
+    if (t >= 65536) "zzzz" else f"$t%04x"
+  }
+
+  /** Deterministic content-hash sample: keep a row iff the first 4 hex
+    * chars of md5(key) fall under the rate threshold (16-bit resolution;
+    * fixed-width lowercase hex makes the numeric compare a plain string
+    * compare, portable to any engine). Pure codegen filter — no shuffle,
+    * no RNG, stable across retries, engines, and reruns; the property
+    * that matters when a 100 TB job's stage 37 retries and the "random"
+    * sample must not change under it.
+    */
+  def hashSampleFilter(key: Column, rate: Double): Column =
+    substring(md5(key.cast("string")), 1, 4) < lit(rateHex(rate))
+
+  /** Stratified deterministic sampling: per-stratum rates (e.g. downsample
+    * boilerplate-heavy sources, keep all rare-language docs), unknown
+    * strata get `defaultRate`. Thresholds resolve at plan-build time to a
+    * `when` chain — one codegen filter, no join, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateHex(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(rateHex(r))).otherwise(acc)
+    }
+    df.filter(substring(md5(key.cast("string")), 1, 4) < threshold)
+  }
+}

@@ -202,4 +202,64 @@ class DataOpsSpec extends SparkSuite {
         col("event_type"), col("value"), col("props")))).collect().head
     assert(stats.getLong(5) == repart.getLong(0))
   }
+
+  test("decontamination: shingle overlap vs benchmark, anti-join drops hits") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // contains bench 5-gram
+      (2L, "alpha beta gamma delta epsilon"),          // IS the bench doc text
+      (3L, "totally clean document with fresh words"), // no overlap
+      (4L, "x alpha beta gamma delta epsilon y")       // overlap mid-text
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hits = Curation.contaminated(docs, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: shingles {a b g d e, b g d e z} -> 1 hit; doc 2: exact; doc 4:
+    // 3 shingles, one matching
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    val kept = Curation.decontaminated(docs, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
+  test("PII redaction: staged counts don't double-count, order email>ip>phone>ssn") {
+    import graft.ops.Curation
+    val df = Seq((1L,
+      "mail bob.smith+x@corp.example.org from 192.168.001.42 " +
+        "call +1(555)123-4567 ssn 123-45-6789")).toDF("doc_id", "text")
+    val counts = Curation.piiCounts(col("text"))
+    val row = df.select(
+      counts.map { case (n, c) => c.as(n) } :+
+        Curation.redact(col("text")).as("red"): _*).collect().head
+    assert(row.getAs[Long]("n_email") == 1L)
+    assert(row.getAs[Long]("n_ipv4") == 1L)
+    assert(row.getAs[Long]("n_phone") == 1L)
+    assert(row.getAs[Long]("n_ssn") == 1L)
+    assert(row.getAs[String]("red") ==
+      "mail <EMAIL> from <IP> call <PHONE> ssn <SSN>")
+  }
+
+  test("deterministic sampling: rate edges, stratified thresholds, " +
+      "partition-invariant") {
+    import graft.ops.Curation
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "rare")).toDF("doc_id", "lang")
+    assert(docs.filter(Curation.hashSampleFilter(col("doc_id"), 0.0)).count() == 0L)
+    assert(docs.filter(Curation.hashSampleFilter(col("doc_id"), 1.0)).count() == 1000L)
+    val quarter = docs.filter(Curation.hashSampleFilter(col("doc_id"), 0.25)).count()
+    assert(quarter > 180L && quarter < 320L) // ~250 expected, md5-uniform
+    val strat = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.0), defaultRate = 1.0)
+    assert(strat.select("lang").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("rare"))
+    assert(strat.count() == 500L)
+    // content-hash sampling is partitioning-invariant (what RNG-seeded
+    // sample() does NOT guarantee under retries/re-splits)
+    val a = docs.filter(Curation.hashSampleFilter(col("doc_id"), 0.3))
+      .agg(sum("doc_id")).collect().head.getLong(0)
+    val b = docs.repartition(13)
+      .filter(Curation.hashSampleFilter(col("doc_id"), 0.3))
+      .agg(sum("doc_id")).collect().head.getLong(0)
+    assert(a == b)
+  }
 }
