@@ -175,6 +175,49 @@ object ScaleUp {
         .agg(count(lit(1))).collect().head.getLong(0)
     }
 
+    // curation ops at 100x docs: decontamination is explode -> broadcast
+    // semi-join -> per-doc count (the benchmark side is FIXED-size — the
+    // scale test is the corpus pass); redaction is a pure scan-speed
+    // projection (the ratio IS the linearity statement)
+    // the benchmark side is pinned to the SAME doc_id slice at both scales
+    // (a real eval set doesn't grow with the corpus) — the ratio isolates
+    // the corpus pass
+    results += op("decontaminate", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.Curation.contaminated(
+        d, d.filter(col("doc_id") < 5000 && col("doc_id") % 97 === 0), n = 5)
+        .agg(count(lit(1)), sum(col("n_hits"))).collect().head.getLong(0)
+    }
+    results += op("pii_redact", smallD, bigD, smallDocs, bigDocs) { d =>
+      d.select(xxhash64(graft.ops.Curation.redact(col("text"))).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
+    }
+
+    // the reference's own exporter benchmark workload
+    // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with
+    // default options) through the FULL 5-way logs fan-out: small = one
+    // reference batch, big = 100 batches' worth in one plan. No pipeline
+    // stage — the reference benchmark pushes straight to the exporter.
+    def refLogsAt(n: Long, files: Int) =
+      materialize(spark, s"$workDir/reflogs_$n", files)(
+        graft.sources.PdataGen.logs(spark, n))
+    val (smallRL, bigRL) = (refLogsAt(100000L, 4), refLogsAt(10000000L, 64))
+    results += op("ref_logs_workload", smallRL, bigRL, 100000L, 10000000L) { t =>
+      // shape once, persist, feed all five sinks — pushLogsData's
+      // one-batch-many-writers shape. The main sink is a pure projection so
+      // its computed columns are hashed (count() would prune them); the
+      // other four are dedups/aggregates a count() already forces.
+      val main = Exporter.logsV2(t).persist()
+      try {
+        val sinks = Exporter.fanOutFrom(main)
+        val forcedMain = sinks("logs_v2").select(xxhash64(
+          col("timestamp"), col("ts_bucket_start"),
+          col("resource_fingerprint"), col("id"), length(col("body")),
+          size(col("attributes_string"))).as("h"))
+          .agg(sum(col("h"))).collect().head.getLong(0)
+        forcedMain + (sinks - "logs_v2").values.map(_.count()).sum
+      } finally main.unpersist()
+    }
+
     // ANN family (planes=10: 1024 buckets — a scale-appropriate fan-out
     // that still leaves candidates at the small scale)
     def query(v: DataFrame) = v.filter(col("vec_id") === 0)

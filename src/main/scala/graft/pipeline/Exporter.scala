@@ -274,8 +274,15 @@ object Exporter {
     * the logs_v2 projection once, derive every side sink from it.
     */
   def fanOut(pipelineOut: DataFrame, cfg: ExporterConfig = ExporterConfig(),
+      existingResources: Option[DataFrame] = None): Map[String, DataFrame] =
+    fanOutFrom(logsV2(pipelineOut, cfg), cfg, existingResources)
+
+  /** The sink fan-out from an already-shaped (and typically persisted)
+    * `logs_v2` frame — the one-batch-many-writers shape of the reference's
+    * pushLogsData: shape once, every sink reads the cached batch.
+    */
+  def fanOutFrom(main: DataFrame, cfg: ExporterConfig = ExporterConfig(),
       existingResources: Option[DataFrame] = None): Map[String, DataFrame] = {
-    val main = logsV2(pipelineOut, cfg)
     // both key sinks hang off ONE tagRows derivation (tag_type retained,
     // filtered per sink) instead of two independent attributeKeys /
     // resourceKeys plans — with a cached upstream each sink's job then scans
