@@ -164,6 +164,29 @@ object DataQueries {
         col("lang"), Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.05), 1.0)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))),
 
+    // sequence packing (concat-and-chunk): sharded running token sums ->
+    // per-window fill stats; the shard count bounds every sort
+    "q_seq_pack" -> ((s, d) =>
+      graft.ops.Packing.packStats(
+        graft.ops.Packing.packSequences(docs(s, d),
+          TextOps.wsTokenCount(col("text")), tokenBudget = 2048, shards = 8))),
+
+    // per-vector symmetric int8 quantization: scale, quantized sum, and the
+    // max reconstruction error (all 1e6-rounded for cross-engine compare)
+    "q_embed_quantize" -> ((s, d) => {
+      import graft.ops.Quantize
+      val scale = Quantize.int8Scale(col("embedding"))
+      embs(s, d)
+        .withColumn("scale", scale)
+        .withColumn("qv", Quantize.int8Quantize(col("embedding"), col("scale")))
+        .select(
+          col("vec_id"),
+          round(col("scale") * 1e6, 0).cast("long").as("scale_e6"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          round(Quantize.maxAbsError(col("embedding"), col("qv"), col("scale")) * 1e6, 0)
+            .cast("long").as("max_err_e6"))
+    }),
+
     // multimodal plumbing: binary payload -> decode stub -> frame sample
     // (oracle replicates the deterministic fake decoder's FNV state)
     "q_multimodal_decode" -> ((s, d) => {
@@ -502,6 +525,45 @@ object DataQueries {
          |  md5(regexp_replace(s3, '$ssn', '<SSN>', 'g')) AS redacted_md5
          |FROM t3""".stripMargin
     },
+
+    // sharded concat-and-chunk packing: windowed running sum per shard
+    "q_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($toks) END AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+         |      AS tok_offset
+         |  FROM t
+         |)
+         |SELECT shard, CAST(floor(tok_offset / 2048) AS BIGINT) AS bin,
+         |       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // symmetric per-vector int8: float widened to double on BOTH engines,
+    // round = half-away-from-zero on both
+    "q_embed_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INT) END) AS qv
+        |  FROM b
+        |)
+        |SELECT vec_id,
+        |  CAST(round(scale * 1e6) AS BIGINT) AS scale_e6,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(round(list_max(list_transform(list_zip(embedding, qv),
+        |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))) * 1e6)
+        |    AS BIGINT) AS max_err_e6
+        |FROM q""".stripMargin,
 
     // content-hash stratified sampling (thresholds = rateHex of the query's
     // rate map: en 0.25, de 0.5, fr 0.05, default keep-all)

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-token-budget context windows ("concat-and-chunk": the corpus is
+  * conceptually concatenated in a deterministic order and cut every
+  * `tokenBudget` tokens; a document's bin is where its first token lands).
+  *
+  * Scale stance: one GLOBAL running sum is a single-partition sort — the
+  * classic scale killer — so packing is sharded: documents hash into
+  * `shards` independent streams and each shard packs in parallel (what a
+  * real 100 TB pipeline does anyway: pack per output file). The
+  * within-shard running sum is a window partitioned BY shard, so Spark
+  * runs `shards` windows concurrently off one shuffle, and the shard
+  * count — not the corpus size — bounds each sort.
+  */
+object Packing {
+
+  /** Per-document bin assignment: (shard, bin, tok_offset) columns added.
+    * Deterministic: shard = doc_id % shards (content-stable), order within
+    * a shard = doc_id. `tokens` is any token-count column (e.g.
+    * [[TextOps.wsTokenCount]]).
+    */
+  def packSequences(docs: DataFrame, tokens: Column, tokenBudget: Int,
+      shards: Int, idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      // bin = where the doc's FIRST token lands in the concatenated stream
+      .withColumn("tok_offset", col("tok_end") - col("n_tokens"))
+      .withColumn("bin", (col("tok_offset") / tokenBudget).cast("long"))
+      .drop("tok_end")
+  }
+
+  /** Bin-level stats (docs per window, fill level) — the packing audit a
+    * pipeline runs before training.
+    */
+  def packStats(packed: DataFrame): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+}

@@ -203,6 +203,54 @@ class DataOpsSpec extends SparkSuite {
     assert(stats.getLong(5) == repart.getLong(0))
   }
 
+  test("sequence packing: concat-and-chunk bin = first-token position, " +
+      "shards pack independently") {
+    import graft.ops.Packing
+    // one shard (shards=1), budget 10; token counts 4,4,4 -> offsets 0,4,8
+    // -> bins 0,0,0? no: 8 div 10 = 0 ... tokens 4+4+4=12: doc3 starts at
+    // offset 8 < 10 -> bin 0 (it STRADDLES the cut; concat-and-chunk keeps
+    // the start bin), doc4 at offset 12 -> bin 1
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs,
+      graft.ops.TextOps.wsTokenCount(col("text")), tokenBudget = 10, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_offset", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.toSeq == Seq((0L, 0L, 0L), (1L, 4L, 0L), (2L, 8L, 0L), (3L, 12L, 1L)))
+    // sharding: same docs at shards=2 -> each shard accumulates separately
+    val sharded = Packing.packSequences(docs,
+      graft.ops.TextOps.wsTokenCount(col("text")), tokenBudget = 10, shards = 2)
+      .select("doc_id", "shard", "tok_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sharded == Set((0L, 0, 0L), (2L, 0, 4L), (1L, 1, 0L), (3L, 1, 4L)))
+    val stats = Packing.packStats(Packing.packSequences(docs,
+      graft.ops.TextOps.wsTokenCount(col("text")), tokenBudget = 10, shards = 1))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set((0L, 3L, 12L), (1L, 1L, 4L)))
+  }
+
+  test("int8 quantization: scale = max|x|/127, error bounded by scale/2, " +
+      "zero vectors stay zero") {
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Array(1.27f, -0.635f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("scale", Quantize.int8Scale(col("embedding")))
+      .withColumn("qv", Quantize.int8Quantize(col("embedding"), col("scale")))
+      .withColumn("err", Quantize.maxAbsError(col("embedding"), col("qv"), col("scale")))
+    val rows = df.orderBy("vec_id").collect()
+    val r1 = rows(0)
+    assert(math.abs(r1.getAs[Double]("scale") - 1.27f.toDouble / 127.0) < 1e-12)
+    assert(r1.getSeq[Int](r1.fieldIndex("qv")) == Seq(127, -64, 0)) // -63.5 rounds away from zero
+    assert(r1.getAs[Double]("err") <= r1.getAs[Double]("scale") / 2 + 1e-12)
+    val r2 = rows(1)
+    assert(r2.getAs[Double]("scale") == 0.0)
+    assert(r2.getSeq[Int](r2.fieldIndex("qv")) == Seq(0, 0, 0))
+    assert(r2.getAs[Double]("err") == 0.0)
+  }
+
   test("decontamination: shingle overlap vs benchmark, anti-join drops hits") {
     import graft.ops.Curation
     val docs = Seq(
