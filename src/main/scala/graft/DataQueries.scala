@@ -164,6 +164,45 @@ object DataQueries {
         col("lang"), Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.05), 1.0)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))),
 
+    // paragraph-level exact dedup (keep-first) + doc reconstruction; the
+    // docs table has no newlines, so paragraphs are constructed as 10-token
+    // chunks (the splitter itself is regex-parameterized and spec-tested on
+    // real \n\n text)
+    "q_para_dedup" -> ((s, d) => {
+      val tokens = split(trim(col("text")), "\\s+")
+      val nChunks = ceil(size(tokens) / lit(10.0)).cast("int")
+      val paras = docs(s, d).select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+            i => concat_ws(" ", slice(tokens, i * 10 + 1, lit(10)))))
+            .as(Seq("para_idx", "para")))
+        .filter(length(col("para")) > 0)
+      Dedup.paragraphDedupedDocs(paras)
+        .select(col("doc_id"), col("n_paras"), md5(col("text")).as("rebuilt_md5"))
+    }),
+
+    // URL extraction -> host -> approximate eTLD+1 rollup over
+    // deterministically injected URLs (plain 2-label, deep subdomain, and
+    // multi-part-suffix hosts)
+    "q_url_stats" -> ((s, d) => {
+      import graft.ops.WebText
+      val injected = docs(s, d).withColumn("text", concat(
+        col("text"),
+        lit(" https://www.site"), (col("doc_id") % 40).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" http://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".assets.co.uk:8443/x?y=1"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" https://plain"), (col("doc_id") % 11).cast("string"),
+            lit(".org"))).otherwise(lit(""))))
+      injected
+        .select(col("doc_id"), explode(WebText.extractUrls(col("text"))).as("url"))
+        .select(col("doc_id"),
+          WebText.registeredDomain(WebText.hostOf(col("url"))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // sequence packing (concat-and-chunk): sharded running token sums ->
     // per-window fill stats; the shard count bounds every sort
     "q_seq_pack" -> ((s, d) =>
@@ -524,6 +563,57 @@ object DataQueries {
          |  len(regexp_extract_all(s3, '$ssn')) AS n_ssn,
          |  md5(regexp_replace(s3, '$ssn', '<SSN>', 'g')) AS redacted_md5
          |FROM t3""".stripMargin
+    },
+
+    // 10-token chunk paragraphs -> keep-first dedup window -> per-doc rebuild
+    "q_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, i AS para_idx,
+         |         array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS para
+         |  FROM t, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS u(i)
+         |),
+         |k AS (
+         |  SELECT doc_id, para_idx, para,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+         |  FROM p WHERE para <> ''
+         |)
+         |SELECT doc_id, count(*) AS n_paras,
+         |  md5(string_agg(para, e'\\n\\n' ORDER BY para_idx)) AS rebuilt_md5
+         |FROM k WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
+    "q_url_stats" -> {
+      import graft.ops.WebText
+      val urlPat = WebText.urlPattern.replace("'", "''")
+      val sufList = WebText.defaultMultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || ' https://www.site' || CAST(doc_id % 40 AS VARCHAR)
+         |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |      || ' http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.assets.co.uk:8443/x?y=1'
+         |      || CASE WHEN doc_id % 3 = 0
+         |           THEN ' https://plain' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+         |           ELSE '' END AS s
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(s, '$urlPat')) AS url FROM t
+         |), h AS (
+         |  SELECT doc_id, string_split(
+         |    lower(regexp_extract(url, '${WebText.hostPattern}', 1)), '.') AS parts
+         |  FROM u
+         |), r AS (
+         |  SELECT doc_id, CASE
+         |    WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+         |    WHEN (parts[-2] || '.' || parts[-1]) IN ($sufList)
+         |      THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+         |    ELSE parts[-2] || '.' || parts[-1] END AS domain
+         |  FROM h
+         |)
+         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         |FROM r GROUP BY 1""".stripMargin
     },
 
     // sharded concat-and-chunk packing: windowed running sum per shard

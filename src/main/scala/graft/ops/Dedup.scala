@@ -215,4 +215,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
+
+  // ------------------------------------------------------------ paragraphs
+
+  /** Split documents into (id, para_idx, para) rows on a delimiter regex,
+    * empty paragraphs dropped. The sub-document unit for paragraph-level
+    * dedup (the boilerplate-removal pass web pipelines run before
+    * doc-level near-dup).
+    */
+  def paragraphs(docs: DataFrame, delimRegex: String = "\\n{2,}",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), delimRegex)).as(Seq("para_idx", "para")))
+      .filter(length(col("para")) > 0)
+
+  /** Corpus-wide exact paragraph dedup, keep-first: a paragraph survives
+    * only in the lexicographically smallest (id, para_idx) position it
+    * occurs at. One shuffle on the paragraph digest (not the text — the
+    * window's shuffle carries 16 bytes of key per row instead of the
+    * paragraph body as the key); within-group sort is bounded by the
+    * duplicate count of ONE paragraph.
+    */
+  def paragraphDedupKeepFirst(paras: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ph")).orderBy(col(idCol), col("para_idx"))
+    paras.withColumn("__ph", md5(col("para")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__ph", "__rn")
+  }
+
+  /** Documents rebuilt from their surviving paragraphs (original order,
+    * `joinWith` between them); documents whose every paragraph was a
+    * duplicate drop out.
+    */
+  def paragraphDedupedDocs(paras: DataFrame, joinWith: String = "\n\n",
+      idCol: String = "doc_id"): DataFrame =
+    paragraphDedupKeepFirst(paras, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            p => p.getField("para")), joinWith).as("text"))
 }

@@ -251,6 +251,43 @@ class DataOpsSpec extends SparkSuite {
     assert(r2.getAs[Double]("err") == 0.0)
   }
 
+  test("paragraph dedup: regex split, keep-first across docs, " +
+      "fully-duplicated docs drop out of reconstruction") {
+    val docs = Seq(
+      (1L, "intro text\n\nshared boilerplate\n\n\nunique one"),
+      (2L, "shared boilerplate\n\nunique two"),
+      (3L, "shared boilerplate")).toDF("doc_id", "text")
+    val paras = Dedup.paragraphs(docs)
+    // \n{2,} splits both \n\n and \n\n\n; no empty paragraphs
+    assert(paras.count() == 6)
+    val kept = Dedup.paragraphDedupKeepFirst(paras)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // boilerplate survives only at its first (doc 1, idx 1) position
+    assert(kept == Set(
+      (1L, "intro text"), (1L, "shared boilerplate"), (1L, "unique one"),
+      (2L, "unique two")))
+    val rebuilt = Dedup.paragraphDedupedDocs(paras)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rebuilt(1L) == (3L, "intro text\n\nshared boilerplate\n\nunique one"))
+    assert(rebuilt(2L) == (1L, "unique two"))
+    assert(!rebuilt.contains(3L)) // every paragraph was a duplicate
+  }
+
+  test("URL ops: extraction, host parse, approximate eTLD+1") {
+    import graft.ops.WebText
+    val df = Seq((1L,
+      "see https://WWW.Site.Example.COM/p?a=1 and http://cdn7.assets.co.uk:8443/x " +
+        "plus https://plain.org end")).toDF("doc_id", "text")
+    val urls = df.select(explode(WebText.extractUrls(col("text"))).as("url"))
+      .withColumn("host", WebText.hostOf(col("url")))
+      .withColumn("domain", WebText.registeredDomain(col("host")))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(urls == Seq(
+      ("www.site.example.com", "example.com"),
+      ("cdn7.assets.co.uk", "assets.co.uk"), // multi-part suffix -> 3 labels
+      ("plain.org", "plain.org")))           // 2 labels pass through
+  }
+
   test("decontamination: shingle overlap vs benchmark, anti-join drops hits") {
     import graft.ops.Curation
     val docs = Seq(
