@@ -180,6 +180,25 @@ object DataQueries {
         .select(col("doc_id"), col("n_paras"), md5(col("text")).as("rebuilt_md5"))
     }),
 
+    // Gopher-style repetition signals (one-pass codegen kernel): dup-line
+    // fractions + top/duplicate word-n-gram fractions; the docs table has no
+    // newlines, so lines are injected deterministically every 3 words (same
+    // regex in the oracle)
+    "q_gopher_repetition" -> ((s, d) => {
+      import graft.functions.RepetitionStats
+      // every 5th doc gets a period-5 repeated phrase appended so the
+      // duplicate-n-gram paths are exercised (random text never repeats a
+      // 5-gram); oracle injects identically
+      val withRep = docs(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit(" repeat alpha beta gamma delta" * 3))).otherwise(col("text")))
+      val lined = withRep.withColumn("text",
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
+      lined.select(col("doc_id"), RepetitionStats(col("text")).as("r"))
+        .select(col("doc_id") +:
+          RepetitionStats.fieldNames.map(f => col(s"r.$f").as(f)): _*)
+    }),
+
     // URL extraction -> host -> approximate eTLD+1 rollup over
     // deterministically injected URLs (plain 2-label, deep subdomain, and
     // multi-part-suffix hosts)
@@ -581,6 +600,84 @@ object DataQueries {
          |SELECT doc_id, count(*) AS n_paras,
          |  md5(string_agg(para, e'\\n\\n' ORDER BY para_idx)) AS rebuilt_md5
          |FROM k WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // Gopher repetition signals: 3-word injected lines + word n-gram stats
+    "q_gopher_repetition" -> {
+      def grams(n: Int) =
+        s"""g$n AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-$n+2),
+           |           i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS g
+           |  FROM lined WHERE len(ws) >= $n),
+           |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g)"""
+          .stripMargin
+      def top(n: Int) =
+        s"""t$n AS (
+           |  SELECT doc_id, c, length(g) - ${n - 1} AS gchars
+           |  FROM (SELECT doc_id, g, c,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+           |        FROM c$n) x WHERE rn = 1)""".stripMargin
+      def dup(n: Int) =
+        s"""d$n AS (
+           |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+           |         sum(c) AS pos
+           |  FROM c$n GROUP BY doc_id)""".stripMargin
+      val rep = " repeat alpha beta gamma delta" * 3
+      s"""WITH injected AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '$rep'
+         |                      ELSE text END AS text
+         |  FROM documents),
+         |lined AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '(\\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS t,
+         |    $toks AS ws,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS wchars
+         |  FROM injected),
+         |lns AS (
+         |  SELECT doc_id, trim(l) AS line
+         |  FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM lined)
+         |  WHERE length(trim(l)) > 0),
+         |lgrp AS (SELECT doc_id, line, count(*) AS c, length(line) AS ln
+         |         FROM lns GROUP BY doc_id, line),
+         |lstat AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+         |                 sum(c*ln) AS tot_chars, sum((c-1)*ln) AS dup_chars
+         |          FROM lgrp GROUP BY doc_id),
+         |${grams(2)},
+         |${grams(3)},
+         |${grams(4)},
+         |${grams(5)},
+         |${grams(10)},
+         |${top(2)},
+         |${top(3)},
+         |${top(4)},
+         |${dup(5)},
+         |${dup(10)}
+         |SELECT l.doc_id,
+         |  CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CASE WHEN coalesce(ls.n_lines, 0) > 0
+         |       THEN round((ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE), 6)
+         |       ELSE 0.0 END AS dup_line_frac,
+         |  CASE WHEN coalesce(ls.n_lines, 0) > 0
+         |       THEN round(ls.dup_chars / CAST(ls.tot_chars AS DOUBLE), 6)
+         |       ELSE 0.0 END AS dup_line_char_frac,
+         |  CASE WHEN l.wchars > 0
+         |       THEN coalesce(round(t2.c * CAST(t2.gchars AS DOUBLE) / l.wchars, 6), 0.0)
+         |       ELSE 0.0 END AS top_2gram_char_frac,
+         |  CASE WHEN l.wchars > 0
+         |       THEN coalesce(round(t3.c * CAST(t3.gchars AS DOUBLE) / l.wchars, 6), 0.0)
+         |       ELSE 0.0 END AS top_3gram_char_frac,
+         |  CASE WHEN l.wchars > 0
+         |       THEN coalesce(round(t4.c * CAST(t4.gchars AS DOUBLE) / l.wchars, 6), 0.0)
+         |       ELSE 0.0 END AS top_4gram_char_frac,
+         |  coalesce(round(d5.dup / CAST(d5.pos AS DOUBLE), 6), 0.0) AS dup_5gram_frac,
+         |  coalesce(round(d10.dup / CAST(d10.pos AS DOUBLE), 6), 0.0) AS dup_10gram_frac
+         |FROM lined l
+         |LEFT JOIN lstat ls ON l.doc_id = ls.doc_id
+         |LEFT JOIN t2 ON l.doc_id = t2.doc_id
+         |LEFT JOIN t3 ON l.doc_id = t3.doc_id
+         |LEFT JOIN t4 ON l.doc_id = t4.doc_id
+         |LEFT JOIN d5 ON l.doc_id = d5.doc_id
+         |LEFT JOIN d10 ON l.doc_id = d10.doc_id""".stripMargin
+    },
 
     // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
     "q_url_stats" -> {

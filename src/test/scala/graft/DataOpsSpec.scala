@@ -347,4 +347,38 @@ class DataOpsSpec extends SparkSuite {
       .agg(sum("doc_id")).collect().head.getLong(0)
     assert(a == b)
   }
+
+  test("gopher repetition signals: hand-computed goldens, tie-break, " +
+      "periodic duplicates, empty input") {
+    import graft.functions.RepetitionStats
+    def stats(text: String): Map[String, Any] = {
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(RepetitionStats(col("text")).as("r"))
+        .select(RepetitionStats.fieldNames.map(f => col(s"r.$f").as(f)): _*)
+        .collect().head
+      RepetitionStats.fieldNames.zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
+    }
+    // duplicate lines + top-gram counting + lexicographic tie-break
+    val s1 = stats("a b\na b\nc d")
+    assert(s1("n_lines") == 3L)
+    assert(s1("dup_line_frac") == 0.333333) // (3 lines - 2 distinct) / 3
+    assert(s1("dup_line_char_frac") == 0.333333) // 3 dup chars / 9
+    assert(s1("top_2gram_char_frac") == 0.666667) // "a b" x2 * 2 chars / 6
+    // all 3-grams unique -> tie breaks to "a b a" (3 chars * 1 / 6)
+    assert(s1("top_3gram_char_frac") == 0.5)
+    assert(s1("dup_5gram_frac") == 0.0)
+    assert(s1("dup_10gram_frac") == 0.0)
+    // period-5 phrase: every 5-gram position duplicated; 10-grams at
+    // positions 1 and 6 coincide (2 of 6 positions)
+    val s2 = stats("x y z w v x y z w v x y z w v")
+    assert(s2("dup_5gram_frac") == 1.0)
+    assert(s2("dup_10gram_frac") == 0.333333)
+    assert(s2("top_2gram_char_frac") == 0.4) // "x y" x3 * 2 chars / 15
+    // degenerate inputs
+    val s3 = stats("")
+    assert(s3("n_lines") == 0L && s3("dup_line_frac") == 0.0 &&
+      s3("top_2gram_char_frac") == 0.0)
+    val s4 = stats("single")
+    assert(s4("n_lines") == 1L && s4("dup_5gram_frac") == 0.0)
+  }
 }
