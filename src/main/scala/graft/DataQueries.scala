@@ -199,6 +199,17 @@ object DataQueries {
           RepetitionStats.fieldNames.map(f => col(s"r.$f").as(f)): _*)
     }),
 
+    // CCNet-style LM perplexity: train a capped bigram LM over the corpus
+    // (two agg passes + deterministic top-k), score with one broadcast
+    // codegen pass; per-term fixed-point log-probs keep the oracle exact
+    "q_lm_perplexity" -> ((s, d) => {
+      import graft.ops.LmScore
+      val corpus = docs(s, d)
+      val lm = LmScore.train(corpus, col("text"), vocabSize = 20, bigramCap = 10000)
+      val cols = LmScore.scoreColumns(lm, col("text"))
+      corpus.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // URL extraction -> host -> approximate eTLD+1 rollup over
     // deterministically injected URLs (plain 2-label, deep subdomain, and
     // multi-part-suffix hosts)
@@ -678,6 +689,49 @@ object DataQueries {
          |LEFT JOIN d5 ON l.doc_id = d5.doc_id
          |LEFT JOIN d10 ON l.doc_id = d10.doc_id""".stripMargin
     },
+
+    // bigram-LM training + scoring replicated end-to-end in SQL; the per-term
+    // e6 fixed-point quantization makes doc sums exact integers both sides
+    "q_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS ws FROM documents),
+         |pos AS (SELECT doc_id, unnest(ws) AS w,
+         |               unnest(range(1, len(ws)+1)) AS i FROM toks),
+         |uni AS (SELECT w, count(*) AS c FROM pos WHERE length(w) > 0 GROUP BY w),
+         |vocab AS (SELECT w FROM uni ORDER BY c DESC, w ASC LIMIT 20),
+         |m AS (SELECT p.doc_id, p.i,
+         |             CASE WHEN v.w IS NOT NULL THEN p.w ELSE '<unk>' END AS mw,
+         |             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM pos p LEFT JOIN vocab v ON p.w = v.w
+         |      WHERE length(p.w) > 0),
+         |umap AS (SELECT mw, count(*) AS cu FROM m GROUP BY mw),
+         |big AS (SELECT a.doc_id, a.mw AS w1, b.mw AS w2
+         |        FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |bcnt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2
+         |         ORDER BY count(*) DESC, w1 ASC, w2 ASC LIMIT 10000),
+         |vn AS (SELECT count(*) + 1 AS vtot FROM vocab),
+         |terms AS (
+         |  SELECT g.doc_id,
+         |    CAST(round(log2((coalesce(t.cb, 0) + 1.0) / (u.cu + vn.vtot)) * 1e6, 0)
+         |         AS BIGINT) AS lp
+         |  FROM big g
+         |  LEFT JOIN bcnt t ON g.w1 = t.w1 AND g.w2 = t.w2
+         |  JOIN umap u ON u.mw = g.w1
+         |  CROSS JOIN vn),
+         |agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+         |        FROM terms GROUP BY doc_id),
+         |stats AS (SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov
+         |          FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(st.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.slp, 0) AS BIGINT) AS sum_logp_e6,
+         |  CASE WHEN coalesce(a.nb, 0) > 0
+         |       THEN round(pow(2.0, -CAST(a.slp AS DOUBLE) / (a.nb * 1e6)), 4)
+         |       ELSE 0.0 END AS ppl
+         |FROM documents d
+         |LEFT JOIN stats st ON d.doc_id = st.doc_id
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
     "q_url_stats" -> {

@@ -381,4 +381,36 @@ class DataOpsSpec extends SparkSuite {
     val s4 = stats("single")
     assert(s4("n_lines") == 1L && s4("dup_5gram_frac") == 0.0)
   }
+
+  test("bigram LM perplexity: hand-computed model + score, OOV, cap, " +
+      "degenerate inputs") {
+    import graft.ops.LmScore
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LmScore.train(corpus, col("text"), vocabSize = 2, bigramCap = 100)
+    // counts: a=3 b=3 c=1 -> vocab [a, b] (count desc, term asc); c -> <unk>
+    assert(lm.vocab.toSeq == Seq("a", "b") && lm.vTot == 3L)
+    assert(lm.biCounts.toMap == Map("a b" -> 3L, "b a" -> 1L, "b <unk>" -> 1L))
+    def score(text: String, m: LmScore.BigramLm): Map[String, Any] = {
+      val cols = LmScore.scoreColumns(m, col("text"))
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(cols.map { case (n, c) => c.as(n) }: _*).collect().head
+      cols.map(_._1).zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
+    }
+    // doc "a b c": (a,b) lp = log2(4/6) -> -584963e-6; (b,<unk>) lp =
+    // log2(2/6) -> -1584963e-6; ppl = 2^(2169926/2e6) = 2.1213
+    val r = score("a b c", lm)
+    assert(r("n_tokens") == 3L && r("n_oov") == 1L && r("n_bigrams") == 2L)
+    assert(r("sum_logp_e6") == -2169926L)
+    assert(r("ppl") == 2.1213)
+    // bigram cap: only the top bigram survives; (b,<unk>) scores unseen:
+    // log2(1/6) -> -2584963e-6
+    val lmCapped = LmScore.train(corpus, col("text"), vocabSize = 2, bigramCap = 1)
+    assert(lmCapped.biCounts.toMap == Map("a b" -> 3L))
+    assert(score("a b c", lmCapped)("sum_logp_e6") == -584963L - 2584963L)
+    // degenerate: empty + single-token texts
+    val e = score("", lm)
+    assert(e("n_tokens") == 0L && e("n_bigrams") == 0L && e("ppl") == 0.0)
+    val one = score("a", lm)
+    assert(one("n_tokens") == 1L && one("n_bigrams") == 0L && one("ppl") == 0.0)
+  }
 }
