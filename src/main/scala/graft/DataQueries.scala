@@ -210,6 +210,12 @@ object DataQueries {
       corpus.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // SemDeDup-style semantic clustering: deterministic fixed-iteration
+    // k-means over embeddings (broadcast centroid kernel, k x dim shuffle)
+    "q_kmeans" -> ((s, d) =>
+      graft.ops.Clustering.kmeans(embs(s, d), col("vec_id"), col("embedding"),
+        k = 8, iters = 2)),
+
     // URL extraction -> host -> approximate eTLD+1 rollup over
     // deterministically injected URLs (plain 2-label, deep subdomain, and
     // multi-part-suffix hosts)
@@ -732,6 +738,42 @@ object DataQueries {
          |FROM documents d
          |LEFT JOIN stats st ON d.doc_id = st.doc_id
          |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // two unrolled Lloyd iterations; distances are bit-identical doubles
+    // (ordered fold over float->double exact / 6-decimal-quantized
+    // centroids), so the argmin compares exact e6 integers
+    "q_kmeans" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |a0 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c0 c),
+         |asg0 AS (SELECT vec_id, cl, dist_e6 FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a0)
+         |         WHERE rn = 1),
+         |dims AS (SELECT a.cl, unnest(e.v) AS x,
+         |                unnest(range(1, len(e.v)+1)) AS i
+         |         FROM asg0 a JOIN e ON a.vec_id = e.vec_id),
+         |m1 AS (SELECT cl, i, round(sum(x) / count(*), 6) AS m
+         |       FROM dims GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+         |c1f AS (SELECT c0.cl, coalesce(c1.v, c0.v) AS v
+         |        FROM c0 LEFT JOIN c1 ON c0.cl = c1.cl),
+         |a1 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c1f c)
+         |SELECT vec_id, cl AS cluster, dist_e6 FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY dist_e6 ASC, cl ASC) rn FROM a1)
+         |WHERE rn = 1""".stripMargin,
 
     // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
     "q_url_stats" -> {

@@ -191,6 +191,31 @@ object ScaleUp {
       d.select(xxhash64(graft.ops.Curation.redact(col("text"))).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // round-5 quality/clustering additions at 100x docs/vecs:
+    // gopher_repetition is a single-projection scan pass (the ratio IS the
+    // linearity statement); lm_perplexity runs the FULL train (two aggs +
+    // top-k collect) + broadcast score each time — the honest end-to-end
+    // cost of a model whose size is capped independent of corpus scale;
+    // kmeans is 2 Lloyd iterations = 2 broadcast assignment passes + one
+    // k x dim-group shuffle whose state never grows with rows
+    results += op("gopher_repetition", smallD, bigD, smallDocs, bigDocs) { d =>
+      d.select(graft.functions.RepetitionStats(col("text")).as("r"))
+        .select((col("r.n_lines") +
+          (col("r.top_2gram_char_frac") * 1e6).cast("long") +
+          (col("r.dup_5gram_frac") * 1e6).cast("long")).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
+    }
+    results += op("lm_perplexity", smallD, bigD, smallDocs, bigDocs) { d =>
+      val lm = graft.ops.LmScore.train(d, col("text"))
+      val cols = graft.ops.LmScore.scoreColumns(lm, col("text"))
+      d.select(cols.map { case (n, c) => c.as(n) }: _*)
+        .agg(sum(col("sum_logp_e6"))).collect().head.getLong(0)
+    }
+    results += op("kmeans", smallV, bigV, smallVecs, bigVecs) { v =>
+      graft.ops.Clustering.kmeans(v, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+        .agg(sum(col("dist_e6"))).collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

@@ -413,4 +413,28 @@ class DataOpsSpec extends SparkSuite {
     val one = score("a", lm)
     assert(one("n_tokens") == 1L && one("n_bigrams") == 0L && one("ppl") == 0.0)
   }
+
+  test("k-means: hand-computed 2D geometry, tie-break to lower cluster, " +
+      "empty-cluster fallback") {
+    import graft.ops.Clustering
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(10f, 10f)), (3L, Array(10f, 11f))).toDF("vec_id", "embedding")
+    // init c0=(0,0) c1=(0,1); iter1 assigns p2,p3 to c1 -> c1 moves to
+    // (6.666667, 7.333333); iter2 pulls p1 back to c0
+    val r = Clustering.kmeans(pts, col("vec_id"), col("embedding"), k = 2, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    assert(r(0L) == ((0, 0L)))
+    assert(r(1L) == ((0, 1000000L)))
+    assert(r(2L)._1 == 1 && r(3L)._1 == 1)
+    // p2 dist to c1 = 3.333333^2 + 2.666667^2 = 18.2222218...
+    assert(r(2L)._2 == 18222222L)
+    // identical points: every assignment ties to cluster 0; cluster 1 goes
+    // empty and must keep its previous centroid without error
+    val same = Seq((0L, Array(1f, 1f)), (1L, Array(1f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Clustering.kmeans(same, col("vec_id"), col("embedding"), k = 2, iters = 2)
+      .collect()
+    assert(r2.forall(x => x.getInt(1) == 0 && x.getLong(2) == 0L))
+  }
 }
