@@ -216,6 +216,45 @@ object DataQueries {
       graft.ops.Clustering.kmeans(embs(s, d), col("vec_id"), col("embedding"),
         k = 8, iters = 2)),
 
+    // duplicate clusters: minhash candidate pairs -> connected components
+    // (min-label propagation to fixpoint) -> one row per cluster
+    "q_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.minhashCandidates(docs(s, d), shingleN = 3,
+        k = 16, bands = 4, maxBandGroup = 256))),
+
+    // BM25 against the corpus's own top-8 document-frequency terms (a
+    // deterministic stand-in for a user query set); per-term e6 fixed-point
+    // keeps the DuckDB compare exact
+    "q_bm25" -> ((s, d) => {
+      import graft.ops.Relevance
+      val dd = docs(s, d)
+      val terms = Relevance.topDfTerms(dd, col("text"), col("doc_id"), 8)
+      val m = Relevance.bm25Train(dd, col("text"), terms.toSeq)
+      // fence: CollapseProject would inline the split() into every
+      // per-term CountInSet (8x re-tokenization per row)
+      val base = dd.select(col("doc_id"),
+        graft.functions.OptimizerFence(split(trim(col("text")), "\\s+")).as("__ws"),
+        TextOps.wsTokenCount(col("text")).as("__dl"))
+      val cols = Relevance.bm25Columns(m, col("__ws"), col("__dl"))
+      base.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // temperature-scaled mixture sampling over the lang strata (alpha=0.5
+    // flattening): data-derived per-stratum keep-rates + content-hash
+    // downsample, rates and counts both oracle-checked
+    "q_temp_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sampled = graft.ops.Curation
+        .temperatureSample(dd, col("doc_id"), col("lang"), 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      graft.ops.Curation.temperatureRates(dd, col("lang"), 0.5)
+        .select(col("stratum").as("lang"), col("n").as("n_total"),
+          round(col("rate") * 1e6, 0).cast("long").as("rate_e6"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"), col("rate_e6"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+
     // URL extraction -> host -> approximate eTLD+1 rollup over
     // deterministically injected URLs (plain 2-label, deep subdomain, and
     // multi-part-suffix hosts)
@@ -774,6 +813,102 @@ object DataQueries {
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id
          |     ORDER BY dist_e6 ASC, cl ASC) rn FROM a1)
          |WHERE rn = 1""".stripMargin,
+
+    // the q_dedup_minhash pairs CTE + a recursive-CTE transitive closure:
+    // cluster label = min doc_id reachable (exactly what min-label
+    // propagation converges to on the Spark side)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, text
+         |              FROM documents GROUP BY text),
+         |sh AS (SELECT doc_id,
+         |            list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM reps),
+         |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+         |bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig),
+         |ranked AS (SELECT doc_id, band,
+         |             row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn,
+         |             min(doc_id) OVER (PARTITION BY band) AS anchor
+         |           FROM bands),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM ranked l JOIN ranked r ON l.band = r.band AND l.doc_id < r.doc_id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION
+         |  SELECT anchor AS a, doc_id AS b FROM ranked WHERE rn > 256),
+         |edges AS (SELECT a AS s, b AS d FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON e.d = rr.id),
+         |lbl AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+         |SELECT cluster, count(*) AS n_members,
+         |       CAST(sum(id) AS BIGINT) AS sum_ids
+         |FROM lbl GROUP BY cluster""".stripMargin,
+
+    // BM25 replicated end-to-end: df/avgdl/top-8 terms recomputed in SQL,
+    // identical operand trees for every float step, per-term e6 quantization
+    // before the cross-term sum (the ln differs from Java's by <= 1 ulp,
+    // absorbed at e6)
+    "q_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toks) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |       WHERE length(w) > 0 GROUP BY doc_id, w),
+         |dfq AS (SELECT w, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, w FROM tok WHERE length(w) > 0)
+         |        GROUP BY w),
+         |terms AS (SELECT w, df FROM dfq ORDER BY df DESC, w ASC LIMIT 8),
+         |stats AS (SELECT count(*) AS n,
+         |            CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                          ELSE len($toks) END) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM documents),
+         |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+         |                           ELSE len($toks) END AS dl FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln((CAST(stats.n - terms.df AS DOUBLE) + 0.5)
+         |           / (CAST(terms.df AS DOUBLE) + 0.5) + 1.0)
+         |      * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |         / (CAST(tf.tf AS DOUBLE)
+         |            + 1.2 * ((1.0 - 0.75)
+         |                     + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+         |      * 1000000.0) AS BIGINT) AS e6
+         |  FROM tf JOIN terms ON tf.w = terms.w
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN stats),
+         |agg AS (SELECT doc_id, count(*) AS n_matched, SUM(e6) AS s
+         |        FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(a.n_matched, 0) AS BIGINT) AS n_matched,
+         |       CAST(COALESCE(a.s, 0) AS BIGINT) AS bm25_e6
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // temperature rates: r_i = (w_i/n_i) * min_j(n_j/w_j), w = (n/N)^0.5 —
+    // pow/div/min only (no float summation), so the rates are bit-identical;
+    // the 16-bit threshold + md5 filter replicate stratifiedSample exactly
+    "q_temp_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n) AS nt FROM c),
+        |w AS (SELECT lang, n,
+        |        pow(CAST(n AS DOUBLE) / CAST((SELECT nt FROM tot) AS DOUBLE), 0.5) AS w
+        |      FROM c),
+        |m AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS m FROM w),
+        |r AS (SELECT lang, n,
+        |        (w / CAST(n AS DOUBLE)) * (SELECT m FROM m) AS rate FROM w),
+        |thr AS (SELECT lang, n, rate,
+        |          CASE WHEN CAST(round(rate * 65536) AS INT) >= 65536 THEN 'zzzz'
+        |               ELSE printf('%04x', CAST(round(rate * 65536) AS INT)) END AS hex
+        |        FROM r),
+        |s AS (SELECT d.lang, count(*) AS n_sampled
+        |      FROM documents d JOIN thr ON d.lang = thr.lang
+        |      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.hex
+        |      GROUP BY d.lang)
+        |SELECT thr.lang, CAST(thr.n AS BIGINT) AS n_total,
+        |       CAST(round(rate * 1000000.0) AS BIGINT) AS rate_e6,
+        |       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+        |FROM thr LEFT JOIN s ON thr.lang = s.lang""".stripMargin,
 
     // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
     "q_url_stats" -> {

@@ -216,6 +216,38 @@ object ScaleUp {
         k = 8, iters = 2)
         .agg(sum(col("dist_e6"))).collect().head.getLong(0)
     }
+    // dup_clusters = the full near-dup pipeline + min-label propagation to
+    // fixpoint: per round one id-keyed shuffle, and the round count tracks
+    // component DIAMETER (which the capped star edges keep ~2 by
+    // construction), not component size — so iterations stay flat as rows
+    // grow 100x
+    results += op("dup_clusters", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.Dedup.dupClusters(
+        graft.ops.Dedup.minhashCandidates(d, maxBandGroup = 256))
+        .agg(count(lit(1)), sum(col("n_members")))
+        .collect().head.getLong(0)
+    }
+    // bm25 = two bounded training aggs (term df via isin pushdown) + ONE
+    // broadcast-model codegen scoring pass — the scoring side is scan-speed
+    results += op("bm25", smallD, bigD, smallDocs, bigDocs) { d =>
+      import graft.ops.Relevance
+      val terms = Relevance.topDfTerms(d, col("text"), col("doc_id"), 8)
+      val m = Relevance.bm25Train(d, col("text"), terms.toSeq)
+      val base = d.select(col("doc_id"),
+        graft.functions.OptimizerFence(split(trim(col("text")), "\\s+")).as("__ws"),
+        graft.ops.TextOps.wsTokenCount(col("text")).as("__dl"))
+      val cols = Relevance.bm25Columns(m, col("__ws"), col("__dl"))
+      base.select(cols.map { case (n, c) => c.as(n) }: _*)
+        .agg(sum(col("bm25_e6"))).collect().head.getLong(0)
+    }
+    // temp_sample = one count agg + one codegen hash-threshold filter (the
+    // stratum is synthesized: the generator has no domain column)
+    results += op("temp_sample", smallD, bigD, smallDocs, bigDocs) { d =>
+      val dd = d.withColumn("stratum",
+        pmod(xxhash64(col("doc_id"), lit(7L)), lit(20L)).cast("string"))
+      graft.ops.Curation.temperatureSample(dd, col("doc_id"), col("stratum"), 0.5)
+        .count()
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

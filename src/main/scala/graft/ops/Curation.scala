@@ -116,6 +116,49 @@ object Curation {
   def hashSampleFilter(key: Column, rate: Double): Column =
     substring(md5(key.cast("string")), 1, 4) < lit(rateHex(rate))
 
+  /** Temperature-scaled mixture rates for multi-domain training corpora
+    * (the standard `p_i^alpha` reweighting used by multilingual/multi-source
+    * LM pipelines: alpha < 1 flattens the domain distribution so
+    * low-resource domains are not drowned out).
+    *
+    * With n_i docs in stratum i (N total), target share q_i ∝ (n_i/N)^alpha.
+    * The keep-rate that realizes the target distribution as a pure
+    * DOWN-sample (never upsampling any stratum) is
+    *
+    *   r_i = (w_i / n_i) · min_j (n_j / w_j),   w_i = (n_i/N)^alpha
+    *
+    * — the algebraic form in which the q-normalizer cancels, leaving only
+    * pow/div/min: every step is an IEEE exactly-rounded scalar op over
+    * identical operand trees, so an external SQL engine reproduces
+    * bit-identical rates (no cross-row float summation anywhere). The
+    * argmin stratum gets rate 1.0 exactly; every other stratum < 1.
+    *
+    * Scale shape: one count aggregation over the corpus (map-side
+    * partials), then stratum-count arithmetic on a few-row frame. Returns
+    * (stratum, n, rate).
+    */
+  def temperatureRates(df: DataFrame, stratum: Column, alpha: Double): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n"))
+    val w = counts
+      .crossJoin(counts.agg(sum("n").as("N_tot")))
+      .withColumn("w", pow(col("n").cast("double") / col("N_tot").cast("double"), alpha))
+    w.crossJoin(w.agg(min(col("n").cast("double") / col("w")).as("m")))
+      .select(col("stratum"), col("n"),
+        ((col("w") / col("n").cast("double")) * col("m")).as("rate"))
+  }
+
+  /** Temperature-resampled corpus: [[temperatureRates]] collected to the
+    * driver (strata = domains/languages — bounded small by construction),
+    * then applied as one [[stratifiedSample]] codegen filter. Two corpus
+    * passes total (count + filter), zero joins on the data path.
+    */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+      alpha: Double): DataFrame = {
+    val rates = temperatureRates(df, stratum, alpha).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    stratifiedSample(df, key, stratum, rates, defaultRate = 1.0)
+  }
+
   /** Stratified deterministic sampling: per-stratum rates (e.g. downsample
     * boilerplate-heavy sources, keep all rare-language docs), unknown
     * strata get `defaultRate`. Thresholds resolve at plan-build time to a

@@ -216,6 +216,74 @@ object Dedup {
       .select("a", "b", "cosine")
   }
 
+  // ------------------------------------------------------- duplicate clusters
+
+  /** Connected components over a candidate-pair edge list (a, b): the
+    * transitive closure that turns pairwise near-dup hits into duplicate
+    * CLUSTERS, so a pipeline can keep exactly one canonical document per
+    * cluster (min id) instead of greedily dropping one side of each pair
+    * (which over-deletes on chains a-b, b-c).
+    *
+    * Algorithm: min-label propagation to a fixpoint — each node repeatedly
+    * takes the minimum label over itself and its neighbors; converges in
+    * O(component diameter) rounds to label = min id in component. The
+    * dedup graphs this feeds on have SMALL diameters by construction:
+    * [[cappedPairs]] wires every beyond-cap member straight to the group
+    * anchor (star edges), so hot clusters are depth-1 stars, and organic
+    * chains are short. For adversarial billion-edge graphs of unknown
+    * diameter, the alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") converges in
+    * O(log n) rounds with the same per-round join shape — the `maxIters`
+    * guard marks where that upgrade would slot in.
+    *
+    * Scale shape: each round is ONE shuffle (join labels to edges on src +
+    * re-min on dst, both hash-partitioned on id-sized keys) and the
+    * convergence probe is a single scalar aggregate — labels only ever
+    * decrease, so `sum(label)` is stationary iff the labeling is a
+    * fixpoint. `localCheckpoint` truncates the per-iteration lineage
+    * (without it the plan doubles every round and the driver, not the
+    * data, becomes the bottleneck).
+    *
+    * Returns (id, label) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("slabel")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("slabel")).as("nlabel"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      it += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters from near-dup pairs: one row per connected
+    * component — (cluster = min id, n_members, sum_ids checksum).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+
   // ------------------------------------------------------------ paragraphs
 
   /** Split documents into (id, para_idx, para) rows on a delimiter regex,

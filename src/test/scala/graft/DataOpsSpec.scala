@@ -437,4 +437,78 @@ class DataOpsSpec extends SparkSuite {
       .collect()
     assert(r2.forall(x => x.getInt(1) == 0 && x.getLong(2) == 0L))
   }
+
+  test("connected components: chains converge past one hop, clusters keep " +
+      "min-id labels, disjoint components stay apart") {
+    // a 5-node path (needs 4 propagation rounds), a 2-node edge, a triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    val clusters = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters == Map(
+      1L -> ((5L, 15L)), 10L -> ((2L, 21L)), 20L -> ((3L, 63L))))
+  }
+
+  test("bm25: hand-computed scores, df/avgdl from corpus, unmatched doc " +
+      "scores zero") {
+    import graft.ops.Relevance
+    val docs = Seq(
+      (1L, "cat dog cat"), // dl 3
+      (2L, "dog fish"), // dl 2
+      (3L, "bird bird bird") // dl 3, matches no query term
+    ).toDF("doc_id", "text")
+    val terms = Relevance.topDfTerms(docs, col("text"), col("doc_id"), 2)
+    // df: dog 2, bird 1, cat 1, fish 1 -> top-2 by (df desc, word asc) =
+    // dog, then bird
+    assert(terms.toSeq == Seq("dog", "bird"))
+    val m = Relevance.bm25Train(docs, col("text"), terms.toSeq)
+    assert(m.nDocs == 3L && m.avgdl == 8.0 / 3.0)
+    assert(m.terms.toMap == Map("dog" -> 2L, "bird" -> 1L))
+    val base = docs.select(col("doc_id"),
+      graft.functions.OptimizerFence(split(trim(col("text")), "\\s+")).as("ws"),
+      graft.ops.TextOps.wsTokenCount(col("text")).as("dl"))
+    val cols = Relevance.bm25Columns(m, col("ws"), col("dl"))
+    val r = base.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    def score(df: Long, tf: Double, dl: Double): Double =
+      math.log((3L - df + 0.5) / (df + 0.5) + 1.0) *
+        ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / m.avgdl))))
+    def e6(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r(1L) == ((1L, e6(score(2, 1, 3))))) // dog tf=1
+    assert(r(2L) == ((1L, e6(score(2, 1, 2)))))
+    assert(r(3L) == ((1L, e6(score(1, 3, 3))))) // bird tf=3
+  }
+
+  test("temperature sampling: alpha=0.5 rates hand-checked, argmin stratum " +
+      "keeps everything, alpha=1 is a no-op") {
+    import graft.ops.Curation
+    // strata a:8, b:2 -> w_a=sqrt(.8), w_b=sqrt(.2); min(n/w)=2/sqrt(.2);
+    // r_a = sqrt(.8)/8 * 2/sqrt(.2) = 0.5, r_b = 1.0
+    val df = ((1L to 8L).map(i => (i, "a")) ++ Seq((9L, "b"), (10L, "b")))
+      .toDF("doc_id", "stratum")
+    val rates = Curation.temperatureRates(df, col("stratum"), 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(rates("a") - 0.5) < 1e-12)
+    // fl(w/n)*fl(n/w) can land a ulp off exact 1.0; the 16-bit threshold
+    // (round(rate*65536) >= 65536 -> keep-all) absorbs that by construction
+    assert(math.abs(rates("b") - 1.0) < 1e-12)
+    val kept = Curation.temperatureSample(df, col("doc_id"), col("stratum"), 0.5)
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b keeps all (rate exactly 1 -> 'zzzz' threshold); a keeps a hash-
+    // deterministic subset strictly below 8
+    assert(kept("b") == 2L)
+    assert(kept.getOrElse("a", 0L) < 8L)
+    // alpha=1: every rate is 1.0, nothing drops
+    val flat = Curation.temperatureSample(df, col("doc_id"), col("stratum"), 1.0)
+    assert(flat.count() == 10L)
+  }
 }
