@@ -255,6 +255,51 @@ object DataQueries {
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
     }),
 
+    // C4 line filter (Raffel et al. §2.2) over deterministically injected
+    // tail lines so every keep/drop path fires: kept line, javascript drop,
+    // no-terminal-punct drop, <5-words drop, page-level {/lorem-ipsum drop;
+    // kept_md5 checks the reconstructed page byte-exact cross-engine
+    "q_c4_filters" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\nthis injected line has six words."))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            lit("\nbad JavaScript line with six words."))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            lit("\nno terminal punctuation on this line"))
+          .when(pmod(col("doc_id"), lit(5)) === 3, lit("\ntiny line."))
+          .otherwise(lit("\ncurly { brace and lorem ipsum here."))))
+      val withS = injected.select(col("doc_id"), col("text"),
+        graft.functions.OptimizerFence(
+          graft.functions.C4Stats(col("text"))).as("__s"))
+      val cols = graft.ops.CleanFilters.c4Columns(col("__s"), col("text"))
+      withS.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // Gopher document rules (Rae et al. §A1.1) with injected bullet/symbol/
+    // non-alpha tails; every fraction rounds to 6 decimals before the
+    // threshold compare so the keep flag is bit-identical cross-engine
+    "q_gopher_rules" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\n- bullet one two\n* bullet two three\nends with an ellipsis ..."))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" ### ## #"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit("\n12345 67890 11111 22222 33333"))
+          .otherwise(lit(""))))
+      val withS = injected.select(col("doc_id"), col("text"),
+        graft.functions.OptimizerFence(
+          graft.functions.C4Stats(col("text"))).as("__s"))
+      val cols = graft.ops.CleanFilters.gopherColumns(col("__s"), col("text"))
+      withS.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // exact-substring span dedup (Lee et al. 2022, distributed window-hash
+    // shape): per-doc fraction of 8-token windows whose hash occurs at >=2
+    // positions corpus-wide
+    "q_substr_windows" -> ((s, d) =>
+      Dedup.duplicateWindowStats(docs(s, d), w = 8)),
+
     // URL extraction -> host -> approximate eTLD+1 rollup over
     // deterministically injected URLs (plain 2-label, deep subdomain, and
     // multi-part-suffix hosts)
@@ -909,6 +954,114 @@ object DataQueries {
         |       CAST(round(rate * 1000000.0) AS BIGINT) AS rate_e6,
         |       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
         |FROM thr LEFT JOIN s ON thr.lang = s.lang""".stripMargin,
+
+    // C4 line filter replicated with list lambdas: identical line trim
+    // ([ \t\r] both ends), word-count/terminal-punct/javascript predicate,
+    // and the byte-exact kept-page md5
+    "q_c4_filters" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN chr(10) || 'this injected line has six words.'
+        |      WHEN 1 THEN chr(10) || 'bad JavaScript line with six words.'
+        |      WHEN 2 THEN chr(10) || 'no terminal punctuation on this line'
+        |      WHEN 3 THEN chr(10) || 'tiny line.'
+        |      ELSE chr(10) || 'curly { brace and lorem ipsum here.'
+        |    END AS text FROM documents),
+        |l AS (SELECT doc_id, text,
+        |        list_filter(list_transform(str_split(text, chr(10)),
+        |          x -> regexp_replace(x, '^[ \t\r]+|[ \t\r]+$', '', 'g')),
+        |          x -> length(x) > 0) AS ls FROM inj),
+        |k AS (SELECT doc_id, text, ls,
+        |        list_filter(ls, x ->
+        |          len(regexp_extract_all(x, '[^ \t\r]+')) >= 5
+        |          AND right(x, 1) IN ('.', '!', '?', '"')
+        |          AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+        |    AS BIGINT) AS kept_chars,
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5,
+        |  (len(kept) >= 3 AND NOT contains(text, '{')
+        |     AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+        |FROM k""".stripMargin,
+
+    // Gopher rules replicated: \S+ tokens (the kernel's whitespace classes),
+    // per-line bullet/ellipsis tests over the same trimmed lines, 6-decimal
+    // rounding before every threshold
+    "q_gopher_rules" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN chr(10) || '- bullet one two' || chr(10) ||
+        |                  '* bullet two three' || chr(10) ||
+        |                  'ends with an ellipsis ...'
+        |      WHEN 1 THEN ' ### ## #'
+        |      WHEN 2 THEN chr(10) || '12345 67890 11111 22222 33333'
+        |      ELSE ''
+        |    END AS text FROM documents),
+        |l AS (SELECT doc_id, text,
+        |        list_filter(list_transform(str_split(text, chr(10)),
+        |          x -> regexp_replace(x, '^[ \t\r]+|[ \t\r]+$', '', 'g')),
+        |          x -> length(x) > 0) AS ls,
+        |        regexp_extract_all(text, '\S+') AS ws FROM inj),
+        |b AS (SELECT doc_id, text, ls, ws,
+        |        CAST(len(ws) AS BIGINT) AS n_words,
+        |        length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+        |        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |        len(regexp_extract_all(text, '#'))
+        |          + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+        |        len(list_filter(ls, x -> left(x, 1) IN ('-', '*', '•'))) AS n_bul,
+        |        len(list_filter(ls, x -> right(x, 3) = '...')) AS n_ell,
+        |        CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |          x -> x IN ('the','be','to','of','and','that','have','with')))
+        |          AS BIGINT) AS n_stopwords
+        |      FROM l),
+        |r AS (SELECT doc_id, n_words, n_stopwords,
+        |        CASE WHEN n_words > 0
+        |             THEN round(CAST(word_chars AS DOUBLE) / n_words, 4)
+        |             ELSE 0.0 END AS mean_word_len,
+        |        CASE WHEN n_words > 0
+        |             THEN round(CAST(n_sym AS DOUBLE) / n_words, 6)
+        |             ELSE 0.0 END AS symbol_ratio,
+        |        CASE WHEN len(ls) > 0
+        |             THEN round(CAST(n_bul AS DOUBLE) / len(ls), 6)
+        |             ELSE 0.0 END AS bullet_frac,
+        |        CASE WHEN len(ls) > 0
+        |             THEN round(CAST(n_ell AS DOUBLE) / len(ls), 6)
+        |             ELSE 0.0 END AS ellipsis_frac,
+        |        CASE WHEN n_words > 0
+        |             THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6)
+        |             ELSE 0.0 END AS alpha_word_frac
+        |      FROM b)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_word_frac, n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND n_stopwords >= 2) AS gopher_keep
+        |FROM r""".stripMargin,
+
+    // window-hash substring dedup: same stride-1 8-token md5 windows, a
+    // window is duplicated iff its hash occurs at >=2 positions corpus-wide
+    "q_substr_windows" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |        FROM tok WHERE len(t) >= 8),
+         |w AS (SELECT doc_id,
+         |        md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+         |      FROM pos),
+         |c AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+         |s AS (SELECT doc_id, count(*) AS n_windows,
+         |        SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup
+         |      FROM w JOIN c USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(s.n_dup, 0) AS BIGINT) AS n_dup_windows,
+         |  CASE WHEN COALESCE(s.n_windows, 0) > 0
+         |       THEN round(CAST(s.n_dup AS DOUBLE) / s.n_windows, 6)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
     "q_url_stats" -> {

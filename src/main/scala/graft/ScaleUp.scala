@@ -248,6 +248,18 @@ object ScaleUp {
       graft.ops.Curation.temperatureSample(dd, col("doc_id"), col("stratum"), 0.5)
         .count()
     }
+    // c4_gopher = the full heuristic cleaning battery: one C4Stats kernel
+    // pass + column arithmetic, filter fused into the scan — scan speed
+    results += op("c4_gopher", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.CleanFilters.cleanCorpus(d).count()
+    }
+    // substr_windows = the inherently shuffle-heavy op: rows x tokens
+    // explode -> digest count -> digest join -> id regroup; the artifact
+    // row shows whether the double digest shuffle stays linear at 100x
+    results += op("substr_windows", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.Dedup.duplicateWindowStats(d, w = 8)
+        .agg(sum(col("n_dup_windows"))).collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

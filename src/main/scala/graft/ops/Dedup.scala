@@ -284,6 +284,54 @@ object Dedup {
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
 
+  // ------------------------------------------------------ substring windows
+
+  /** Sliding token windows: every `w`-token window at every position (stride
+    * 1), hashed to md5 — the distributed shape of exact-substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": a span duplicated anywhere in the corpus shows up as a run of
+    * duplicated fixed-width windows). The reference implementation is a
+    * single-machine suffix array; at 100 TB the window-hash formulation is
+    * the one that distributes — rows × tokens explode, then every later
+    * stage keys on the 16-byte digest.
+    */
+  def tokenWindowRows(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("t")) - (w - 1)),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(w)))))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("whash"))
+
+  /** Per-document duplicate-window statistics: a window is DUPLICATED iff
+    * its hash occurs at ≥2 positions corpus-wide (same or different doc).
+    * Returns every input doc: (id, n_windows, n_dup_windows, dup_frac) —
+    * the span-level contamination signal pipelines threshold on (a doc
+    * mostly covered by duplicated windows is a copy, even when no full
+    * paragraph matches).
+    *
+    * Scale shape: one map-side-combine count on the digest, one
+    * co-partitioned digest join (both sides shuffle once on whash), one
+    * id-keyed regroup. No driver materialization anywhere.
+    */
+  def duplicateWindowStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8): DataFrame = {
+    val rows = tokenWindowRows(docs, textCol, idCol, w)
+    val counts = rows.groupBy("whash").agg(count(lit(1)).as("__c"))
+    val per = rows.join(counts, Seq("whash"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   // ------------------------------------------------------------ paragraphs
 
   /** Split documents into (id, para_idx, para) rows on a delimiter regex,

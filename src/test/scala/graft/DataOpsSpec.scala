@@ -487,6 +487,103 @@ class DataOpsSpec extends SparkSuite {
     assert(r(3L) == ((1L, e6(score(1, 3, 3))))) // bird tf=3
   }
 
+  test("c4 line filter: keep/drop per rule, kept-page reconstruction, " +
+      "page-level drops, bullet/ellipsis/word stats") {
+    import graft.ops.CleanFilters
+    val docs = Seq(
+      // line 1 kept; line 2 dropped (<5 words); line 3 dropped (no punct);
+      // line 4 dropped (javascript); line 5 kept (quote end)
+      (1L, "this first line has five words.\ntiny line.\n" +
+        "no terminal punctuation on this line\n" +
+        "enable JavaScript to view this page.\n" +
+        "he said \"this line ends with a quote\""),
+      // page-dropped: contains '{' (lines themselves keep)
+      (2L, "a perfectly fine kept line here.\nanother good line with words.\n" +
+        "and { a third one right here."),
+      // bullet/ellipsis stats + empty-line handling
+      (3L, "- bullet line\n* another bullet\n\n  \t\nends with ellipsis ...\nword")
+    ).toDF("doc_id", "text")
+    val withS = docs.select(col("doc_id"), col("text"),
+      graft.functions.C4Stats(col("text")).as("s"))
+    val c4 = withS.select(col("doc_id") +:
+      CleanFilters.c4Columns(col("s"), col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(c4(1L).getLong(1) == 5L && c4(1L).getLong(2) == 2L) // n_lines, n_kept
+    assert(!c4(1L).getBoolean(5)) // only 2 kept lines -> page dropped
+    assert(c4(2L).getLong(2) == 3L && !c4(2L).getBoolean(5)) // '{' page drop
+    // struct internals for doc 3: 4 non-empty lines, 2 bullets, 1 ellipsis
+    val s3 = withS.filter(col("doc_id") === 3).select("s.*").collect().head
+    assert(s3.getLong(0) == 4L && s3.getLong(3) == 2L && s3.getLong(4) == 1L)
+    // kept_text reconstruction for doc 1: exactly the two kept lines
+    val k1 = withS.filter(col("doc_id") === 1)
+      .select(col("s").getField("kept_text")).collect().head.getString(0)
+    assert(k1 == "this first line has five words.\n" +
+      "he said \"this line ends with a quote\"")
+  }
+
+  test("gopher rules: hand-computed ratios and the conjunction keep flag") {
+    import graft.ops.CleanFilters
+    // 50 words (meets the bound), all alpha, stopword-rich, no symbols
+    val good = (1 to 5).map(_ => "the cat and the dog went to the market today")
+      .mkString("\n")
+    val docs = Seq(
+      (1L, good),
+      (2L, "# " * 30 + "word " * 60), // symbol-heavy -> dropped
+      (3L, "12345 " * 60) // no alpha words -> dropped
+    ).toDF("doc_id", "text")
+    val withS = docs.select(col("doc_id"), col("text"),
+      graft.functions.C4Stats(col("text")).as("s"))
+    val r = withS.select(col("doc_id") +:
+      CleanFilters.gopherColumns(col("s"), col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 50L) // n_words
+    assert(r(1L).getDouble(2) == 3.5) // mean_word_len = 175/50
+    assert(r(1L).getDouble(6) == 1.0) // alpha_word_frac
+    assert(r(1L).getLong(7) >= 2L) // stopwords
+    assert(r(1L).getBoolean(8)) // keep
+    assert(r(2L).getDouble(3) > 0.1 && !r(2L).getBoolean(8)) // symbol_ratio
+    assert(r(3L).getDouble(6) == 0.0 && !r(3L).getBoolean(8)) // alpha frac
+  }
+
+  test("substring window dedup: shared 8-token span flags both docs, " +
+      "within-doc repeat counts, short docs get zero windows") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"unique alpha beta $span tail here"), // windows overlap the span
+      (2L, s"other gamma delta $span different end"),
+      (3L, s"$span $span"), // within-doc duplicate windows
+      (4L, "too short for windows") // < 8 tokens
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateWindowStats(docs, w = 8)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    // doc 4: no windows at all
+    assert(r(4L) == ((0L, 0L, 0.0)))
+    // docs 1 and 2 share exactly one 8-token window (the span itself)
+    assert(r(1L)._1 == 6L && r(1L)._2 >= 1L)
+    assert(r(2L)._1 == 6L && r(2L)._2 >= 1L)
+    // doc 3: 16 tokens -> 9 windows; every window duplicated (appears in
+    // doc 1/2 or repeats within the doc via the cyclic structure)... the
+    // first window equals the span window shared with docs 1/2
+    assert(r(3L)._1 == 9L && r(3L)._2 >= 1L)
+    assert(r(1L)._3 == BigDecimal(r(1L)._2.toDouble / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("cleanCorpus: C4+Gopher conjunction filters and rewrites text") {
+    import graft.ops.CleanFilters
+    val keepText = (1 to 10).map(_ =>
+      "the quick brown fox and the lazy dog ran to the old market.").mkString("\n")
+    val docs = Seq(
+      (1L, keepText),
+      (2L, "short page."),
+      (3L, keepText + "\n{ code block }")
+    ).toDF("doc_id", "text")
+    val out = CleanFilters.cleanCorpus(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getString(1) == keepText) // every line kept verbatim
+  }
+
   test("temperature sampling: alpha=0.5 rates hand-checked, argmin stratum " +
       "keeps everything, alpha=1 is a no-op") {
     import graft.ops.Curation
