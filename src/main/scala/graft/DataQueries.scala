@@ -300,6 +300,26 @@ object DataQueries {
     "q_substr_windows" -> ((s, d) =>
       Dedup.duplicateWindowStats(docs(s, d), w = 8)),
 
+    // DSIR importance resampling (Xie et al. 2023): target = the doc_id%7
+    // slice (deterministic domain stand-in), hashed unigram+bigram buckets,
+    // per-doc e6 log importance weight + hash-derived Gumbel top-100
+    "q_dsir" -> ((s, d) => {
+      import graft.ops.Dsir
+      val dd = docs(s, d)
+      val target = dd.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val m = Dsir.train(target, dd, col("text"), buckets = 1024)
+      val sc = Dsir.scoreColumns(m, col("text"))
+      val scored = dd
+        .select(col("doc_id") +: sc.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("gumbel_e6", Dsir.gumbelE6(col("doc_id")))
+        .withColumn("score_e6", col("logw_e6") + col("gumbel_e6"))
+      val sel = Dsir.resample(scored, col("doc_id"), col("score_e6"), 100)
+        .select(col("doc_id"), lit(true).as("selected"))
+      scored.join(broadcast(sel), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_features"), col("logw_e6"),
+          col("gumbel_e6"), coalesce(col("selected"), lit(false)).as("selected"))
+    }),
+
     // URL extraction -> host -> approximate eTLD+1 rollup over
     // deterministically injected URLs (plain 2-label, deep subdomain, and
     // multi-part-suffix hosts)
@@ -1062,6 +1082,51 @@ object DataQueries {
          |       THEN round(CAST(s.n_dup AS DOUBLE) / s.n_windows, 6)
          |       ELSE 0.0 END AS dup_frac
          |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // DSIR replicated end-to-end: same md5 buckets, Laplace ratios with
+    // identical operand trees quantized per bucket at e6 (integer per-doc
+    // sums), hash-derived Gumbel keys, rank-based top-100 selection
+    "q_dsir" ->
+      """WITH tok AS (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> length(x) > 0) AS t FROM documents),
+        |f AS (SELECT doc_id, unnest(list_concat(t,
+        |        CASE WHEN len(t) >= 2
+        |             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |             ELSE [] END)) AS f FROM tok),
+        |b AS (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 1024
+        |          AS BIGINT) AS b FROM f),
+        |cq AS (SELECT b, count(*) AS c FROM b GROUP BY b),
+        |cp AS (SELECT b, count(*) AS c FROM b WHERE doc_id % 7 = 0 GROUP BY b),
+        |tq AS (SELECT SUM(c) AS t FROM cq),
+        |tp AS (SELECT COALESCE(SUM(c), 0) AS t FROM cp),
+        |r AS (SELECT cq.b,
+        |        CAST(round((ln((COALESCE(cp.c, 0) + 1.0)
+        |                      / (CAST((SELECT t FROM tp) AS DOUBLE) + 1024.0))
+        |                  - ln((cq.c + 1.0)
+        |                      / (CAST((SELECT t FROM tq) AS DOUBLE) + 1024.0)))
+        |                 * 1000000.0) AS BIGINT) AS r
+        |      FROM cq LEFT JOIN cp USING (b)),
+        |sc AS (SELECT b.doc_id, count(*) AS nf, SUM(r.r) AS lw
+        |       FROM b JOIN r USING (b) GROUP BY b.doc_id),
+        |g AS (SELECT doc_id,
+        |        CAST(round(-ln(-ln(
+        |          (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |             AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0))
+        |          * 1000000.0) AS BIGINT) AS g FROM documents),
+        |alls AS (SELECT d.doc_id,
+        |          CAST(COALESCE(sc.nf, 0) AS BIGINT) AS n_features,
+        |          CAST(COALESCE(sc.lw, 0) AS BIGINT) AS logw_e6,
+        |          g.g AS gumbel_e6
+        |        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |             JOIN g ON d.doc_id = g.doc_id),
+        |rk AS (SELECT doc_id, row_number() OVER
+        |         (ORDER BY (logw_e6 + gumbel_e6) DESC, doc_id ASC) AS rn
+        |       FROM alls)
+        |SELECT a.doc_id, a.n_features, a.logw_e6, a.gumbel_e6,
+        |       (rk.rn <= 100) AS selected
+        |FROM alls a JOIN rk USING (doc_id)""".stripMargin,
 
     // injected URLs -> host regex -> approximate eTLD+1 (same suffix list)
     "q_url_stats" -> {

@@ -260,6 +260,16 @@ object ScaleUp {
       graft.ops.Dedup.duplicateWindowStats(d, w = 8)
         .agg(sum(col("n_dup_windows"))).collect().head.getLong(0)
     }
+    // dsir = FULL train (two bounded bucket aggs over target + raw) +
+    // broadcast-table codegen scoring each run
+    results += op("dsir", smallD, bigD, smallDocs, bigDocs) { d =>
+      import graft.ops.Dsir
+      val m = Dsir.train(d.filter(pmod(col("doc_id"), lit(7)) === 0), d,
+        col("text"), buckets = 1024)
+      val sc = Dsir.scoreColumns(m, col("text"))
+      d.select(sc.map { case (n, c) => c.as(n) }: _*)
+        .agg(sum(col("logw_e6"))).collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

@@ -584,6 +584,68 @@ class DataOpsSpec extends SparkSuite {
     assert(out.head.getString(1) == keepText) // every line kept verbatim
   }
 
+  test("dsir: buckets/ratios/weights recomputed independently, gumbel " +
+      "deterministic, resample takes exactly k") {
+    import graft.ops.Dsir
+    val docs = Seq(
+      (1L, "alpha beta"), // target
+      (2L, "gamma delta"),
+      (3L, "alpha beta gamma"),
+      (4L, "")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") === 1)
+    val B = 64
+    val m = Dsir.train(target, docs, col("text"), buckets = B)
+    // independent reimplementation of the bucket + model math
+    def bucket(f: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(f.getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % B).toInt
+    }
+    def featsOf(t: String): Seq[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val fsTarget = featsOf("alpha beta")
+    val fsAll = Seq("alpha beta", "gamma delta", "alpha beta gamma", "")
+      .flatMap(featsOf)
+    val cp = fsTarget.groupBy(bucket).map { case (b, v) => b -> v.size.toLong }
+    val cq = fsAll.groupBy(bucket).map { case (b, v) => b -> v.size.toLong }
+    def e6(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tp = cp.values.sum.toDouble + B
+    val tq = cq.values.sum.toDouble + B
+    def ratio(b: Int): Long = e6(
+      math.log((cp.getOrElse(b, 0L) + 1.0) / tp) -
+        math.log((cq.getOrElse(b, 0L) + 1.0) / tq))
+    (0 until B).foreach(b => assert(m.ratioE6(b) == ratio(b)))
+    // kernel weights match the independent sum; target-feature doc scores
+    // higher than the disjoint doc
+    val sc = Dsir.scoreColumns(m, col("text"))
+    val r = docs.select(col("doc_id") +: sc.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((3L, featsOf("alpha beta").map(f => ratio(bucket(f))).sum)))
+    assert(r(3L)._1 == 5L)
+    assert(r(4L) == ((0L, 0L)))
+    assert(r(1L)._2 > r(2L)._2)
+    // gumbel: deterministic per key, varies across keys
+    val g = docs.select(col("doc_id"), Dsir.gumbelE6(col("doc_id")).as("g"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val g2 = docs.select(col("doc_id"), Dsir.gumbelE6(col("doc_id")).as("g"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(g == g2 && g.values.toSet.size > 1)
+    // resample: exactly k survivors, highest combined scores win
+    val scored = docs
+      .select(col("doc_id") +: sc.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("score_e6", col("logw_e6") + Dsir.gumbelE6(col("doc_id")))
+    val top = Dsir.resample(scored, col("doc_id"), col("score_e6"), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.size == 2)
+    val all = scored.collect().map(x => x.getLong(0) -> x.getAs[Long]("score_e6")).toMap
+    val expected = all.toSeq.sortBy { case (id, s) => (-s, id) }.take(2).map(_._1).toSet
+    assert(top == expected)
+  }
+
   test("temperature sampling: alpha=0.5 rates hand-checked, argmin stratum " +
       "keeps everything, alpha=1 is a no-op") {
     import graft.ops.Curation
