@@ -306,8 +306,8 @@ object DataQueries {
     "q_dsir" -> ((s, d) => {
       import graft.ops.Dsir
       val dd = docs(s, d)
-      val target = dd.filter(pmod(col("doc_id"), lit(7)) === 0)
-      val m = Dsir.train(target, dd, col("text"), buckets = 1024)
+      val m = Dsir.trainSplit(dd, pmod(col("doc_id"), lit(7)) === 0,
+        col("text"), buckets = 1024)
       val sc = Dsir.scoreColumns(m, col("text"))
       val scored = dd
         .select(col("doc_id") +: sc.map { case (n, c) => c.as(n) }: _*)

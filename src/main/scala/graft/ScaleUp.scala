@@ -260,11 +260,11 @@ object ScaleUp {
       graft.ops.Dedup.duplicateWindowStats(d, w = 8)
         .agg(sum(col("n_dup_windows"))).collect().head.getLong(0)
     }
-    // dsir = FULL train (two bounded bucket aggs over target + raw) +
-    // broadcast-table codegen scoring each run
+    // dsir = FULL train (ONE featurize pass, conditional target/raw
+    // partials) + broadcast-table codegen scoring each run
     results += op("dsir", smallD, bigD, smallDocs, bigDocs) { d =>
       import graft.ops.Dsir
-      val m = Dsir.train(d.filter(pmod(col("doc_id"), lit(7)) === 0), d,
+      val m = Dsir.trainSplit(d, pmod(col("doc_id"), lit(7)) === 0,
         col("text"), buckets = 1024)
       val sc = Dsir.scoreColumns(m, col("text"))
       d.select(sc.map { case (n, c) => c.as(n) }: _*)

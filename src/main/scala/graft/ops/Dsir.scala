@@ -62,11 +62,7 @@ object Dsir {
       .groupBy("b").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** Fit p over `target` and q over `raw`; emit the quantized ratio table. */
-  def train(target: DataFrame, raw: DataFrame, textCol: Column,
-      buckets: Int = 1024): DsirModel = {
-    val cp = bucketCounts(target, textCol, buckets)
-    val cq = bucketCounts(raw, textCol, buckets)
+  private def build(cp: Map[Long, Long], cq: Map[Long, Long], buckets: Int): DsirModel = {
     val tp = cp.valuesIterator.sum.toDouble + buckets
     val tq = cq.valuesIterator.sum.toDouble + buckets
     val ratio = Array.tabulate(buckets) { b =>
@@ -76,6 +72,30 @@ object Dsir {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     DsirModel(ratio)
+  }
+
+  /** Fit p over `target` and q over `raw`; emit the quantized ratio table.
+    * General form for two unrelated corpora (two scans).
+    */
+  def train(target: DataFrame, raw: DataFrame, textCol: Column,
+      buckets: Int = 1024): DsirModel =
+    build(bucketCounts(target, textCol, buckets),
+      bucketCounts(raw, textCol, buckets), buckets)
+
+  /** One-pass variant for the common case where the target is a predicate
+    * over the raw corpus: a single featurize+count pass computes BOTH
+    * distributions (conditional map-side partials) — at 100 TB this halves
+    * the training scan. Bit-identical model to [[train]] on the same split.
+    */
+  def trainSplit(raw: DataFrame, targetFilter: Column, textCol: Column,
+      buckets: Int = 1024): DsirModel = {
+    val rows = raw.select(explode(feats(textCol)).as("f"), targetFilter.as("__t"))
+      .select(bucketCol(col("f"), buckets).as("b"), col("__t"))
+      .groupBy("b").agg(count(lit(1)).as("cq"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("cp"))
+      .collect()
+    build(rows.map(r => r.getLong(0) -> r.getLong(2)).toMap,
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap, buckets)
   }
 
   /** Per-document columns: (n_features, logw_e6) from one kernel pass. */

@@ -619,6 +619,9 @@ class DataOpsSpec extends SparkSuite {
       math.log((cp.getOrElse(b, 0L) + 1.0) / tp) -
         math.log((cq.getOrElse(b, 0L) + 1.0) / tq))
     (0 until B).foreach(b => assert(m.ratioE6(b) == ratio(b)))
+    // one-pass split training builds the identical model
+    val m2 = Dsir.trainSplit(docs, col("doc_id") === 1, col("text"), buckets = B)
+    assert(m2.ratioE6.toSeq == m.ratioE6.toSeq)
     // kernel weights match the independent sum; target-feature doc scores
     // higher than the disjoint doc
     val sc = Dsir.scoreColumns(m, col("text"))
