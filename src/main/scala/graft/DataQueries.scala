@@ -300,6 +300,18 @@ object DataQueries {
     "q_substr_windows" -> ((s, d) =>
       Dedup.duplicateWindowStats(docs(s, d), w = 8)),
 
+    // BPE tokenizer (Sennrich et al. 2016): 6 merges trained on the corpus
+    // word dict, then one codegen encode pass; the oracle replicates the
+    // trainer AND encoder with nested replace() over a |sym| |sym| form
+    "q_bpe" -> ((s, d) => {
+      import graft.ops.Bpe
+      val dd = docs(s, d)
+      val model = Bpe.train(dd, col("text"), numMerges = 6)
+      val cols = Bpe.encodeColumns(model, col("text"))
+      dd.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("tokens_md5", md5(col("tokens"))).drop("tokens")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): target = the doc_id%7
     // slice (deterministic domain stand-in), hashed unigram+bigram buckets,
     // per-doc e6 log importance weight + hash-derived Gumbel top-100
@@ -458,6 +470,51 @@ object DataQueries {
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains($list, x)))"
   }
 
+  /** Unrolled BPE trainer + encoder (q_bpe oracle): each word becomes a
+    * `|c| |c| ...` pipe-delimited symbol string; one merge = one string
+    * `replace` (greedy leftmost, boundary-safe because symbols never
+    * contain pipes/spaces); each training iteration recomputes pair counts
+    * from the previous representation with the same (count DESC, pair ASC)
+    * tie-break the Spark trainer uses.
+    */
+  private def bpeSql(k: Int): String = {
+    val charSplit = "rtrim(regexp_replace(w, '(.)', '|\\1| ', 'g'))"
+    val mergeCtes = (1 to k).map { i =>
+      s"""m$i AS (SELECT p, replace(p, '| |', '') AS q FROM (
+         |    SELECT p, sum(f) AS c FROM (
+         |      SELECT unnest(list_transform(range(1, len(l)),
+         |               j -> l[j] || ' ' || l[j+1])) AS p, f
+         |      FROM (SELECT string_split(r, ' ') AS l, f FROM r${i - 1}) z$i) zz$i
+         |    GROUP BY p) t$i WHERE c >= 2 ORDER BY c DESC, p ASC LIMIT 1),
+         |r$i AS (SELECT w, f,
+         |  replace(r, coalesce((SELECT p FROM m$i), '~'),
+         |             coalesce((SELECT q FROM m$i), '~')) AS r FROM r${i - 1})"""
+        .stripMargin
+    }
+    val msCols = (1 to k).map(i =>
+      s"coalesce((SELECT p FROM m$i), '~') AS p$i, " +
+        s"coalesce((SELECT q FROM m$i), '~') AS q$i").mkString(", ")
+    val repExpr = (1 to k).foldLeft(charSplit)((e, i) => s"replace($e, p$i, q$i)")
+    s"""WITH wd AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) wdi GROUP BY w),
+       |r0 AS (SELECT w, f, $charSplit AS r FROM wd),
+       |${mergeCtes.mkString(",\n")},
+       |ms AS (SELECT $msCols),
+       |doc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |        FROM documents),
+       |enc AS (SELECT doc_id, ws,
+       |          list_transform(ws, w -> $repExpr) AS reps FROM doc, ms)
+       |SELECT doc_id,
+       |  cast(len(ws) AS BIGINT) AS n_words,
+       |  cast(coalesce(list_sum(list_transform(reps,
+       |    r -> len(string_split(r, ' ')))), 0) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_transform(reps,
+       |    r -> replace(r, '|', '')), ' ')) AS tokens_md5
+       |FROM enc""".stripMargin
+  }
+
   private val langCase = {
     val scores = TextOps.langMarkers.map { case (lang, m) => lang -> langScoreSql(m) }
     val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
@@ -468,6 +525,10 @@ object DataQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // BPE: trainer (6 unrolled merge iterations over the word dict) and
+    // encoder (nested replace per word) both live in the SQL
+    "q_bpe" -> bpeSql(6),
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS exemplar
         |FROM documents GROUP BY 1""".stripMargin,

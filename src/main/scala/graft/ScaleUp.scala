@@ -270,6 +270,15 @@ object ScaleUp {
       d.select(sc.map { case (n, c) => c.as(n) }: _*)
         .agg(sum(col("logw_e6"))).collect().head.getLong(0)
     }
+    // bpe = FULL train (one corpus word-dict pass + 6 bounded-dict merge
+    // iterations) + one broadcast codegen encode pass; the row shows the
+    // dict-iteration cost staying flat while encode scales with the scan
+    results += op("bpe", smallD, bigD, smallDocs, bigDocs) { d =>
+      val m = graft.ops.Bpe.train(d, col("text"), numMerges = 6)
+      val sc = graft.ops.Bpe.encodeColumns(m, col("text"))
+      d.select(sc.map { case (n, c) => c.as(n) }: _*)
+        .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with
