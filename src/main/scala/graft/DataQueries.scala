@@ -312,6 +312,26 @@ object DataQueries {
         .withColumn("tokens_md5", md5(col("tokens"))).drop("tokens")
     }),
 
+    // Bloom-filter incremental dedup: filter built over the even-id
+    // snapshot (one OR-bitset aggregation), probed by the odd-id snapshot
+    // plus 50 injected true duplicates of even docs; flagged rows verified
+    // with an exact fingerprint semi-join. mBits=2048 is sized so the
+    // oracle SF exercises deterministic false positives too.
+    "q_bloom_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val old = all.filter(col("doc_id") % 2 === 0)
+      val nw = all.filter(col("doc_id") % 2 === 1)
+        .unionByName(all.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.bloomIncremental(nw, old, mBits = 2048, k = 4)
+        .agg(count(lit(1)).as("n_new"),
+          count(when(col("maybe_dup"), 1)).as("n_flagged"),
+          count(when(col("is_dup"), 1)).as("n_true_dups"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("maybe_dup"), col("doc_id")))),
+            x => x.cast("string")), ",")).as("flagged_md5"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): target = the doc_id%7
     // slice (deterministic domain stand-in), hashed unigram+bigram buckets,
     // per-doc e6 log importance weight + hash-derived Gumbel top-100
@@ -532,6 +552,42 @@ object DataQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS exemplar
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Bloom incremental dedup: the filter's exact bit membership is
+    // replicated (same md5-derived positions, same mBits=2048 modulo), so
+    // the flagged set — true dups AND deterministic false positives — is
+    // reproduced bit-for-bit, then verified against the old fingerprints
+    "q_bloom_dedup" ->
+      """WITH allfp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |old AS (SELECT DISTINCT f FROM allfp WHERE doc_id % 2 = 0),
+        |nw AS (
+        |  SELECT doc_id, f FROM allfp WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, f FROM allfp
+        |  WHERE doc_id % 2 = 0 AND doc_id < 100),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || f), 1, 15)
+        |          AS BIGINT) % 2048) AS p
+        |  FROM old, range(4) t(i)),
+        |probe AS (
+        |  SELECT doc_id, f,
+        |    (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || f), 1, 15)
+        |          AS BIGINT) % 2048) AS p
+        |  FROM nw, range(4) t(i)),
+        |flags AS (
+        |  SELECT doc_id, f, bool_and(p IN (SELECT p FROM bits)) AS maybe_dup
+        |  FROM probe GROUP BY 1, 2),
+        |v AS (
+        |  SELECT doc_id, maybe_dup,
+        |         maybe_dup AND f IN (SELECT f FROM old) AS is_dup
+        |  FROM flags)
+        |SELECT count(*) AS n_new,
+        |  count(*) FILTER (WHERE maybe_dup) AS n_flagged,
+        |  count(*) FILTER (WHERE is_dup) AS n_true_dups,
+        |  md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |        FILTER (WHERE maybe_dup), '')) AS flagged_md5
+        |FROM v""".stripMargin,
 
     // the hot-band cap (256) is replicated: all-pairs among the first 256
     // per band + one star edge to the band anchor for every member beyond

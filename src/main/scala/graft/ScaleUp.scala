@@ -279,6 +279,18 @@ object ScaleUp {
       d.select(sc.map { case (n, c) => c.as(n) }: _*)
         .agg(sum(col("n_tokens"))).collect().head.getLong(0)
     }
+    // bloom_dedup = incremental dedup, full cycle each run: OR-bitset
+    // filter BUILD over the even-id half (one fixed-buffer aggregation —
+    // the exchange moves partitions x mBits/8 bytes regardless of rows) +
+    // zero-shuffle codegen PROBE of the odd-id half + exact verify join
+    // restricted to the flagged sliver. mBits=1<<24 (2 MiB) at both scales
+    results += op("bloom_dedup", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.Dedup.bloomIncremental(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          mBits = 1 << 24, k = 4)
+        .agg(count(when(col("maybe_dup"), 1)).as("n"))
+        .collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

@@ -373,4 +373,71 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
             p => p.getField("para")), joinWith).as("text"))
+
+  // ------------------------------------------- Bloom incremental dedup
+
+  /** k md5-derived Bloom bit positions for a content fingerprint:
+    * `conv(substr(md5(i || '|' || md5(text)), 1, 15), 16, 10) % mBits`.
+    * 15 hex chars = 60 bits, so the intermediate stays positive in a
+    * signed 64-bit value on BOTH engines (DuckDB replicates with
+    * `CAST('0x' || substr(...) AS BIGINT)`), and the modulo is exact —
+    * the filter's membership (false positives included) is a
+    * deterministic function of the corpus, not an approximation.
+    */
+  def bloomPositions(text: Column, mBits: Int, k: Int): Column = {
+    val fp = md5(text)
+    array((0 until k).map(i =>
+      conv(substring(md5(concat(lit(i.toString), lit("|"), fp)), 1, 15),
+        16, 10).cast("long") % mBits): _*)
+  }
+
+  /** Build the filter over an existing corpus snapshot. ONE aggregation
+    * whose buffer IS the fixed-size bitset (`mBits/64` longs): map-side
+    * partials OR per-partition bitsets, so the exchange moves exactly
+    * `partitions x mBits/8` bytes no matter how many documents the
+    * snapshot holds — the shape that lets a 10^12-doc corpus summarize
+    * into a driver-holdable (or shard-partitioned) filter. At production
+    * bit-widths beyond executor memory, shard the filter by a digest
+    * prefix and build each shard with the same aggregate over a
+    * prefix-partitioned scan.
+    */
+  def bloomBuild(docs: DataFrame, textCol: String = "text",
+      mBits: Int = 1 << 20, k: Int = 4): Array[Byte] =
+    docs.select(graft.functions.BloomBitsetAgg(
+        bloomPositions(col(textCol), mBits, k), mBits).as("f"))
+      .head.getAs[Array[Byte]](0)
+
+  /** Probe a new snapshot against a built filter: adds `maybe_dup`
+    * (all k bits set — contains every prior-snapshot document, plus a
+    * deterministic false-positive set). One whole-stage-codegen
+    * projection; the filter rides in the kernel reference object, so the
+    * new snapshot is never shuffled or joined.
+    */
+  def bloomProbe(docs: DataFrame, filter: Array[Byte], textCol: String = "text",
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame =
+    docs.withColumn("maybe_dup", graft.functions.BloomContainsAll(
+      bloomPositions(col(textCol), mBits, k), filter))
+
+  /** Incremental dedup of `newDocs` against `oldDocs`: Bloom-probe first
+    * (zero-shuffle fast path — unflagged rows are DEFINITELY new, the
+    * filter has no false negatives), then verify ONLY the flagged rows
+    * with an exact fingerprint semi-join against the old snapshot. At
+    * 10^12 docs the join's left side is the flagged sliver (true dups +
+    * the filter's false-positive rate of the new snapshot), not the whole
+    * snapshot. Returns every new doc with (maybe_dup, is_dup).
+    */
+  def bloomIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val filter = bloomBuild(oldDocs, textCol, mBits, k)
+    val probed = bloomProbe(newDocs, filter, textCol, mBits, k)
+      .withColumn("__fp", md5(col(textCol)))
+    val oldFps = oldDocs.select(md5(col(textCol)).as("__fp")).distinct()
+    val verified = probed.filter(col("maybe_dup"))
+      .join(oldFps, Seq("__fp"), "left_semi")
+      .select(col(idCol), lit(true).as("is_dup"))
+    probed.join(verified, Seq(idCol), "left")
+      .select(col(idCol), col("maybe_dup"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -673,4 +673,43 @@ class DataOpsSpec extends SparkSuite {
     val flat = Curation.temperatureSample(df, col("doc_id"), col("stratum"), 1.0)
     assert(flat.count() == 10L)
   }
+
+  test("bloom positions match the hand-computed md5/conv derivation") {
+    val m = 2048
+    val df = Seq((1L, "hello")).toDF("doc_id", "text")
+    val got = df.select(Dedup.bloomPositions(col("text"), m, 4).as("p"))
+      .head.getSeq[Long](0)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      fp.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val inner = md5hex("hello")
+    val expect = (0 until 4).map { i =>
+      java.lang.Long.parseLong(md5hex(s"$i|$inner").substring(0, 15), 16) % m
+    }
+    assert(got == expect)
+  }
+
+  test("bloom filter: no false negatives, deterministic across partitioning") {
+    val old = (1L to 40L).map(i => (i, s"old document number $i"))
+      .toDF("doc_id", "text")
+    val f1 = Dedup.bloomBuild(old, mBits = 2048, k = 4)
+    // partition-invariance: OR is associative/commutative, so 1 vs 8
+    // partitions build the identical bitset
+    val f8 = Dedup.bloomBuild(old.repartition(8), mBits = 2048, k = 4)
+    assert(java.util.Arrays.equals(f1, f8))
+    // every build-side text must probe positive (no false negatives)
+    val probedOld = Dedup.bloomProbe(old, f1, mBits = 2048, k = 4)
+    assert(probedOld.filter(!col("maybe_dup")).count() == 0)
+    // an unflagged new doc is definitely new; flagged docs verify exactly
+    val nw = Seq((101L, "old document number 7"), // true dup
+      (102L, "a brand new document unlike the others"),
+      (103L, "old document number 40")).toDF("doc_id", "text")
+    val inc = Dedup.bloomIncremental(nw, old, mBits = 2048, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(inc(101L) == ((true, true)) && inc(103L) == ((true, true)))
+    // 102 may or may not be flagged (deterministic fp), but is never a dup
+    assert(!inc(102L)._2)
+    // maybe_dup is a superset of is_dup
+    inc.values.foreach { case (maybe, dup) => assert(maybe || !dup) }
+  }
 }
