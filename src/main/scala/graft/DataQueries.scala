@@ -332,6 +332,21 @@ object DataQueries {
             x => x.cast("string")), ",")).as("flagged_md5"))
     }),
 
+    // Deterministic-HLL distinct sketch: per-source distinct-text estimate
+    // from md5-derived registers (bit-exact cross-engine, unlike
+    // approx_count_distinct's Spark-internal HLL++), with the exact
+    // distinct count alongside for the accuracy comparison
+    "q_hll_distinct" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sketch = TextOps.hllDistinct(dd, Seq(col("source")), col("text"), m = 512)
+      val exact = dd.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      sketch.join(exact, Seq("source"))
+        .select(col("source"), col("n_zero").cast("long").as("n_zero"),
+          col("sum_pow"), md5(col("registers_csv")).as("registers_md5"),
+          col("estimate"), col("exact_distinct"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): target = the doc_id%7
     // slice (deterministic domain stand-in), hashed unigram+bigram buckets,
     // per-doc e6 log importance weight + hash-derived Gumbel top-100
@@ -588,6 +603,42 @@ object DataQueries {
         |  md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |        FILTER (WHERE maybe_dup), '')) AS flagged_md5
         |FROM v""".stripMargin,
+
+    // deterministic HLL: registers, exact-integer harmonic numerator, and
+    // the estimate formula (verbatim op order) all replicated in SQL
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT source, md5(text) AS x FROM documents),
+        |r AS (SELECT source,
+        |        (CAST('0x' || substr(x, 1, 3) AS INT) % 512) AS reg,
+        |        CAST('0x' || substr(x, 4, 13) AS BIGINT) AS w FROM h),
+        |mx AS (SELECT source, reg,
+        |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj
+        |       FROM r GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT source FROM h),
+        |regs AS (
+        |  SELECT g.source, t.i AS reg, coalesce(mx.mj, 0) AS mj
+        |  FROM g CROSS JOIN range(512) t(i)
+        |  LEFT JOIN mx ON mx.source = g.source AND mx.reg = t.i),
+        |agg AS (
+        |  SELECT source,
+        |    count(*) FILTER (WHERE mj = 0) AS n_zero,
+        |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sum_pow,
+        |    md5(string_agg(CAST(mj AS VARCHAR), ',' ORDER BY reg)) AS registers_md5
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT source, n_zero, sum_pow, registers_md5,
+        |    0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |      * 9007199254740992.0 / CAST(sum_pow AS DOUBLE) AS raw
+        |  FROM agg),
+        |ex AS (SELECT source, count(DISTINCT text) AS exact_distinct
+        |       FROM documents GROUP BY 1)
+        |SELECT e.source, CAST(e.n_zero AS BIGINT) AS n_zero, e.sum_pow,
+        |  e.registers_md5,
+        |  CASE WHEN e.raw <= 2.5 * 512.0 AND e.n_zero > 0
+        |       THEN round(512.0 * ln(512.0 / e.n_zero), 6)
+        |       ELSE round(e.raw, 6) END AS estimate,
+        |  ex.exact_distinct
+        |FROM est e JOIN ex ON ex.source = e.source""".stripMargin,
 
     // the hot-band cap (256) is replicated: all-pairs among the first 256
     // per band + one star edge to the band anchor for every member beyond

@@ -291,6 +291,21 @@ object ScaleUp {
         .agg(count(when(col("maybe_dup"), 1)).as("n"))
         .collect().head.getLong(0)
     }
+    // hll_distinct = vocabulary-per-stratum sketch over EXPLODED words
+    // (rows x tokens input): the aggregation buffer is 512 bytes per
+    // stratum, so the exchange after the map-side partials is groups x m
+    // bytes — the row shows bounded-state distinct counting tracking the
+    // explode's scan cost, where exact count(DISTINCT) would shuffle every
+    // word occurrence
+    results += op("hll_distinct", smallD, bigD, smallDocs, bigDocs) { d =>
+      val words = d
+        .withColumn("stratum",
+          pmod(xxhash64(col("doc_id"), lit(3L)), lit(16L)).cast("string"))
+        .select(col("stratum"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+      graft.ops.TextOps.hllDistinct(words, Seq(col("stratum")), col("w"), m = 512)
+        .agg(sum(round(col("estimate")).cast("long"))).collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

@@ -93,4 +93,23 @@ object TextOps {
           i => concat_ws(" ", slice(tokens, i, lit(n)))))
         .otherwise(array(concat_ws(" ", tokens))))
   }
+
+  /** Per-group approximate-distinct via the deterministic md5-HLL sketch
+    * (functions/HllKernels.scala): one aggregation whose buffer is the
+    * m-byte register array, so the shuffle moves `groups x m` bytes no
+    * matter how many distinct values each group holds — the bounded-state
+    * shape for "distinct URLs per domain / vocabulary per language" at
+    * corpus scale, where exact count(DISTINCT) shuffles every value.
+    * Returns (groupCols..., n_zero, sum_pow, registers_csv, estimate).
+    */
+  def hllDistinct(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+      value: Column, m: Int = 512): org.apache.spark.sql.DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(graft.functions.HllRegistersAgg(md5(value), m).as("__regs"))
+      .withColumn("__st", graft.functions.HllStats(col("__regs"), m))
+      .select(groupCols ++ Seq(
+        col("__st.n_zero").as("n_zero"),
+        col("__st.sum_pow").as("sum_pow"),
+        col("__st.registers_csv").as("registers_csv"),
+        col("__st.estimate").as("estimate")): _*)
 }

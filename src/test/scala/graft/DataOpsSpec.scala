@@ -712,4 +712,39 @@ class DataOpsSpec extends SparkSuite {
     // maybe_dup is a superset of is_dup
     inc.values.foreach { case (maybe, dup) => assert(maybe || !dup) }
   }
+
+  test("hll sketch: hand-computed register/rank, duplicate-insensitive, " +
+      "partition-invariant, estimate within HLL error bounds") {
+    import graft.ops.TextOps
+    // hand-compute register and rank for one value at m=512
+    val df1 = Seq(("g", "hello")).toDF("grp", "v")
+    val s1 = TextOps.hllDistinct(df1, Seq(col("grp")), col("v"), m = 512)
+      .head
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val reg = Integer.parseInt(h.substring(0, 3), 16) % 512
+    val w = java.lang.Long.parseLong(h.substring(3, 16), 16)
+    val rank = if (w == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    val regs = s1.getAs[String]("registers_csv").split(",").map(_.toInt)
+    assert(regs.length == 512 && regs(reg) == rank)
+    assert(regs.zipWithIndex.filter(_._2 != reg).forall(_._1 == 0))
+    assert(s1.getAs[Int]("n_zero") == 511)
+    // duplicates never move the sketch; partitioning never moves the sketch
+    val vals = (1 to 1000).map(i => (if (i % 2 == 0) "a" else "b", s"value $i"))
+    val base = vals.toDF("grp", "v")
+    val dups = (vals ++ vals ++ vals.take(100)).toDF("grp", "v")
+    def csv(d: org.apache.spark.sql.DataFrame) =
+      TextOps.hllDistinct(d, Seq(col("grp")), col("v"), m = 512)
+        .collect().map(r => r.getString(0) -> r.getAs[String]("registers_csv")).toMap
+    val c0 = csv(base)
+    assert(csv(dups) == c0)
+    assert(csv(base.repartition(16)) == c0)
+    // estimate accuracy: 500 distinct per group, m=512 -> relative error
+    // well under 15% for this deterministic input (pinned by md5)
+    TextOps.hllDistinct(base, Seq(col("grp")), col("v"), m = 512)
+      .collect().foreach { r =>
+        val est = r.getAs[Double]("estimate")
+        assert(math.abs(est - 500.0) / 500.0 < 0.15, s"estimate $est")
+      }
+  }
 }
