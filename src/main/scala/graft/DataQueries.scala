@@ -347,6 +347,30 @@ object DataQueries {
           col("estimate"), col("exact_distinct"))
     }),
 
+    // heavy hitters with bounded state: Misra-Gries candidates (k=128)
+    // + exact verification over the candidate sliver; the injected vocab
+    // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
+    // eviction and a candidate the verify pass must reject
+    "q_heavy_hitters" -> ((s, d) => {
+      import graft.ops.FreqStats
+      val dd = docs(s, d).withColumn("text", concat(col("text"), lit(" hot"),
+        when(col("doc_id") % 3 === 0, lit(" warm")).otherwise(lit("")),
+        lit(" tail"), col("doc_id").cast("string")))
+      val words = dd.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      FreqStats.heavyHitters(words, col("w"), phi = 0.01, k = 128)
+    }),
+
+    // count-min sketch: d=4 x w=1024 matrix (fully deterministic adds),
+    // probed with the 20 lexicographically-smallest distinct words;
+    // est >= exact always, equal in the collision-free buckets
+    "q_countmin" -> ((s, d) => {
+      import graft.ops.FreqStats
+      val words = docs(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      val probes = words.distinct().orderBy(col("w")).limit(20)
+      FreqStats.countMin(words, col("w"), probes, col("w"), d = 4, w = 1024)
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): target = the doc_id%7
     // slice (deterministic domain stand-in), hashed unigram+bigram buckets,
     // per-doc e6 log importance weight + hash-derived Gumbel top-100
@@ -603,6 +627,46 @@ object DataQueries {
         |  md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |        FILTER (WHERE maybe_dup), '')) AS flagged_md5
         |FROM v""".stripMargin,
+
+    // heavy hitters: the deterministic final answer is plain exact SQL —
+    // the MG sketch only bounds state, the verify pass restores exactness
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT text || ' hot'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ' warm' ELSE '' END)
+        |    || ' tail' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM t),
+        |n AS (SELECT count(*) AS n FROM w)
+        |SELECT w AS item, count(*) AS cnt FROM w, n
+        |GROUP BY 1, n.n HAVING count(*) > 0.01 * n.n""".stripMargin,
+
+    // count-min: the d x w matrix is a bounded group-by over the same
+    // md5/conv buckets; estimates = min over the d rows
+    "q_countmin" ->
+      """WITH wds AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |probes AS (SELECT DISTINCT w FROM wds ORDER BY w LIMIT 20),
+        |pos AS (
+        |  SELECT w, r,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || w), 1, 15)
+        |         AS BIGINT) % 1024 AS bucket
+        |  FROM wds, range(4) t(r)),
+        |matrix AS (SELECT r, bucket, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        |ppos AS (
+        |  SELECT w, r,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || w), 1, 15)
+        |         AS BIGINT) % 1024 AS bucket
+        |  FROM probes, range(4) t(r)),
+        |est AS (
+        |  SELECT p.w AS item, min(coalesce(m.cnt, 0)) AS est
+        |  FROM ppos p LEFT JOIN matrix m ON m.r = p.r AND m.bucket = p.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT w AS item, count(*) AS exact FROM wds GROUP BY 1)
+        |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+        |  coalesce(ex.exact, 0) AS exact
+        |FROM est e LEFT JOIN ex ON ex.item = e.item""".stripMargin,
 
     // deterministic HLL: registers, exact-integer harmonic numerator, and
     // the estimate formula (verbatim op order) all replicated in SQL

@@ -306,6 +306,15 @@ object ScaleUp {
       graft.ops.TextOps.hllDistinct(words, Seq(col("stratum")), col("w"), m = 512)
         .agg(sum(round(col("estimate")).cast("long"))).collect().head.getLong(0)
     }
+    // heavy_hitters = bounded-state top-token detection over exploded
+    // words: ONE Misra-Gries aggregation (k-counter buffer, map-side
+    // partials) + exact verification over the <=k candidate sliver —
+    // the first-pass shape that replaces a full-vocabulary groupBy
+    results += op("heavy_hitters", smallD, bigD, smallDocs, bigDocs) { d =>
+      val words = d.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      graft.ops.FreqStats.heavyHitters(words, col("w"), phi = 0.01, k = 256)
+        .count()
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

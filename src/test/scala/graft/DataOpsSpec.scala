@@ -713,6 +713,55 @@ class DataOpsSpec extends SparkSuite {
     inc.values.foreach { case (maybe, dup) => assert(maybe || !dup) }
   }
 
+  test("misra-gries heavy hitters: exact answer invariant under " +
+      "partitioning, sub-threshold candidates rejected, MG guarantee holds") {
+    import graft.ops.FreqStats
+    // 2000 'a', 900 'b', 50 distinct tail tokens x 20 each: n = 3900,
+    // phi = 0.2 -> only 'a' (51.3%); 'b' (23.1%) also qualifies at 0.2?
+    // 900/3900 = 23.1% > 20% -> both a and b. tail = 20/3900 = 0.5% no.
+    val items = (Seq.fill(2000)("a") ++ Seq.fill(900)("b") ++
+      (1 to 50).flatMap(i => Seq.fill(20)(s"t$i")))
+    val expected = Map("a" -> 2000L, "b" -> 900L)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = items.toDF("w").repartition(parts)
+      val got = FreqStats.heavyHitters(df, col("w"), phi = 0.2, k = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts got=$got")
+    }
+    // k just at the guarantee edge: k=4 (phi=0.25 needs k>=4) still finds
+    // 'a' (51%) — and never reports anything below threshold
+    val hh4 = FreqStats.heavyHitters(items.toDF("w"), col("w"), 0.25, 4)
+      .collect().map(r => r.getString(0)).toSet
+    assert(hh4 == Set("a"))
+  }
+
+  test("count-min: buckets match the md5/conv derivation, estimates are " +
+      "exact-or-over, sketch is partitioning-invariant") {
+    import graft.ops.FreqStats
+    // bucket parity with the hand computation
+    val b = Seq(("x", "hello")).toDF("k", "v")
+      .select(FreqStats.cmsBuckets(col("v"), 4, 1024).as("b"))
+      .head.getSeq[Long](0)
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = mdi.digest(s.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    val exp = (0 until 4).map(r =>
+      java.lang.Long.parseLong(md5hex(s"$r|hello").substring(0, 15), 16) % 1024)
+    assert(b == exp)
+    val items = ((1 to 300).map(i => s"w${i % 30}") ++ Seq.fill(100)("hot"))
+      .toDF("w")
+    val probes = items.distinct()
+    def run(d: org.apache.spark.sql.DataFrame) =
+      FreqStats.countMin(d, col("w"), probes, col("w"), d = 4, w = 1024)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val r1 = run(items)
+    // est >= exact for every probe (CMS never underestimates)
+    r1.foreach { case (w, est, exact) => assert(est >= exact, s"$w") }
+    assert(r1.exists { case (w, _, exact) => w == "hot" && exact == 100L })
+    // commutative adds + matrix-add merges: identical under repartition
+    assert(run(items.repartition(13)) == r1)
+  }
+
   test("hll sketch: hand-computed register/rank, duplicate-insensitive, " +
       "partition-invariant, estimate within HLL error bounds") {
     import graft.ops.TextOps
