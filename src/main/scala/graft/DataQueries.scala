@@ -23,6 +23,24 @@ object DataQueries {
     s.read.parquet(s"$d/embeddings.parquet")
   }
 
+  /** Deterministic transcript-shaped view over the documents table
+    * (conv_id, turn_idx, role, text, tool) — pure doc_id arithmetic on
+    * both engines, no window functions in the derivation itself.
+    */
+  private def transcriptView(s: SparkSession, d: String): DataFrame = {
+    val turnIdx = (col("doc_id") / 50).cast("long")
+    docs(s, d).select(
+      (col("doc_id") % 50).as("conv_id"),
+      turnIdx.as("turn_idx"),
+      when(pmod(turnIdx, lit(5)) < 2, "user")
+        .when(pmod(turnIdx, lit(5)) < 4, "assistant")
+        .otherwise("tool").as("role"),
+      when(col("doc_id") % 25 === 0, "I will retry the search now")
+        .otherwise(col("text")).as("text"),
+      when(pmod(turnIdx, lit(5)) === 4, "search").otherwise(lit(null: String))
+        .as("tool"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on content digest
@@ -347,6 +365,25 @@ object DataQueries {
           col("estimate"), col("exact_distinct"))
     }),
 
+    // transcript-shaped view of the documents table, replicated verbatim
+    // by the oracle: conv_id/turn_idx from pure doc_id arithmetic, a
+    // (user,user,assistant,assistant,tool) role cycle, and a repeated
+    // retry text on doc_id%25==0 so convs 0 and 25 are degenerate loops
+    "q_transcript_pack" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.packedWindows(transcriptView(s, d), tokenBudget = 400)
+    }),
+
+    // per-conversation loop/structure signals + corpus-wide turn dedup:
+    // max same-(role,tool) run, verbatim-retry fraction, role alternation,
+    // duplicate-turn fraction under keep-first
+    "q_transcript_quality" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val t = transcriptView(s, d)
+      TranscriptOps.loopSignals(t)
+        .join(TranscriptOps.turnDedupStats(t).drop("n_turns"), Seq("conv_id"))
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -583,6 +620,18 @@ object DataQueries {
     (best, s"CASE $whens ELSE 'und' END")
   }
 
+  /** SQL twin of [[transcriptView]]. */
+  private val transcriptSql: String =
+    """WITH t AS (
+      |  SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx,
+      |    CASE WHEN (doc_id // 50) % 5 < 2 THEN 'user'
+      |         WHEN (doc_id // 50) % 5 < 4 THEN 'assistant'
+      |         ELSE 'tool' END AS role,
+      |    CASE WHEN doc_id % 25 = 0 THEN 'I will retry the search now'
+      |         ELSE text END AS text,
+      |    CASE WHEN (doc_id // 50) % 5 = 4 THEN 'search' ELSE NULL END AS tool
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // BPE: trainer (6 unrolled merge iterations over the word dict) and
     // encoder (nested replace per word) both live in the SQL
@@ -627,6 +676,66 @@ object DataQueries {
         |  md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |        FILTER (WHERE maybe_dup), '')) AS flagged_md5
         |FROM v""".stripMargin,
+
+    // per-conversation context-window packing over the transcript view
+    "q_transcript_pack" ->
+      s"""$transcriptSql,
+         |tok AS (
+         |  SELECT *, CASE WHEN trim(text) = '' THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM t),
+         |pre AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+         |  FROM tok)
+         |SELECT conv_id, pb // 400 AS window_idx, count(*) AS n_turns,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+         |  md5(string_agg(role || ': ' || text, e'\\n' ORDER BY turn_idx))
+         |    AS window_md5
+         |FROM pre GROUP BY 1, 2""".stripMargin,
+
+    // loop signals (gaps-and-islands runs, lag-based repeats/alternation)
+    // + corpus-wide keep-first turn dedup
+    "q_transcript_quality" ->
+      s"""$transcriptSql,
+         |r AS (
+         |  SELECT conv_id, turn_idx, role, text, tool,
+         |    role || coalesce(tool, '') AS key,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      - row_number() OVER (PARTITION BY conv_id, role || coalesce(tool, '')
+         |                           ORDER BY turn_idx) AS island,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         |    lag(coalesce(tool, '') || text)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sig
+         |  FROM t),
+         |runs AS (
+         |  SELECT conv_id, max(run) AS max_run FROM (
+         |    SELECT conv_id, key, island, count(*) AS run
+         |    FROM r GROUP BY 1, 2, 3) GROUP BY 1),
+         |pw AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    CAST(sum(CASE WHEN prev_sig IS NOT NULL
+         |      AND prev_sig = coalesce(tool, '') || text THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_repeats,
+         |    CAST(sum(CASE WHEN prev_role IS NOT NULL
+         |      AND prev_role <> role THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM r GROUP BY 1),
+         |dd AS (
+         |  SELECT conv_id, count(*) AS nt,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_turns
+         |  FROM (SELECT conv_id, row_number() OVER (
+         |          PARTITION BY md5(text) ORDER BY conv_id, turn_idx) AS rn
+         |        FROM t) GROUP BY 1)
+         |SELECT p.conv_id, p.n_turns, CAST(runs.max_run AS BIGINT) AS max_run,
+         |  round(p.n_repeats * 1.0 / greatest(p.n_turns - 1, 1), 6) AS repeat_frac,
+         |  round(p.n_switches * 1.0 / greatest(p.n_turns - 1, 1), 6)
+         |    AS role_alternation,
+         |  dd.n_dup_turns,
+         |  round(dd.n_dup_turns * 1.0 / dd.nt, 6) AS dup_turn_frac
+         |FROM pw p JOIN runs USING (conv_id) JOIN dd USING (conv_id)""".stripMargin,
 
     // heavy hitters: the deterministic final answer is plain exact SQL —
     // the MG sketch only bounds state, the verify pass restores exactness

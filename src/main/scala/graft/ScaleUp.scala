@@ -315,6 +315,18 @@ object ScaleUp {
       graft.ops.FreqStats.heavyHitters(words, col("w"), phi = 0.01, k = 256)
         .count()
     }
+    // transcript_curation = the conversation-structured ops over the
+    // FLAGSHIP transcript table itself: loop/alternation signals (one
+    // conv_id-keyed shuffle, per-group sort bounded by one conversation's
+    // turns) + corpus-wide keep-first turn dedup (one 16-byte-digest
+    // shuffle) joined per conversation
+    results += op("transcript_curation", smallT, bigT, turnsSmall, turnsBig) { t =>
+      graft.ops.TranscriptOps.loopSignals(t)
+        .join(graft.ops.TranscriptOps.turnDedupStats(t).drop("n_turns"),
+          Seq("conv_id"))
+        .agg(count(lit(1)), sum(col("n_dup_turns")))
+        .collect().head.getLong(0)
+    }
 
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with

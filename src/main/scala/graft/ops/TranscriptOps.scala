@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation operators specific to MULTI-TURN TRANSCRIPT corpora
+  * (conv_id, turn_idx, role, text, tool, ...) — the payload this engine's
+  * flagship pipeline parses. Document-level ops (Dedup/CleanFilters/...)
+  * treat a row as an independent unit; these preserve conversation
+  * structure: a turn only means something in its (conv_id, turn_idx)
+  * position.
+  *
+  * Scale notes (10^12 turns):
+  *  - every op here keys on conv_id and orders by turn_idx WITHIN the
+  *    group — one shuffle on the conversation id, per-group sort bounded
+  *    by one conversation's turn count (the flagship's salting note
+  *    applies to pathological hot conversations);
+  *  - packing is the per-conversation form of ops/Packing.scala's
+  *    concat-and-chunk: window = prefix-tokens-before / budget, straddling
+  *    turns land in the window their FIRST token falls in (never split) —
+  *    a running-sum window over (conv, turn order), no global sort;
+  *  - loop/quality signals are gaps-and-islands window arithmetic —
+  *    deterministic, SQL-replicable, zero custom state.
+  */
+object TranscriptOps {
+
+  private def byConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+
+  /** Whitespace token count (the corpus-side budget unit). */
+  def turnTokens(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Per-conversation context-window packing: assigns each turn the
+    * window its FIRST token falls in under `tokenBudget` (turns never
+    * split; a straddling turn belongs to the window where it starts —
+    * ops/Packing.scala semantics, per conversation). Adds
+    * (n_tokens, window_idx).
+    */
+  def packTurns(turns: DataFrame, tokenBudget: Int): DataFrame = {
+    val prefixBefore =
+      coalesce(sum(col("n_tokens")).over(byConv.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L))
+    turns.withColumn("n_tokens", turnTokens(col("text")).cast("long"))
+      .withColumn("window_idx", (prefixBefore / tokenBudget).cast("long"))
+  }
+
+  /** Packed-window summary: one row per (conv_id, window_idx) with turn
+    * span, token fill, and a rebuilt-window digest (role-prefixed turns
+    * joined in order — the training-sample shape).
+    */
+  def packedWindows(turns: DataFrame, tokenBudget: Int): DataFrame =
+    packTurns(turns, tokenBudget)
+      .groupBy(col("conv_id"), col("window_idx"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text")))),
+          t => concat(t.getField("role"), lit(": "), t.getField("text"))),
+          "\n")).as("window_md5"))
+
+  /** Agent-loop and structure signals per conversation:
+    *  - max_run: longest run of consecutive turns with the same
+    *    (role, tool) — a stuck tool loop shows as a long run;
+    *  - repeat_frac: fraction of turns (beyond the first) whose
+    *    (tool, text) exactly equals the previous turn's — verbatim
+    *    retry loops;
+    *  - role_alternation: fraction of adjacent pairs that switch role —
+    *    healthy dialogue sits near 1, monologue dumps near 0.
+    * Runs come from the gaps-and-islands trick: island id =
+    * row_number - row_number-within-(role,tool), both over turn order.
+    */
+  def loopSignals(turns: DataFrame): DataFrame = {
+    val key = concat_ws("", col("role"), coalesce(col("tool"), lit("")))
+    val withRuns = turns
+      .withColumn("__rn", row_number().over(byConv))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("conv_id"), key).orderBy(col("turn_idx"))))
+      .withColumn("__island", col("__rn") - col("__rnk"))
+      .withColumn("__prev_role", lag(col("role"), 1).over(byConv))
+      .withColumn("__prev_sig",
+        lag(concat_ws("", coalesce(col("tool"), lit("")), col("text")), 1)
+          .over(byConv))
+    val runs = withRuns
+      .groupBy(col("conv_id"), key.as("__key"), col("__island"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("conv_id")).agg(max(col("__run")).as("max_run"))
+    val pairwise = withRuns.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("__prev_sig").isNotNull &&
+        col("__prev_sig") === concat_ws("",
+          coalesce(col("tool"), lit("")), col("text")), 1L).otherwise(0L))
+        .as("n_repeats"),
+      sum(when(col("__prev_role").isNotNull &&
+        col("__prev_role") =!= col("role"), 1L).otherwise(0L))
+        .as("n_switches"))
+    pairwise.join(runs, Seq("conv_id"))
+      .select(col("conv_id"), col("n_turns"), col("max_run"),
+        round(col("n_repeats").cast("double") /
+          greatest(col("n_turns") - 1, lit(1L)), 6).as("repeat_frac"),
+        round(col("n_switches").cast("double") /
+          greatest(col("n_turns") - 1, lit(1L)), 6).as("role_alternation"))
+  }
+
+  /** Corpus-wide turn-level exact dedup, keep-first by (conv_id,
+    * turn_idx): returns per-conversation duplicate-turn stats — the
+    * transcript analogue of paragraph dedup (a conversation whose turns
+    * mostly appear elsewhere is boilerplate or a re-run). One shuffle on
+    * the 16-byte turn digest; within-group sort bounded by one turn's
+    * duplicate count.
+    */
+  def turnDedupStats(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__th")).orderBy(col("conv_id"), col("turn_idx"))
+    turns.withColumn("__th", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_turns"))
+      .select(col("conv_id"), col("n_turns"), col("n_dup_turns"),
+        round(col("n_dup_turns").cast("double") / col("n_turns"), 6)
+          .as("dup_turn_frac"))
+  }
+}

@@ -713,6 +713,57 @@ class DataOpsSpec extends SparkSuite {
     inc.values.foreach { case (maybe, dup) => assert(maybe || !dup) }
   }
 
+  test("transcript packing: straddling turn lands where its first token " +
+      "falls, windows are per-conversation") {
+    import graft.ops.TranscriptOps
+    // conv 1: turns of 3,3,3 tokens, budget 5 -> prefix-before 0,3,6 ->
+    // windows 0,0,1 (turn 2 STARTS at token 3 < 5 so it stays in window 0
+    // and straddles the cut; turn 3 starts at 6 -> window 1)
+    val t = Seq(
+      (1L, 0L, "user", "a b c", null.asInstanceOf[String]),
+      (1L, 1L, "assistant", "d e f", null.asInstanceOf[String]),
+      (1L, 2L, "user", "g h i", null.asInstanceOf[String]),
+      (2L, 0L, "user", "lone", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val packed = TranscriptOps.packTurns(t, tokenBudget = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("window_idx")).toMap
+    assert(packed((1L, 0L)) == 0L && packed((1L, 1L)) == 0L && packed((1L, 2L)) == 1L)
+    assert(packed((2L, 0L)) == 0L) // windows never cross conversations
+    val win = TranscriptOps.packedWindows(t, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("n_tokens"))).toMap
+    assert(win((1L, 0L)) == ((2L, 6L)) && win((1L, 1L)) == ((1L, 3L)))
+  }
+
+  test("transcript loop signals: run length, verbatim repeats, role " +
+      "alternation, turn dedup keep-first") {
+    import graft.ops.TranscriptOps
+    // conv 7: u,u,u (same tool+text on turns 1-2 -> 2 repeats... turn 1
+    // repeats turn 0? texts: A,A,B -> one repeat at turn 1), then a,t
+    val t = Seq(
+      (7L, 0L, "user", "A", null.asInstanceOf[String]),
+      (7L, 1L, "user", "A", null.asInstanceOf[String]),
+      (7L, 2L, "user", "B", null.asInstanceOf[String]),
+      (7L, 3L, "assistant", "C", null.asInstanceOf[String]),
+      (7L, 4L, "tool", "D", "search"),
+      (9L, 0L, "user", "A", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val sig = TranscriptOps.loopSignals(t)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("max_run"),
+          r.getAs[Double]("repeat_frac"), r.getAs[Double]("role_alternation"))).toMap
+    // conv 7: max (role,tool) run = 3 users; 1 verbatim repeat / 4 pairs;
+    // 2 role switches / 4 pairs
+    assert(sig(7L) == ((5L, 3L, 0.25, 0.5)))
+    assert(sig(9L) == ((1L, 1L, 0.0, 0.0)))
+    // dedup: "A" occurs at (7,0),(7,1),(9,0) -> keep (7,0); conv 7 has 1
+    // dup ("A"@1), conv 9's only turn is a dup
+    val dd = TranscriptOps.turnDedupStats(t)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_dup_turns"), r.getAs[Double]("dup_turn_frac"))).toMap
+    assert(dd(7L) == ((1L, 0.2)) && dd(9L) == ((1L, 1.0)))
+  }
+
   test("misra-gries heavy hitters: exact answer invariant under " +
       "partitioning, sub-threshold candidates rejected, MG guarantee holds") {
     import graft.ops.FreqStats
