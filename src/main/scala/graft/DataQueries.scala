@@ -384,6 +384,42 @@ object DataQueries {
         .join(TranscriptOps.turnDedupStats(t).drop("n_turns"), Seq("conv_id"))
     }),
 
+    // time-gap sessionization: deterministic in-view ts (30s cadence with
+    // a conv-periodic 1h jump) splits each conversation into sessions at
+    // gaps > 600s; per-session spans/durations in exact epoch micros
+    "q_transcript_sessions" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val t = transcriptView(s, d).withColumn("ts", expr(
+        "timestamp_micros((1700000000L + turn_idx * 30L + " +
+          "3600L * (turn_idx div (2 + conv_id % 3))) * 1000000L)"))
+      TranscriptOps.sessionStats(t, gapSeconds = 600)
+    }),
+
+    // tool-transition Markov edges: a 3-tool schedule plus a 'plan'
+    // pseudo-tool on even assistant turns; conditional probabilities are
+    // integer-exact e6 (no float division on either engine)
+    "q_tool_transitions" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val t = transcriptView(s, d).withColumn("tool", expr(
+        "CASE WHEN turn_idx % 5 = 4 THEN " +
+          "(CASE (conv_id + turn_idx) % 3 WHEN 0 THEN 'search' " +
+          "WHEN 1 THEN 'browse' ELSE 'code' END) " +
+          "WHEN turn_idx % 5 IN (2, 3) AND turn_idx % 2 = 0 THEN 'plan' " +
+          "ELSE NULL END"))
+      TranscriptOps.toolTransitions(t)
+    }),
+
+    // cross-conversation shared-prefix detection: a SYSTEM turn injected
+    // at turn 0 makes every conversation share depth 1; the two degenerate
+    // retry convs (0, 25) share the full depth-8 prefix with each other
+    "q_shared_prefix" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val t = transcriptView(s, d).withColumn("text",
+        when(col("turn_idx") === 0, lit("SYSTEM: you are a helpful agent"))
+          .otherwise(col("text")))
+      TranscriptOps.sharedPrefixStats(t, maxDepth = 8)
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -689,7 +725,8 @@ object DataQueries {
          |    PARTITION BY conv_id ORDER BY turn_idx
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
          |  FROM tok)
-         |SELECT conv_id, pb // 400 AS window_idx, count(*) AS n_turns,
+         |SELECT conv_id, CAST(pb // 400 AS BIGINT) AS window_idx,
+         |  count(*) AS n_turns,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
          |  md5(string_agg(role || ': ' || text, e'\\n' ORDER BY turn_idx))
@@ -736,6 +773,84 @@ object DataQueries {
          |  dd.n_dup_turns,
          |  round(dd.n_dup_turns * 1.0 / dd.nt, 6) AS dup_turn_frac
          |FROM pw p JOIN runs USING (conv_id) JOIN dd USING (conv_id)""".stripMargin,
+
+    // sessionization: same gaps-and-islands arithmetic over the same
+    // derived epoch-micros column
+    "q_transcript_sessions" ->
+      s"""$transcriptSql,
+         |tse AS (
+         |  SELECT *, (1700000000 + turn_idx * 30
+         |    + 3600 * (turn_idx // (2 + conv_id % 3))) * 1000000 AS ep
+         |  FROM t),
+         |b AS (
+         |  SELECT *, CASE WHEN lag(ep) OVER w IS NOT NULL
+         |    AND ep - lag(ep) OVER w > 600000000 THEN 1 ELSE 0 END AS brk
+         |  FROM tse WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |s AS (
+         |  SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS session_idx
+         |  FROM b)
+         |SELECT conv_id, session_idx, count(*) AS n_turns,
+         |  min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+         |  CAST(min(ep) AS BIGINT) AS start_epoch_us,
+         |  CAST(max(ep) AS BIGINT) AS end_epoch_us,
+         |  CAST(max(ep) - min(ep) AS BIGINT) AS duration_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // tool transitions: lag edges + integer-exact e6 conditional
+    // probability ((n*2e6 + total) // (2*total) = half-up rounding)
+    "q_tool_transitions" ->
+      s"""$transcriptSql,
+         |t2 AS (
+         |  SELECT conv_id, turn_idx,
+         |    coalesce(CASE WHEN turn_idx % 5 = 4 THEN
+         |        (CASE (conv_id + turn_idx) % 3 WHEN 0 THEN 'search'
+         |         WHEN 1 THEN 'browse' ELSE 'code' END)
+         |      WHEN turn_idx % 5 IN (2, 3) AND turn_idx % 2 = 0 THEN 'plan'
+         |      ELSE NULL END, '') AS sig
+         |  FROM t),
+         |e AS (
+         |  SELECT sig AS to_tool,
+         |    lag(sig) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_tool
+         |  FROM t2),
+         |g AS (
+         |  SELECT from_tool, to_tool, count(*) AS n
+         |  FROM e WHERE from_tool IS NOT NULL GROUP BY 1, 2),
+         |w AS (
+         |  SELECT *, CAST(sum(n) OVER (PARTITION BY from_tool) AS BIGINT)
+         |    AS from_total FROM g)
+         |SELECT from_tool, to_tool, n, from_total,
+         |  CAST((n * 2000000 + from_total) // (2 * from_total) AS BIGINT)
+         |    AS prob_e6
+         |FROM w""".stripMargin,
+
+    // shared prefixes: list-slice prefix digests, (depth, digest) counts,
+    // deepest shared depth + sharing count per conversation
+    "q_shared_prefix" ->
+      s"""$transcriptSql,
+         |t2 AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx = 0 THEN 'SYSTEM: you are a helpful agent'
+         |         ELSE text END AS text
+         |  FROM t),
+         |lst AS (
+         |  SELECT conv_id, list(text ORDER BY turn_idx) AS texts
+         |  FROM t2 GROUP BY 1),
+         |pd AS (
+         |  SELECT conv_id, CAST(k AS BIGINT) AS prefix_depth,
+         |    md5(array_to_string(texts[1:k], e'\\n')) AS prefix_md5
+         |  FROM lst, UNNEST(generate_series(1, least(8, len(texts)))) AS u(k)),
+         |cnt AS (
+         |  SELECT prefix_depth, prefix_md5, count(*) AS n_convs
+         |  FROM pd GROUP BY 1, 2)
+         |SELECT conv_id,
+         |  CAST(coalesce(max(CASE WHEN n_convs >= 2 THEN prefix_depth END), 0)
+         |    AS BIGINT) AS max_shared_depth,
+         |  CAST(coalesce(max_by(n_convs,
+         |      CASE WHEN n_convs >= 2 THEN prefix_depth END), 1)
+         |    AS BIGINT) AS n_convs_at_max
+         |FROM pd JOIN cnt USING (prefix_depth, prefix_md5) GROUP BY 1""".stripMargin,
 
     // heavy hitters: the deterministic final answer is plain exact SQL —
     // the MG sketch only bounds state, the verify pass restores exactness

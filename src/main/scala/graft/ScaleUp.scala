@@ -328,6 +328,21 @@ object ScaleUp {
         .collect().head.getLong(0)
     }
 
+    // transcript_structure = the round-5 structure additions over the same
+    // table: time-gap sessionization (one conv_id-keyed window pass),
+    // tool-transition Markov edges (bounded |tools|^2 edge table), and
+    // cross-conversation shared-prefix detection (depth-capped digest
+    // explode + (depth, digest)-keyed count join)
+    results += op("transcript_structure", smallT, bigT, turnsSmall, turnsBig) { t =>
+      val sess = graft.ops.TranscriptOps.sessionStats(t, gapSeconds = 600)
+        .agg(count(lit(1))).collect().head.getLong(0)
+      val trans = graft.ops.TranscriptOps.toolTransitions(t)
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      val pref = graft.ops.TranscriptOps.sharedPrefixStats(t, maxDepth = 8)
+        .agg(sum(col("max_shared_depth"))).collect().head.getLong(0)
+      sess + trans + pref
+    }
+
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with
     // default options) through the FULL 5-way logs fan-out: small = one

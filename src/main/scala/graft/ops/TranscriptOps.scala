@@ -105,6 +105,105 @@ object TranscriptOps {
           greatest(col("n_turns") - 1, lit(1L)), 6).as("role_alternation"))
   }
 
+  /** Time-gap sessionization: a session breaks where the idle gap to the
+    * previous turn exceeds `gapSeconds`. Comparison and session index are
+    * pure integer arithmetic over epoch MICROseconds (`unix_micros` here,
+    * `epoch_us` in the oracle) so results are bit-identical cross-engine.
+    * session_idx = running count of breaks over turn order
+    * (gaps-and-islands); one conv_id shuffle, per-group sort bounded by
+    * one conversation's turn count.
+    */
+  def sessionize(turns: DataFrame, gapSeconds: Long): DataFrame = {
+    val prev = lag(unix_micros(col("ts")), 1).over(byConv)
+    turns
+      .withColumn("__brk",
+        when(prev.isNotNull &&
+          unix_micros(col("ts")) - prev > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__brk")).over(byConv.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__brk")
+  }
+
+  /** Per-session summary: turn span, bounds, duration — epochs stay exact
+    * integer micros so the row set hash-compares cross-engine.
+    */
+  def sessionStats(turns: DataFrame, gapSeconds: Long): DataFrame =
+    sessionize(turns, gapSeconds)
+      .groupBy(col("conv_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        min(unix_micros(col("ts"))).as("start_epoch_us"),
+        max(unix_micros(col("ts"))).as("end_epoch_us"))
+      .withColumn("duration_us", col("end_epoch_us") - col("start_epoch_us"))
+
+  /** Tool-transition matrix: (from_tool -> to_tool) counts over consecutive
+    * turns within a conversation (null tool renders ""), with the
+    * conditional transition probability quantized to e6 by pure integer
+    * half-up rounding `(n*2e6 + total) div (2*total)` — no float division,
+    * so probabilities are bit-identical cross-engine. The agent-behavior
+    * Markov chain: dominant self-loops are stuck tools, low-entropy rows
+    * are scripted flows. Edge extraction is one conv_id shuffle; the edge
+    * table is |tools|^2-bounded, so the per-from normalization window is
+    * driver-trivial at any corpus size.
+    */
+  def toolTransitions(turns: DataFrame): DataFrame = {
+    val edges = turns
+      .withColumn("__sig", coalesce(col("tool"), lit("")))
+      .withColumn("__from", lag(col("__sig"), 1).over(byConv))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_tool"), col("__sig").as("to_tool"))
+      .agg(count(lit(1)).as("n"))
+    edges
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_tool"))))
+      .withColumn("prob_e6",
+        expr("(n * 2000000L + from_total) div (2L * from_total)"))
+  }
+
+  /** Prefix digest rows for cross-conversation shared-prefix detection:
+    * for each conversation, md5 of the newline-joined first-k-turn text
+    * prefix for k = 1..min(maxDepth, n_turns). The explode is bounded at
+    * maxDepth rows per conversation, and per-conversation work is
+    * O(maxDepth * prefix_chars) — collect_list is bounded by one
+    * conversation's turns, the same bound packedWindows already carries.
+    */
+  def prefixDigests(turns: DataFrame, maxDepth: Int): DataFrame =
+    turns.groupBy(col("conv_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        t => t.getField("text")).as("__texts"))
+      .select(col("conv_id"),
+        explode(transform(
+          sequence(lit(1), least(lit(maxDepth), size(col("__texts")))),
+          k => struct(k.cast("long").as("prefix_depth"),
+            md5(array_join(slice(col("__texts"), lit(1), k), "\n"))
+              .as("prefix_md5")))).as("p"))
+      .select(col("conv_id"), col("p.prefix_depth"), col("p.prefix_md5"))
+
+  /** Cross-conversation shared-prefix stats — the transcript corpus's
+    * "duplicated system prompt / few-shot preamble" detector: per
+    * conversation, the deepest k whose first-k-turn prefix is shared by
+    * >=2 conversations, and how many share it at that depth (1/0 when
+    * nothing is shared). Counting groups on the (depth, 16-byte digest)
+    * key — maxDepth rows per conversation move through the shuffle, never
+    * the texts.
+    */
+  def sharedPrefixStats(turns: DataFrame, maxDepth: Int): DataFrame = {
+    val d = prefixDigests(turns, maxDepth)
+    val counts = d.groupBy(col("prefix_depth"), col("prefix_md5"))
+      .agg(count(lit(1)).as("n_convs"))
+    d.join(counts, Seq("prefix_depth", "prefix_md5"))
+      .groupBy(col("conv_id"))
+      .agg(
+        coalesce(max(when(col("n_convs") >= 2, col("prefix_depth"))), lit(0L))
+          .as("max_shared_depth"),
+        coalesce(max(when(col("n_convs") >= 2,
+          struct(col("prefix_depth"), col("n_convs")))).getField("n_convs"),
+          lit(1L)).as("n_convs_at_max"))
+  }
+
   /** Corpus-wide turn-level exact dedup, keep-first by (conv_id,
     * turn_idx): returns per-conversation duplicate-turn stats — the
     * transcript analogue of paragraph dedup (a conversation whose turns

@@ -764,6 +764,80 @@ class DataOpsSpec extends SparkSuite {
     assert(dd(7L) == ((1L, 0.2)) && dd(9L) == ((1L, 1.0)))
   }
 
+  test("transcript sessionization: strict-gap breaks, per-session stats " +
+      "in exact epoch micros") {
+    import graft.ops.TranscriptOps
+    // conv 1: 0s, 30s, 700s (gap 670 > 600 -> break), 720s; conv 2: one
+    // turn; conv 3: 0s, 600s — gap EXACTLY 600 is NOT a break (strict >)
+    val t = Seq(
+      (1L, 0L, "user", "a", null.asInstanceOf[String], 0L),
+      (1L, 1L, "assistant", "b", null.asInstanceOf[String], 30L),
+      (1L, 2L, "user", "c", null.asInstanceOf[String], 700L),
+      (1L, 3L, "assistant", "d", null.asInstanceOf[String], 720L),
+      (2L, 0L, "user", "e", null.asInstanceOf[String], 5000L),
+      (3L, 0L, "user", "f", null.asInstanceOf[String], 0L),
+      (3L, 1L, "user", "g", null.asInstanceOf[String], 600L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L)).drop("sec")
+    val st = TranscriptOps.sessionStats(t, gapSeconds = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("first_turn"),
+          r.getAs[Long]("last_turn"), r.getAs[Long]("duration_us"))).toMap
+    assert(st((1L, 0L)) == ((2L, 0L, 1L, 30000000L)))
+    assert(st((1L, 1L)) == ((2L, 2L, 3L, 20000000L)))
+    assert(st((2L, 0L)) == ((1L, 0L, 0L, 0L)))
+    assert(st((3L, 0L)) == ((2L, 0L, 1L, 600000000L))) // no break at ==gap
+    assert(st.size == 4)
+  }
+
+  test("transcript tool transitions: lag edges, integer-exact e6 " +
+      "conditional probability") {
+    import graft.ops.TranscriptOps
+    // conv 5 sigs: "", search, search, ""; conv 6 sigs: search, browse
+    val t = Seq(
+      (5L, 0L, "user", "a", null.asInstanceOf[String]),
+      (5L, 1L, "tool", "b", "search"),
+      (5L, 2L, "tool", "c", "search"),
+      (5L, 3L, "user", "d", null.asInstanceOf[String]),
+      (6L, 0L, "tool", "e", "search"),
+      (6L, 1L, "tool", "f", "browse"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val tr = TranscriptOps.toolTransitions(t)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("from_total"),
+          r.getAs[Long]("prob_e6"))).toMap
+    assert(tr(("", "search")) == ((1L, 1L, 1000000L)))
+    // search row-sum = 3: each edge 1/3 -> half-up((2e6+3)/6) = 333333
+    assert(tr(("search", "search")) == ((1L, 3L, 333333L)))
+    assert(tr(("search", "")) == ((1L, 3L, 333333L)))
+    assert(tr(("search", "browse")) == ((1L, 3L, 333333L)))
+    assert(tr.size == 4)
+  }
+
+  test("transcript shared prefixes: deepest shared depth + sharing count, " +
+      "0/1 when nothing shared") {
+    import graft.ops.TranscriptOps
+    val t = Seq(
+      (10L, 0L, "S"), (10L, 1L, "x"), (10L, 2L, "y"),
+      (11L, 0L, "S"), (11L, 1L, "x"), (11L, 2L, "z"),
+      (12L, 0L, "S"), (12L, 1L, "q"),
+      (13L, 0L, "unique"))
+      .toDF("conv_id", "turn_idx", "text")
+      .withColumn("role", lit("user"))
+      .withColumn("tool", lit(null: String))
+    val sp = TranscriptOps.sharedPrefixStats(t, maxDepth = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("max_shared_depth"), r.getAs[Long]("n_convs_at_max")))
+      .toMap
+    assert(sp(10L) == ((2L, 2L)) && sp(11L) == ((2L, 2L)))
+    assert(sp(12L) == ((1L, 3L))) // depth 1 "S" shared by 3 convs
+    assert(sp(13L) == ((0L, 1L))) // nothing shared
+    // prefix digests are depth-capped
+    val pd = TranscriptOps.prefixDigests(t, maxDepth = 2)
+    assert(pd.filter(col("prefix_depth") > 2).count() == 0)
+    assert(pd.filter(col("conv_id") === 10L).count() == 2)
+  }
+
   test("misra-gries heavy hitters: exact answer invariant under " +
       "partitioning, sub-threshold candidates rejected, MG guarantee holds") {
     import graft.ops.FreqStats
