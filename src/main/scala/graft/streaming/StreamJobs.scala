@@ -49,6 +49,32 @@ object StreamJobs {
       cfg: ExporterConfig = ExporterConfig()): DataFrame =
     Exporter.logsV2(Pipeline.compile(spec)(Transcripts.toLogFrame(transcripts)), cfg)
 
+  /** Streaming sessionization of transcript turns: Spark's native
+    * `session_window` (dynamic event-time windows that extend while turns
+    * keep arriving within `gap`) keyed by conv_id — the Structured
+    * Streaming analogue of ops/TranscriptOps.sessionStats. The watermark
+    * bounds session state: a session finalizes (and emits, append mode)
+    * once the watermark passes its end, and late turns merge into their
+    * session until then. Boundary semantics differ from the batch op by
+    * design: the batch rule keeps a turn at EXACTLY `gap` in-session
+    * (strict >), while session_window's half-open [start, last+gap) ends
+    * a session there — same convention as the reference's age cutoff
+    * (closed lower bound).
+    */
+  def sessionStream(turns: DataFrame, gap: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        min(unix_micros(col("ts"))).as("start_epoch_us"),
+        max(unix_micros(col("ts"))).as("end_epoch_us"))
+      .select(col("conv_id"), col("n_turns"), col("first_turn"),
+        col("last_turn"), col("start_epoch_us"), col("end_epoch_us"),
+        (col("end_epoch_us") - col("start_epoch_us")).as("duration_us"))
+
   /** Meter connector: per-dimension (route, role) record counts and byte
     * sizes over tumbling windows — the delta-sum flush of the reference's
     * in-memory accumulation maps.

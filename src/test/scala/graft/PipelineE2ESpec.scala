@@ -101,6 +101,47 @@ class PipelineE2ESpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: out-of-order turns merge into their " +
+      "session; watermark finalizes and emits closed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val turns = in.toDF().toDF("conv_id", "turn_idx", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L)).drop("sec")
+    val sessions = StreamJobs.sessionStream(turns, gap = "600 seconds",
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions").start()
+    try {
+      // batch 1: conv 1 turns at 0s/30s, conv 2 at 10s
+      in.addData(Seq((1L, 0L, 0L), (1L, 1L, 30L), (2L, 0L, 10L)))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions").count() == 0) // nothing closed yet
+      // batch 2: conv 1 turn 3 opens a NEW session at 700s (gap 670 > 600)
+      // AND the late turn 2 at 60s arrives out of order, merging into the
+      // still-open first session. The 700s turn advances the watermark to
+      // 700, which finalizes conv 1's first session ([0, 660)) and
+      // conv 2's ([10, 610)) — processAllAvailable runs the follow-up
+      // micro-batch that emits them.
+      in.addData(Seq((1L, 3L, 700L), (1L, 2L, 60L)))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions").count() == 2)
+      // a watermark-advancing turn finalizes conv 1's 700s restart too
+      in.addData(Seq((9L, 0L, 5000L)))
+      q.processAllAvailable()
+      val got = spark.table("graft_sessions")
+        .orderBy("conv_id", "start_epoch_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getAs[Long]("duration_us"))).toSeq
+      assert(got == Seq(
+        (1L, 3L, 0L, 2L, 60000000L),   // 0s..60s incl. the late turn
+        (1L, 1L, 3L, 3L, 0L),          // the 700s restart
+        (2L, 1L, 0L, 0L, 0L)))
+      // conv 9's session is still open — not emitted in append mode
+      assert(!got.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("meter delta-flush: per-trigger deltas sum to the batch aggregate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
