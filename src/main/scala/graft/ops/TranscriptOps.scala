@@ -194,13 +194,19 @@ object TranscriptOps {
     val d = prefixDigests(turns, maxDepth)
     val counts = d.groupBy(col("prefix_depth"), col("prefix_md5"))
       .agg(count(lit(1)).as("n_convs"))
+    // "n_convs at the deepest shared depth" as max over ONE packed BIGINT
+    // (depth * 2^48 + n_convs; depth is maxDepth-bounded, n_convs < 2^48
+    // at any conceivable corpus) — a max(struct(...)) here would silently
+    // downgrade the whole aggregation to SortAggregate (no hash buffer for
+    // struct maxes), sorting every partition of the conv-keyed shuffle
+    val P = 281474976710656L // 2^48
     d.join(counts, Seq("prefix_depth", "prefix_md5"))
       .groupBy(col("conv_id"))
       .agg(
         coalesce(max(when(col("n_convs") >= 2, col("prefix_depth"))), lit(0L))
           .as("max_shared_depth"),
-        coalesce(max(when(col("n_convs") >= 2,
-          struct(col("prefix_depth"), col("n_convs")))).getField("n_convs"),
+        coalesce(pmod(max(when(col("n_convs") >= 2,
+          col("prefix_depth") * lit(P) + col("n_convs"))), lit(P)),
           lit(1L)).as("n_convs_at_max"))
   }
 
