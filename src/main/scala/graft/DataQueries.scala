@@ -420,6 +420,24 @@ object DataQueries {
       TranscriptOps.sharedPrefixStats(t, maxDepth = 8)
     }),
 
+    // conversation-granularity near-dup: re-logged conversations under new
+    // ids — minhash over the turn-joined conversation text; a per-conv
+    // tail turn makes the two degenerate retry convs NEAR (not exact) dups
+    // so the pair survives the exact-dup collapse and must come out of the
+    // band join
+    "q_conv_neardup" -> ((s, d) => {
+      val t = transcriptView(s, d).withColumn("text",
+        when(col("turn_idx") === 9,
+          concat(col("text"), lit(" tail-"), col("conv_id").cast("string")))
+          .otherwise(col("text")))
+      val convDocs = t.groupBy(col("conv_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+      Dedup.minhashCandidates(convDocs, idCol = "conv_id")
+        .select(col("a"), col("b"))
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -773,6 +791,34 @@ object DataQueries {
          |  dd.n_dup_turns,
          |  round(dd.n_dup_turns * 1.0 / dd.nt, 6) AS dup_turn_frac
          |FROM pw p JOIN runs USING (conv_id) JOIN dd USING (conv_id)""".stripMargin,
+
+    // conversation near-dup: the q_dedup_minhash machinery over the
+    // turn-joined conversation text (same exact-dup collapse, signature
+    // fragments, and hot-band cap)
+    "q_conv_neardup" ->
+      s"""$transcriptSql,
+         |cd AS (
+         |  SELECT conv_id AS doc_id,
+         |    string_agg(CASE WHEN turn_idx = 9
+         |        THEN text || ' tail-' || CAST(conv_id AS VARCHAR)
+         |        ELSE text END, e'\\n' ORDER BY turn_idx) AS text
+         |  FROM t GROUP BY 1),
+         |reps AS (SELECT min(doc_id) AS doc_id, text FROM cd GROUP BY text),
+         |sh AS (SELECT doc_id,
+         |            list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM reps),
+         |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+         |bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig),
+         |ranked AS (SELECT doc_id, band,
+         |             row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn,
+         |             min(doc_id) OVER (PARTITION BY band) AS anchor
+         |           FROM bands),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM ranked l JOIN ranked r ON l.band = r.band AND l.doc_id < r.doc_id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION
+         |  SELECT anchor AS a, doc_id AS b FROM ranked WHERE rn > 256)
+         |SELECT DISTINCT a, b FROM pairs""".stripMargin,
 
     // sessionization: same gaps-and-islands arithmetic over the same
     // derived epoch-micros column
