@@ -438,6 +438,17 @@ object DataQueries {
         .select(col("a"), col("b"))
     }),
 
+    // mean-pooled conversation embeddings: per-turn vectors (vec_id % 50
+    // as the conv key) pooled dimension-wise with e6 integer quantization
+    // before the sum and floor-division means — bit-exact cross-engine
+    // regardless of summation order
+    "q_conv_embedding" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(pmod(col("vec_id"), lit(50)).as("conv_id"), col("embedding"))
+      TranscriptOps.convEmbeddings(e)
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -819,6 +830,21 @@ object DataQueries {
          |  UNION
          |  SELECT anchor AS a, doc_id AS b FROM ranked WHERE rn > 256)
          |SELECT DISTINCT a, b FROM pairs""".stripMargin,
+
+    // conversation embedding pooling: same quantize-then-sum integer
+    // arithmetic; UNNEST WITH ORDINALITY replicates posexplode's dim index
+    "q_conv_embedding" ->
+      """WITH x AS (
+        |  SELECT vec_id % 50 AS conv_id, CAST(i AS INT) - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |g AS (
+        |  SELECT conv_id, dim, CAST(sum(q) AS BIGINT) AS sum_e6,
+        |    count(*) AS n_turns
+        |  FROM x GROUP BY 1, 2)
+        |SELECT conv_id, dim, sum_e6, n_turns,
+        |  CAST(sum_e6 // n_turns AS BIGINT) AS mean_e6
+        |FROM g""".stripMargin,
 
     // sessionization: same gaps-and-islands arithmetic over the same
     // derived epoch-micros column

@@ -210,6 +210,27 @@ object TranscriptOps {
           lit(1L)).as("n_convs_at_max"))
   }
 
+  /** Mean-pooled conversation embedding from per-turn embeddings — the
+    * conversation-level representation conv-granularity semantic dedup /
+    * clustering runs on. Exact cross-engine: each float widens to double
+    * (lossless), quantizes to round(x*1e6) BIGINT BEFORE the sum (integer
+    * sums are summation-order-free, where a float mean depends on
+    * reduction order), and the mean is integer division truncating toward
+    * zero (both Spark's `div` and DuckDB's integer `//` truncate, verified
+    * on negative sums). One (conv, dim)-keyed shuffle with map-side
+    * partials; group count = convs x dims regardless of corpus size.
+    */
+  def convEmbeddings(turnVecs: DataFrame, idCol: String = "conv_id",
+      vecCol: String = "embedding"): DataFrame =
+    turnVecs
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000d) AS BIGINT)"))
+        .as("sum_e6"),
+        count(lit(1)).as("n_turns"))
+      .withColumn("mean_e6",
+        expr("sum_e6 div n_turns"))
+
   /** Corpus-wide turn-level exact dedup, keep-first by (conv_id,
     * turn_idx): returns per-conversation duplicate-turn stats — the
     * transcript analogue of paragraph dedup (a conversation whose turns
