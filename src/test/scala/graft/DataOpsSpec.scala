@@ -838,6 +838,31 @@ class DataOpsSpec extends SparkSuite {
     assert(pd.filter(col("conv_id") === 10L).count() == 2)
   }
 
+  test("conversation embedding pooling: quantize-before-sum is exact and " +
+      "order-free, truncating mean") {
+    import graft.ops.TranscriptOps
+    // conv 1 dim0: 0.5 + 0.25 -> q 500000 + 250000 = 750000, mean 375000
+    // conv 1 dim1: -0.1 + 0.0 -> q -100000 + 0, mean -100000 div 2 = -50000
+    // conv 2 dim0: -0.3333333 -> q -333333 (round toward nearest), n=1
+    val t = Seq(
+      (1L, Array(0.5f, -0.1f)),
+      (1L, Array(0.25f, 0.0f)),
+      (2L, Array(-0.3333333f, 1.0f)))
+      .toDF("conv_id", "embedding")
+    val got = TranscriptOps.convEmbeddings(t)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getAs[Long]("sum_e6"), r.getAs[Long]("n_turns"),
+          r.getAs[Long]("mean_e6"))).toMap
+    assert(got((1L, 0)) == ((750000L, 2L, 375000L)))
+    assert(got((1L, 1)) == ((-100000L, 2L, -50000L))) // trunc toward zero
+    assert(got((2L, 0))._1 == -333333L && got((2L, 1)) == ((1000000L, 1L, 1000000L)))
+    // partitioning-invariant: integer sums don't depend on reduction order
+    val rep = TranscriptOps.convEmbeddings(t.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getAs[Long]("mean_e6")).toMap
+    assert(rep == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("misra-gries heavy hitters: exact answer invariant under " +
       "partitioning, sub-threshold candidates rejected, MG guarantee holds") {
     import graft.ops.FreqStats
