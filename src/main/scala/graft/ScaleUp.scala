@@ -343,6 +343,17 @@ object ScaleUp {
       sess + trans + pref
     }
 
+    // conv_embedding = mean-pool per-turn vectors into conversation
+    // representations: explode rows x dims, ONE (conv, dim)-keyed
+    // map-side-combined aggregation over quantized integers (group count
+    // = convs x dims regardless of corpus size)
+    results += op("conv_embedding", smallV, bigV, smallVecs, bigVecs) { v =>
+      graft.ops.TranscriptOps.convEmbeddings(
+        v.select(pmod(col("vec_id"), lit(10000L)).as("conv_id"),
+          col("embedding")))
+        .agg(sum(col("mean_e6"))).collect().head.getLong(0)
+    }
+
     // the reference's own exporter benchmark workload
     // (exporter_benchmark_test.go:78 — plogsgen 100k-record batches with
     // default options) through the FULL 5-way logs fan-out: small = one
