@@ -547,6 +547,51 @@ object DataQueries {
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n_frames_sampled"),
           countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // conversation-level curation gate: per-conv keep/drop with per-rule
+    // reason flags — the two degenerate retry convs (0, 25) must fail the
+    // repeat and dup rules while every other conversation passes
+    "q_transcript_gate" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.transcriptGate(transcriptView(s, d))
+    }),
+
+    // per-tool outcome analytics: a 3-tool schedule constant within each
+    // 10-turn block (so the block's two tool calls are a same-tool retry),
+    // deterministic injected ERROR results on (conv_id+turn_idx)%4==0;
+    // error/retry rates are integer-exact e6
+    "q_tool_errors" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val t = transcriptView(s, d)
+        .withColumn("tool", expr(
+          "CASE WHEN turn_idx % 5 = 4 THEN " +
+            "(CASE (conv_id + turn_idx div 10) % 3 WHEN 0 THEN 'search' " +
+            "WHEN 1 THEN 'browse' ELSE 'code' END) ELSE NULL END"))
+        .withColumn("text", expr(
+          "CASE WHEN turn_idx % 5 = 4 AND (conv_id + turn_idx) % 4 = 0 " +
+            "THEN 'ERROR: tool failed with timeout' ELSE text END"))
+      TranscriptOps.toolOutcomes(t)
+    }),
+
+    // incremental near-dup: the NEW snapshot (odd ids + 50 re-logged
+    // near-copies of old docs with a one-word tail) probes the OLD
+    // snapshot's capped band index; the 50 re-logs must come out as
+    // candidates without touching the old texts again
+    "q_minhash_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val old = dd.filter(col("doc_id") % 2 === 0)
+      val nw = dd.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" relog")).as("text")))
+      val idx = Dedup.minhashBandIndex(old, maxBandGroup = 256)
+      Dedup.minhashIncremental(idx, nw)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("new_id")).as("n_new_flagged"),
+          md5(concat_ws(",", sort_array(collect_list(
+            concat_ws(":", col("new_id"), col("old_id")))))).as("pairs_md5"))
     })
   )
 
@@ -802,6 +847,125 @@ object DataQueries {
          |  dd.n_dup_turns,
          |  round(dd.n_dup_turns * 1.0 / dd.nt, 6) AS dup_turn_frac
          |FROM pw p JOIN runs USING (conv_id) JOIN dd USING (conv_id)""".stripMargin,
+
+    // conversation gate: the q_transcript_quality signal battery plus
+    // threshold flags — all compares run on the same 6-decimal-rounded
+    // fractions both engines already agree on bit-for-bit
+    "q_transcript_gate" ->
+      s"""$transcriptSql,
+         |r AS (
+         |  SELECT conv_id, turn_idx, role, text, tool,
+         |    role || coalesce(tool, '') AS key,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      - row_number() OVER (PARTITION BY conv_id, role || coalesce(tool, '')
+         |                           ORDER BY turn_idx) AS island,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         |    lag(coalesce(tool, '') || text)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sig
+         |  FROM t),
+         |runs AS (
+         |  SELECT conv_id, max(run) AS max_run FROM (
+         |    SELECT conv_id, key, island, count(*) AS run
+         |    FROM r GROUP BY 1, 2, 3) GROUP BY 1),
+         |pw AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    CAST(sum(CASE WHEN prev_sig IS NOT NULL
+         |      AND prev_sig = coalesce(tool, '') || text THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_repeats,
+         |    CAST(sum(CASE WHEN prev_role IS NOT NULL
+         |      AND prev_role <> role THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM r GROUP BY 1),
+         |dd AS (
+         |  SELECT conv_id, count(*) AS nt,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_turns
+         |  FROM (SELECT conv_id, row_number() OVER (
+         |          PARTITION BY md5(text) ORDER BY conv_id, turn_idx) AS rn
+         |        FROM t) GROUP BY 1),
+         |m AS (
+         |  SELECT p.conv_id, p.n_turns, CAST(runs.max_run AS BIGINT) AS max_run,
+         |    round(p.n_repeats * 1.0 / greatest(p.n_turns - 1, 1), 6)
+         |      AS repeat_frac,
+         |    round(p.n_switches * 1.0 / greatest(p.n_turns - 1, 1), 6)
+         |      AS role_alternation,
+         |    round(dd.n_dup_turns * 1.0 / dd.nt, 6) AS dup_turn_frac
+         |  FROM pw p JOIN runs USING (conv_id) JOIN dd USING (conv_id))
+         |SELECT conv_id, n_turns, max_run, repeat_frac, role_alternation,
+         |  dup_turn_frac,
+         |  (n_turns >= 3 AND n_turns <= 2000) AS pass_length,
+         |  (max_run <= 4) AS pass_run,
+         |  (repeat_frac <= 0.4) AS pass_repeat,
+         |  (role_alternation >= 0.2) AS pass_alternation,
+         |  (dup_turn_frac <= 0.5) AS pass_dup,
+         |  ((n_turns >= 3 AND n_turns <= 2000) AND (max_run <= 4)
+         |   AND (repeat_frac <= 0.4) AND (role_alternation >= 0.2)
+         |   AND (dup_turn_frac <= 0.5)) AS keep
+         |FROM m""".stripMargin,
+
+    // per-tool outcome analytics: lead() over the filtered tool turns,
+    // integer-exact half-up e6 rates (same formula both engines)
+    "q_tool_errors" ->
+      s"""$transcriptSql,
+         |tt AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE (conv_id + turn_idx // 10) % 3 WHEN 0 THEN 'search'
+         |      WHEN 1 THEN 'browse' ELSE 'code' END AS tool,
+         |    CASE WHEN (conv_id + turn_idx) % 4 = 0
+         |      THEN 'ERROR: tool failed with timeout' ELSE text END AS text
+         |  FROM t WHERE turn_idx % 5 = 4),
+         |w AS (
+         |  SELECT *, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |    AS next_tool
+         |  FROM tt),
+         |agg AS (
+         |  SELECT tool, count(*) AS n_calls,
+         |    CAST(sum(CASE WHEN regexp_matches(text,
+         |      '(?i)error|fail|exception|timeout') THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_errors,
+         |    CAST(sum(CASE WHEN next_tool = tool THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_retries
+         |  FROM w GROUP BY 1)
+         |SELECT tool, n_calls, n_errors, n_retries,
+         |  (n_errors * 2000000 + n_calls) // (2 * n_calls) AS error_e6,
+         |  (n_retries * 2000000 + n_calls) // (2 * n_calls) AS retry_e6
+         |FROM agg""".stripMargin,
+
+    // incremental near-dup: old snapshot -> capped band index (row_number
+    // over band by id, same cap), new snapshot bands -> one band join;
+    // the flagged pair set hash-compares via the same sorted string form
+    "q_minhash_incremental" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |nw AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' relog' FROM documents
+         |  WHERE doc_id % 2 = 0 AND doc_id < 100),
+         |oreps AS (SELECT min(doc_id) AS doc_id, text FROM old GROUP BY text),
+         |osh AS (SELECT doc_id,
+         |          list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM oreps),
+         |osig AS (SELECT doc_id, $minhashSigSql AS sig FROM osh),
+         |obands AS (SELECT doc_id, unnest($bandsSql) AS band FROM osig),
+         |oidx AS (
+         |  SELECT doc_id, band FROM (
+         |    SELECT doc_id, band,
+         |      row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+         |    FROM obands) WHERE rn <= 256),
+         |nreps AS (SELECT min(doc_id) AS doc_id, text FROM nw GROUP BY text),
+         |nsh AS (SELECT doc_id,
+         |          list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM nreps),
+         |nsig AS (SELECT doc_id, $minhashSigSql AS sig FROM nsh),
+         |nbands AS (SELECT doc_id, unnest($bandsSql) AS band FROM nsig),
+         |pairs AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM nbands n JOIN oidx o ON n.band = o.band)
+         |SELECT count(*) AS n_pairs,
+         |  count(DISTINCT new_id) AS n_new_flagged,
+         |  md5(coalesce(string_agg(
+         |    CAST(new_id AS VARCHAR) || ':' || CAST(old_id AS VARCHAR), ','
+         |    ORDER BY CAST(new_id AS VARCHAR) || ':' || CAST(old_id AS VARCHAR)),
+         |    '')) AS pairs_md5
+         |FROM pairs""".stripMargin,
 
     // conversation near-dup: the q_dedup_minhash machinery over the
     // turn-joined conversation text (same exact-dup collapse, signature

@@ -145,6 +145,52 @@ object Dedup {
     cappedPairs(withBands, Seq("band"), maxBandGroup).distinct()
   }
 
+  /** The band INDEX of an existing corpus, capped for persistence: per
+    * band, at most `maxBandGroup` member ids in deterministic id order.
+    * In production this is written bucketed-by-band (the ANN signature
+    * index's clustered-write pattern, Similarity.scala) so a later probe
+    * join co-partitions without reshuffling the index.
+    */
+  def minhashBandIndex(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4, maxBandGroup: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band")).orderBy(col("id"))
+    minhashBandRows(docs, textCol, idCol, shingleN, k, bands)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBandGroup)
+      .select(col("id"), col("band"))
+  }
+
+  /** Incremental near-dup: candidate (new_id, old_id) pairs of a NEW
+    * snapshot against an EXISTING corpus's persisted band index — the
+    * near-dup analogue of [[bloomIncremental]] for the recurring-crawl
+    * case. The old corpus is summarized ONCE into [[minhashBandIndex]]
+    * (its texts are never touched again); each arriving snapshot computes
+    * only its own signatures and does one band-keyed join against the
+    * index. At 100 TB the index is a bucketed table, so the probe is a
+    * single co-partitioned shuffle of the NEW side only.
+    *
+    * Recall bound: a hot band's index membership is capped at
+    * `maxBandGroup` ids (id order, so the cap set is deterministic and
+    * snapshot-stable); with 16-minima signatures over `bands` bands a
+    * true near-dup pair still collides on every band it shares, so only
+    * pairs whose EVERY shared band is past-cap are missed — the same
+    * bound [[minhashCandidates]]'s star edges carry, without needing an
+    * anchor row (the probe is one-sided). Candidates verify downstream
+    * against exact fingerprints or [[ngramJaccardPairs]] on the flagged
+    * sliver, as in [[bloomIncremental]].
+    */
+  def minhashIncremental(oldIndex: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val newBands = minhashBandRows(newDocs, textCol, idCol, shingleN, k, bands)
+    newBands.as("n")
+      .join(oldIndex.as("o"), col("n.band") === col("o.band"))
+      .select(col("n.id").as("new_id"), col("o.id").as("old_id"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     * Quadratic in collisions — verification-scale only.
     */

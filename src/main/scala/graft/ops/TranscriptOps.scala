@@ -231,6 +231,64 @@ object TranscriptOps {
       .withColumn("mean_e6",
         expr("sum_e6 div n_turns"))
 
+  /** Conversation-level curation GATE — the transcript analogue of
+    * [[CleanFilters.cleanCorpus]]: one keep/drop decision per conversation
+    * with per-rule reason flags, composed from [[loopSignals]] (stuck-tool
+    * runs, verbatim retries, monologue dumps) and [[turnDedupStats]]
+    * (boilerplate / re-run detection) plus turn-count bounds. All
+    * threshold comparisons run on the 6-decimal-rounded fractions the
+    * underlying ops already emit, so keep flags are bit-identical
+    * cross-engine. Scale shape is the union of the composed ops' shapes
+    * (two conv-keyed window passes + one digest shuffle); the gate itself
+    * adds only a conv-keyed join of two conv-sized aggregates and a
+    * codegen projection.
+    */
+  def transcriptGate(turns: DataFrame, maxRun: Long = 4L,
+      maxRepeatFrac: Double = 0.4, minAlternation: Double = 0.2,
+      maxDupTurnFrac: Double = 0.5, minTurns: Long = 3L,
+      maxTurns: Long = 2000L): DataFrame =
+    loopSignals(turns)
+      .join(turnDedupStats(turns).drop("n_turns"), Seq("conv_id"))
+      .withColumn("pass_length",
+        col("n_turns") >= minTurns && col("n_turns") <= maxTurns)
+      .withColumn("pass_run", col("max_run") <= maxRun)
+      .withColumn("pass_repeat", col("repeat_frac") <= maxRepeatFrac)
+      .withColumn("pass_alternation", col("role_alternation") >= minAlternation)
+      .withColumn("pass_dup", col("dup_turn_frac") <= maxDupTurnFrac)
+      .withColumn("keep",
+        col("pass_length") && col("pass_run") && col("pass_repeat") &&
+          col("pass_alternation") && col("pass_dup"))
+      .select("conv_id", "n_turns", "max_run", "repeat_frac",
+        "role_alternation", "dup_turn_frac", "pass_length", "pass_run",
+        "pass_repeat", "pass_alternation", "pass_dup", "keep")
+
+  /** Per-tool outcome analytics over tool turns: call count, error count
+    * (an `errorPattern` regex over the tool turn's own text — the tool
+    * RESULT in transcript form), and immediate-retry count (the next tool
+    * turn in the conversation calls the same tool — the stuck-tool signal
+    * at tool granularity, where [[loopSignals]] flags it per
+    * conversation). Rates are e6-quantized by the same pure-integer
+    * half-up rounding as [[toolTransitions]] — no float division on
+    * either engine. One conv-keyed window pass over tool turns only, then
+    * a tool-keyed aggregate bounded by the tool vocabulary.
+    */
+  def toolOutcomes(turns: DataFrame,
+      errorPattern: String = "(?i)error|fail|exception|timeout"): DataFrame = {
+    val toolTurns = turns.filter(col("tool").isNotNull)
+      .withColumn("__next_tool", lead(col("tool"), 1).over(byConv))
+    toolTurns
+      .groupBy(col("tool"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("text").rlike(errorPattern), 1L).otherwise(0L))
+          .as("n_errors"),
+        sum(when(col("__next_tool") === col("tool"), 1L).otherwise(0L))
+          .as("n_retries"))
+      .withColumn("error_e6",
+        expr("(n_errors * 2000000L + n_calls) div (2L * n_calls)"))
+      .withColumn("retry_e6",
+        expr("(n_retries * 2000000L + n_calls) div (2L * n_calls)"))
+  }
+
   /** Corpus-wide turn-level exact dedup, keep-first by (conv_id,
     * turn_idx): returns per-conversation duplicate-turn stats — the
     * transcript analogue of paragraph dedup (a conversation whose turns

@@ -912,6 +912,98 @@ class DataOpsSpec extends SparkSuite {
     assert(run(items.repartition(13)) == r1)
   }
 
+  test("transcript gate: per-rule flags and the composed keep decision") {
+    import graft.ops.TranscriptOps
+    val t = Seq(
+      // conv 1: clean — 4 alternating turns, unique texts -> keep
+      (1L, 0L, "user", "q one", null.asInstanceOf[String]),
+      (1L, 1L, "assistant", "a one", null.asInstanceOf[String]),
+      (1L, 2L, "user", "q two", null.asInstanceOf[String]),
+      (1L, 3L, "assistant", "a two", null.asInstanceOf[String]),
+      // conv 2: too short (2 turns) -> fail length only
+      (2L, 0L, "user", "hi", null.asInstanceOf[String]),
+      (2L, 1L, "assistant", "hello", null.asInstanceOf[String]),
+      // conv 3: 6-user monologue -> fail run + alternation
+      (3L, 0L, "user", "m0", null.asInstanceOf[String]),
+      (3L, 1L, "user", "m1", null.asInstanceOf[String]),
+      (3L, 2L, "user", "m2", null.asInstanceOf[String]),
+      (3L, 3L, "user", "m3", null.asInstanceOf[String]),
+      (3L, 4L, "user", "m4", null.asInstanceOf[String]),
+      (3L, 5L, "user", "m5", null.asInstanceOf[String]),
+      // conv 4: alternating roles but one verbatim text -> fail repeat + dup
+      (4L, 0L, "user", "Z", null.asInstanceOf[String]),
+      (4L, 1L, "assistant", "Z", null.asInstanceOf[String]),
+      (4L, 2L, "user", "Z", null.asInstanceOf[String]),
+      (4L, 3L, "assistant", "Z", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val g = TranscriptOps.transcriptGate(t)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("pass_length"), r.getAs[Boolean]("pass_run"),
+          r.getAs[Boolean]("pass_repeat"), r.getAs[Boolean]("pass_alternation"),
+          r.getAs[Boolean]("pass_dup"), r.getAs[Boolean]("keep"))).toMap
+    assert(g(1L) == ((true, true, true, true, true, true)))
+    assert(g(2L) == ((false, true, true, true, true, false)))
+    assert(g(3L) == ((true, false, true, false, true, false)))
+    // conv 4: repeat_frac = 3/3 = 1.0 > 0.4; dup_turn_frac = 3/4 > 0.5
+    assert(g(4L) == ((true, true, false, true, false, false)))
+  }
+
+  test("tool outcomes: error regex, same-tool retry via lead, " +
+      "integer-exact e6 rates") {
+    import graft.ops.TranscriptOps
+    val t = Seq(
+      (1L, 0L, "user", "do it", null.asInstanceOf[String]),
+      (1L, 1L, "tool", "ok result", "search"),
+      (1L, 2L, "assistant", "retrying", null.asInstanceOf[String]),
+      (1L, 3L, "tool", "ERROR: boom", "search"), // search->search = retry
+      (2L, 0L, "tool", "fine", "browse"),
+      (2L, 1L, "assistant", "next", null.asInstanceOf[String]),
+      (2L, 2L, "tool", "Timeout occurred", "code")) // browse->code: no retry
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TranscriptOps.toolOutcomes(t)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_calls"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("n_retries"), r.getAs[Long]("error_e6"),
+          r.getAs[Long]("retry_e6"))).toMap
+    // search: 2 calls, 1 error, 1 retry -> (1*2e6+2) div 4 = 500000 each
+    assert(got("search") == ((2L, 1L, 1L, 500000L, 500000L)))
+    assert(got("browse") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got("code") == ((1L, 1L, 0L, 1000000L, 0L)))
+    assert(got.size == 3) // non-tool turns contribute nothing
+  }
+
+  test("minhash incremental: exact re-log always flagged against the old " +
+      "index, cap keeps lowest ids, probe is partition-invariant") {
+    val old = (1L to 20L).map(i =>
+      (i, s"shared corpus prose with unique marker token number $i inside"))
+      .toDF("doc_id", "text")
+    // cap determinism: identical texts share every band; cap 2 keeps the
+    // two lowest ids per band
+    val same = (1L to 5L).map(i => (i, "the very same text"))
+      .toDF("doc_id", "text")
+    val idx2 = Dedup.minhashBandIndex(same, maxBandGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // identical texts collapse to one representative (min id) BEFORE
+    // banding, so the index holds only doc 1's bands
+    assert(idx2.map(_._1).toSet == Set(1L))
+    val idx = Dedup.minhashBandIndex(old, maxBandGroup = 256)
+    val nw = Seq(
+      (101L, "shared corpus prose with unique marker token number 7 inside"),
+      (102L, "completely unrelated payload about reactor maintenance logs"))
+      .toDF("doc_id", "text")
+    def run(n: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIncremental(idx, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = run(nw)
+    // the exact re-log shares all 4 bands with old doc 7 -> guaranteed
+    assert(pairs.contains((101L, 7L)))
+    // every flagged pair points from a new id to an indexed old id
+    assert(pairs.forall { case (n, o) => n >= 101L && o >= 1L && o <= 20L })
+    // unrelated text never collides (deterministic md5 minhash)
+    assert(!pairs.exists(_._1 == 102L))
+    assert(run(nw.repartition(5)) == pairs)
+  }
+
   test("hll sketch: hand-computed register/rank, duplicate-insensitive, " +
       "partition-invariant, estimate within HLL error bounds") {
     import graft.ops.TextOps
