@@ -297,6 +297,18 @@ object ScaleUp {
     // bytes — the row shows bounded-state distinct counting tracking the
     // explode's scan cost, where exact count(DISTINCT) would shuffle every
     // word occurrence
+    // minhash_incremental = the recurring-crawl near-dup shape: the even-id
+    // half is summarized ONCE into the capped band index (in production a
+    // bucketed table written by the previous crawl's job), the odd-id half
+    // computes only its OWN signatures and does one band-keyed join against
+    // the index — old texts are never re-read, so the per-snapshot cost
+    // tracks the NEW side's rows, not the corpus
+    results += op("minhash_incremental", smallD, bigD, smallDocs, bigDocs) { d =>
+      val idx = Dedup.minhashBandIndex(
+        d.filter(col("doc_id") % 2 === 0), maxBandGroup = 256)
+      Dedup.minhashIncremental(idx, d.filter(col("doc_id") % 2 === 1))
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
     results += op("hll_distinct", smallD, bigD, smallDocs, bigDocs) { d =>
       val words = d
         .withColumn("stratum",
