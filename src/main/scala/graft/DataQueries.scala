@@ -592,6 +592,43 @@ object DataQueries {
           countDistinct(col("new_id")).as("n_new_flagged"),
           md5(concat_ws(",", sort_array(collect_list(
             concat_ws(":", col("new_id"), col("old_id")))))).as("pairs_md5"))
+    }),
+
+    // bounded-state distribution quantiles: per-role p50/p90/p99 turn
+    // token counts from a width-4 histogram CDF — exact integer rank
+    // arithmetic, so both engines report the identical bucket bounds
+    "q_token_quantiles" -> ((s, d) => {
+      import graft.ops.{Quantiles, TextOps}
+      Quantiles.histogramQuantiles(transcriptView(s, d), col("role"),
+        TextOps.wsTokenCount(col("text")), bucketWidth = 4L)
+    }),
+
+    // template boilerplate mining: two injected templated families
+    // (digits vary per row) plus the degenerate retry turns must come out
+    // as heavy hitters AFTER digit/whitespace normalization — verbatim
+    // dedup sees every injected row as unique
+    "q_turn_templates" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val t = transcriptView(s, d).withColumn("text", expr(
+        "CASE WHEN (conv_id + turn_idx) % 5 = 1 THEN " +
+          "concat('Request ', CAST(conv_id * 100 + turn_idx AS STRING), " +
+          "' completed in ', CAST(turn_idx * 7 AS STRING), ' ms') " +
+          "WHEN (conv_id + turn_idx) % 7 = 2 THEN " +
+          "concat('HTTP 404 error fetching page ', CAST(conv_id AS STRING)) " +
+          "ELSE text END"))
+      TranscriptOps.turnTemplates(t, phi = 0.01, k = 128)
+    }),
+
+    // conversation-level semantic retrieval: top-8 nearest conversations
+    // to conv 0 by cosine over the mean-pooled conv embeddings — integer
+    // dots/norms, two correctly-rounded sqrts, e6-quantized output
+    "q_conv_retrieval" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      val e = embs(s, d)
+        .select(pmod(col("vec_id"), lit(50)).as("conv_id"), col("embedding"))
+      val cv = TranscriptOps.convEmbeddings(e)
+        .select(col("conv_id"), col("dim"), col("mean_e6"))
+      TranscriptOps.convTopK(cv, queryConv = 0L, k = 8)
     })
   )
 
@@ -966,6 +1003,79 @@ object DataQueries {
          |    ORDER BY CAST(new_id AS VARCHAR) || ':' || CAST(old_id AS VARCHAR)),
          |    '')) AS pairs_md5
          |FROM pairs""".stripMargin,
+
+    // histogram-CDF quantiles: same width-4 buckets, same integer rank
+    // formula (n*p + 99) // 100, same bucket-lower-bound report
+    "q_token_quantiles" ->
+      s"""$transcriptSql,
+         |v AS (
+         |  SELECT role AS grp,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($toks) END AS v
+         |  FROM t),
+         |b AS (
+         |  SELECT grp, CAST(floor(v / 4.0) AS BIGINT) AS bucket,
+         |    count(*) AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         |    sum(cnt) OVER (PARTITION BY grp) AS n
+         |  FROM b)
+         |SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+         |    THEN bucket * 4 END) AS BIGINT) AS p50,
+         |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100
+         |    THEN bucket * 4 END) AS BIGINT) AS p90,
+         |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
+         |    THEN bucket * 4 END) AS BIGINT) AS p99
+         |FROM c GROUP BY grp""".stripMargin,
+
+    // turn-template heavy hitters: same injection, same normalization
+    // chain (DuckDB regexp_replace needs the explicit 'g' flag Spark
+    // applies by default), same exact HAVING threshold
+    "q_turn_templates" ->
+      s"""$transcriptSql,
+         |i AS (
+         |  SELECT CASE WHEN (conv_id + turn_idx) % 5 = 1 THEN
+         |      'Request ' || CAST(conv_id * 100 + turn_idx AS VARCHAR)
+         |      || ' completed in ' || CAST(turn_idx * 7 AS VARCHAR) || ' ms'
+         |    WHEN (conv_id + turn_idx) % 7 = 2 THEN
+         |      'HTTP 404 error fetching page ' || CAST(conv_id AS VARCHAR)
+         |    ELSE text END AS text
+         |  FROM t),
+         |w AS (
+         |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+         |    '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS tpl
+         |  FROM i),
+         |n AS (SELECT count(*) AS n FROM w)
+         |SELECT tpl AS item, count(*) AS cnt FROM w, n
+         |GROUP BY 1, n.n HAVING count(*) > 0.01 * n.n""".stripMargin,
+
+    // conversation retrieval: the q_conv_embedding pooling, then integer
+    // dots/norms and the identical IEEE expression tree for cosine
+    "q_conv_retrieval" ->
+      """WITH x AS (
+        |  SELECT vec_id % 50 AS conv_id, CAST(i AS INT) - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |cv AS (
+        |  SELECT conv_id, dim,
+        |    CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_e6
+        |  FROM x GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT conv_id, CAST(sum(mean_e6 * mean_e6) AS BIGINT) AS norm
+        |  FROM cv GROUP BY 1),
+        |dots AS (
+        |  SELECT c.conv_id, CAST(sum(c.mean_e6 * q.mean_e6) AS BIGINT) AS dot
+        |  FROM cv c JOIN cv q ON c.dim = q.dim AND q.conv_id = 0
+        |  WHERE c.conv_id <> 0 GROUP BY 1)
+        |SELECT d.conv_id, d.dot,
+        |  CAST(floor(CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(n.norm AS DOUBLE)) * sqrt(CAST(qn.norm AS DOUBLE)))
+        |    * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+        |FROM dots d JOIN norms n USING (conv_id),
+        |  (SELECT norm FROM norms WHERE conv_id = 0) qn
+        |ORDER BY cosine_e6 DESC, d.conv_id LIMIT 8""".stripMargin,
 
     // conversation near-dup: the q_dedup_minhash machinery over the
     // turn-joined conversation text (same exact-dup collapse, signature

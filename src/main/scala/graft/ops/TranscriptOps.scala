@@ -307,4 +307,69 @@ object TranscriptOps {
         round(col("n_dup_turns").cast("double") / col("n_turns"), 6)
           .as("dup_turn_frac"))
   }
+
+  /** Canonical turn TEMPLATE: lowercase, digit runs -> '#', whitespace
+    * collapsed — the normalization that makes 'Request 12345 completed in
+    * 678 ms' and 'Request 9 completed in 3 ms' the same string. Pure
+    * codegen regex chain (Java-regex ∩ RE2 subset, same policy as
+    * ops/Curation's PII patterns).
+    */
+  def turnTemplate(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[0-9]+", "#"), "\\s+", " "))
+
+  /** Template boilerplate mining: the turns whose NORMALIZED form exceeds
+    * a phi frequency share — injected system prompts, templated tool
+    * results, canned apologies — via the bounded-state Misra-Gries
+    * pass + exact verification ([[FreqStats.heavyHitters]]). Template
+    * normalization is what lifts this above [[turnDedupStats]]: verbatim
+    * dedup can't see 'Request 12 …' / 'Request 97 …' as one pattern.
+    * Scale shape = heavyHitters': one k-counter aggregation over the
+    * corpus + one `isin`-pushdown exact count over ≤k candidates.
+    */
+  def turnTemplates(turns: DataFrame, phi: Double = 0.01,
+      k: Int = 128): DataFrame =
+    FreqStats.heavyHitters(
+      turns.select(turnTemplate(col("text")).as("tpl")), col("tpl"), phi, k)
+
+  /** Conversation-level semantic retrieval: top-k nearest conversations
+    * to `queryConv` by cosine over the [[convEmbeddings]] long-form table
+    * (conv_id, dim, mean_e6). The arithmetic stays EXACT until the last
+    * step: dot products and squared norms are sums of BIGINT products of
+    * the e6-quantized means (order-free — 64 dims x (1e6)^2 stays under
+    * 2^53, so both the integer sums and their double casts are exact);
+    * the only floating ops are two correctly-rounded sqrts, one multiply,
+    * one divide — IEEE-identical on any engine — and the result is
+    * e6-quantized for the output. Ties break on conv_id.
+    *
+    * Scale shape: the query side is ONE conversation's dims (broadcast
+    * dim-join); the corpus side is the derived conv-vector table
+    * (convs x dims rows — already 3-4 orders smaller than the turn
+    * table), read once for the dot agg and once for norms. At 100 TB the
+    * conv-vector table is a persisted intermediate and high-QPS retrieval
+    * goes through the LSH/signature index (ops/Similarity) — this is the
+    * exact base the index variants verify against, like ann_brute.
+    */
+  def convTopK(convVecs: DataFrame, queryConv: Long, k: Int): DataFrame = {
+    val norms = convVecs.groupBy(col("conv_id"))
+      .agg(sum(col("mean_e6") * col("mean_e6")).as("norm"))
+    val q = broadcast(convVecs.filter(col("conv_id") === queryConv)
+      .select(col("dim"), col("mean_e6").as("__qm")))
+    val qNorm = broadcast(norms.filter(col("conv_id") === queryConv)
+      .select(col("norm").as("__qnorm")))
+    convVecs.filter(col("conv_id") =!= queryConv)
+      .join(q, Seq("dim"))
+      .groupBy(col("conv_id"))
+      .agg(sum(col("mean_e6") * col("__qm")).as("dot"))
+      .join(norms, Seq("conv_id"))
+      .crossJoin(qNorm)
+      .withColumn("cosine_e6",
+        floor(col("dot").cast("double") /
+          (sqrt(col("norm").cast("double")) *
+            sqrt(col("__qnorm").cast("double"))) * 1000000d + 0.5d)
+          .cast("long"))
+      .orderBy(col("cosine_e6").desc, col("conv_id").asc)
+      .limit(k)
+      .select(col("conv_id"), col("dot"), col("cosine_e6"))
+  }
 }

@@ -1004,6 +1004,70 @@ class DataOpsSpec extends SparkSuite {
     assert(run(nw.repartition(5)) == pairs)
   }
 
+  test("histogram quantiles: hand-computed CDF ranks, bucket lower bounds, " +
+      "edge percentiles, partition-invariance") {
+    import graft.ops.Quantiles
+    // group a: values 0..9 (10 rows), width 4 -> buckets 0,0,0,0,1,1,1,1,2,2
+    // cum: b0=4 b1=8 b2=10. p50 rank=ceil(5)=5 -> b1 -> 4; p90 rank=9 ->
+    // b2 -> 8; p99 rank=ceil(9.9)=10 -> b2 -> 8. p1 rank=1 -> b0 -> 0.
+    // group b: single value 7 -> every percentile = bucket 1 -> 4
+    val df = ((0 to 9).map(v => ("a", v.toLong)) :+ (("b", 7L)))
+      .toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quantiles.histogramQuantiles(d, col("g"), col("v"), 4L,
+          Seq(1, 50, 90, 99))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("p1"), r.getAs[Long]("p50"),
+            r.getAs[Long]("p90"), r.getAs[Long]("p99"))).toMap
+    val got = run(df)
+    assert(got("a") == ((10L, 0L, 4L, 8L, 8L)))
+    assert(got("b") == ((1L, 4L, 4L, 4L, 4L)))
+    // rank arithmetic is integer; the histogram is an aggregation, so the
+    // answer can't depend on partitioning
+    assert(run(df.repartition(7)) == got)
+  }
+
+  test("turn templates: digit/whitespace normalization collapses variants, " +
+      "threshold excludes the unique tail") {
+    import graft.ops.TranscriptOps
+    val tpl = Seq(("Request  42 completed in 7 ms", ""))
+      .toDF("text", "x")
+      .select(TranscriptOps.turnTemplate(col("text"))).head.getString(0)
+    assert(tpl == "request # completed in # ms")
+    // 6 'Request N...' variants + 4 unique rows: phi=0.3 keeps only the
+    // collapsed template (6/10 = 60%); each unique row is 10%
+    val turns = ((1 to 6).map(i => s"Request $i completed in ${i * 3} ms")
+      ++ Seq("alpha", "beta", "gamma", "delta"))
+      .toDF("text")
+    val got = TranscriptOps.turnTemplates(turns, phi = 0.3, k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("request # completed in # ms" -> 6L))
+  }
+
+  test("conv retrieval: hand-computed integer dots/norms, e6 cosine, " +
+      "query exclusion and conv_id tie-break") {
+    import graft.ops.TranscriptOps
+    // dim-form vectors: q=conv 0 = (3,4); conv 1 = (6,8) (cos 1);
+    // conv 2 = (4,-3) (cos 0); conv 3 = (3,4) scaled copy (cos 1, ties
+    // with conv 1 -> conv 1 first)
+    val cv = Seq(
+      (0L, 0, 3L), (0L, 1, 4L),
+      (1L, 0, 6L), (1L, 1, 8L),
+      (2L, 0, 4L), (2L, 1, -3L),
+      (3L, 0, 3L), (3L, 1, 4L))
+      .toDF("conv_id", "dim", "mean_e6")
+    val got = TranscriptOps.convTopK(cv, queryConv = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("dot"),
+        r.getAs[Long]("cosine_e6")))
+    // dots: conv1 = 3*6+4*8 = 50, norm 100, cos = 50/(5*10) = 1 -> 1e6
+    // conv3 = 25, norm 25, cos = 25/(5*5) = 1 -> 1e6 (tie, conv_id after 1)
+    // conv2 = 12-12 = 0 -> cos 0
+    assert(got.toSeq == Seq((1L, 50L, 1000000L), (3L, 25L, 1000000L),
+      (2L, 0L, 0L)))
+    // the query conversation itself never appears
+    assert(!got.exists(_._1 == 0L))
+  }
+
   test("hll sketch: hand-computed register/rank, duplicate-insensitive, " +
       "partition-invariant, estimate within HLL error bounds") {
     import graft.ops.TextOps
