@@ -128,6 +128,17 @@ object DataQueries {
       res
     }),
 
+    // IVF ANN (faiss IVF-flat shape): deterministic k-means coarse
+    // quantizer over the candidate set, the query probes the nprobe=2
+    // nearest inverted lists, exact cosine inside — centroids, probe set,
+    // lists and ranking all reproduce bit-for-bit in the oracle
+    "q_ann_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10, kClusters = 8, iters = 2,
+        nprobe = 2)
+    }),
+
     // token counting: whitespace + BPE-ish regex
     "q_token_counts" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -226,6 +237,18 @@ object DataQueries {
       val lm = LmScore.train(corpus, col("text"), vocabSize = 20, bigramCap = 10000)
       val cols = LmScore.scoreColumns(lm, col("text"))
       corpus.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // fastText-role domain classifier (multinomial NB) trained on the
+    // corpus's own lang labels, scored in one broadcast codegen pass;
+    // fixed-point log arithmetic keeps the DuckDB compare exact
+    "q_nb_classify" -> ((s, d) => {
+      import graft.ops.Classify
+      val corpus = docs(s, d)
+      val m = Classify.nbTrain(corpus, col("text"), col("lang"), vocabSize = 24)
+      val cols = Classify.nbScoreColumns(m, col("text"))
+      corpus.select(col("doc_id") +: col("lang") +:
+        cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
     // SemDeDup-style semantic clustering: deterministic fixed-iteration
@@ -1386,6 +1409,60 @@ object DataQueries {
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
     },
 
+    // the q_kmeans Lloyd unroll restricted to the candidate set
+    // (vec_id <> 0), then: query->centroid distances by the same ordered
+    // fold + e6 quantization, top-2 probe lists (tie to lower cluster),
+    // exact cosine over the probed lists only
+    "q_ann_ivf" -> {
+      val cos = cosineSql("e0.embedding", "(SELECT qv FROM qraw)")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings WHERE vec_id <> 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |a0 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c0 c),
+         |asg0 AS (SELECT vec_id, cl, dist_e6 FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a0)
+         |         WHERE rn = 1),
+         |dims AS (SELECT a.cl, unnest(e.v) AS x,
+         |                unnest(range(1, len(e.v)+1)) AS i
+         |         FROM asg0 a JOIN e ON a.vec_id = e.vec_id),
+         |m1 AS (SELECT cl, i, round(sum(x) / count(*), 6) AS m
+         |       FROM dims GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+         |c1f AS (SELECT c0.cl, coalesce(c1.v, c0.v) AS v
+         |        FROM c0 LEFT JOIN c1 ON c0.cl = c1.cl),
+         |a1 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c1f c),
+         |asg1 AS (SELECT vec_id, cl FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a1)
+         |         WHERE rn = 1),
+         |qraw AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM qraw),
+         |cd AS (SELECT c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(c.v)+1),
+         |                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM c1f c CROSS JOIN qd q),
+         |probes AS (SELECT cl FROM
+         |            (SELECT cl, row_number() OVER
+         |               (ORDER BY dist_e6 ASC, cl ASC) rn FROM cd)
+         |           WHERE rn <= 2)
+         |SELECT e0.vec_id, a.cl AS cluster, $cos AS cosine
+         |FROM embeddings e0 JOIN asg1 a ON e0.vec_id = a.vec_id
+         |WHERE a.cl IN (SELECT cl FROM probes)
+         |ORDER BY cosine DESC, e0.vec_id ASC LIMIT 10""".stripMargin
+    },
+
     "q_multimodal_decode" ->
       s"""WITH f AS (SELECT doc_id, $fnvSql AS h FROM documents),
          |d AS (SELECT doc_id,
@@ -1644,6 +1721,53 @@ object DataQueries {
          |FROM documents d
          |LEFT JOIN stats st ON d.doc_id = st.doc_id
          |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // NB training AND scoring replicated end-to-end: class priors, top-24
+    // vocab, per-(class, token) Laplace log-likelihoods — every log
+    // quantized to e6 BIGINT before the per-doc integer sum, argmax ties
+    // label-ascending, margin = best - runner-up
+    "q_nb_classify" ->
+      s"""WITH cls AS (SELECT lang AS c, count(*) AS n FROM documents GROUP BY lang),
+         |prior AS (SELECT c, CAST(round(ln(n * 1.0 / (SELECT sum(n) FROM cls))
+         |            / ln(2) * 1e6, 0) AS BIGINT) AS p FROM cls),
+         |tok AS (SELECT doc_id, lang,
+         |          unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                 x -> len(x) > 0)) AS w
+         |        FROM documents),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY w
+         |                         ORDER BY n DESC, w ASC LIMIT 24)),
+         |mapped AS (SELECT doc_id, lang,
+         |             CASE WHEN w IN (SELECT w FROM vocab) THEN w
+         |                  ELSE '<unk>' END AS wm FROM tok),
+         |cc AS (SELECT lang AS c, wm, count(*) AS cnt FROM mapped GROUP BY 1, 2),
+         |ctot AS (SELECT c, sum(cnt) AS t FROM cc GROUP BY c),
+         |doctok AS (SELECT doc_id, wm, count(*) AS k FROM mapped
+         |           GROUP BY doc_id, wm),
+         |pairs AS (SELECT dt.doc_id, cl.c, dt.k,
+         |            CAST(round(ln((coalesce(cc.cnt, 0) + 1.0) / (ct.t + 25))
+         |              / ln(2) * 1e6, 0) AS BIGINT) AS lp
+         |          FROM doctok dt CROSS JOIN cls cl
+         |          LEFT JOIN cc ON cc.c = cl.c AND cc.wm = dt.wm
+         |          JOIN ctot ct ON ct.c = cl.c),
+         |score AS (SELECT d.doc_id, p.c, p.p + coalesce(s.s, 0) AS sc
+         |          FROM (SELECT doc_id FROM documents) d
+         |          CROSS JOIN prior p
+         |          LEFT JOIN (SELECT doc_id, c, sum(k * lp) AS s FROM pairs
+         |                     GROUP BY doc_id, c) s
+         |            ON s.doc_id = d.doc_id AND s.c = p.c),
+         |rank AS (SELECT doc_id, c, sc,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY sc DESC, c ASC) AS rn,
+         |           lead(sc) OVER (PARTITION BY doc_id
+         |             ORDER BY sc DESC, c ASC) AS sc2
+         |         FROM score),
+         |ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, CAST(coalesce(nt.n, 0) AS BIGINT) AS n_tokens,
+         |       r.c AS pred, CAST(r.sc AS BIGINT) AS score_e6,
+         |       CAST(r.sc - coalesce(r.sc2, r.sc) AS BIGINT) AS margin_e6
+         |FROM documents d
+         |JOIN rank r ON r.doc_id = d.doc_id AND r.rn = 1
+         |LEFT JOIN ntok nt ON nt.doc_id = d.doc_id""".stripMargin,
 
     // two unrolled Lloyd iterations; distances are bit-identical doubles
     // (ordered fold over float->double exact / 6-decimal-quantized

@@ -211,6 +211,16 @@ object ScaleUp {
       d.select(cols.map { case (n, c) => c.as(n) }: _*)
         .agg(sum(col("sum_logp_e6"))).collect().head.getLong(0)
     }
+    // nb_classify = FULL train (three bounded aggs, (V+1) x K collected
+    // model) + one broadcast codegen scoring pass — like lm_perplexity,
+    // the honest end-to-end cost of a corpus-size-independent model
+    results += op("nb_classify", smallD, bigD, smallDocs, bigDocs) { d =>
+      import graft.ops.Classify
+      val m = Classify.nbTrain(d, col("text"), col("lang"), vocabSize = 24)
+      val cols = Classify.nbScoreColumns(m, col("text"))
+      d.select(cols.map { case (n, c) => c.as(n) }: _*)
+        .agg(sum(col("score_e6"))).collect().head.getLong(0)
+    }
     results += op("kmeans", smallV, bigV, smallVecs, bigVecs) { v =>
       graft.ops.Clustering.kmeans(v, col("vec_id"), col("embedding"),
         k = 8, iters = 2)
@@ -413,6 +423,20 @@ object ScaleUp {
     results += op("ann_indexed", smallV, bigV, smallVecs, bigVecs) { v =>
       val p = if (v eq smallV) idxSmall else idxBig
       Similarity.lshTopKIndexed(spark, p, query(v), 10, planes = 10).count()
+    }
+    // IVF ANN: build = quantizer train (2 broadcast Lloyd passes + k x dim
+    // shuffle) + clustered partitioned write (one-time); query = probe
+    // partition pruning + exact cosine on ~nprobe/kClusters of the corpus
+    val ivfSmall = s"$workDir/ivf_index_$smallVecs"
+    val ivfBig = s"$workDir/ivf_index_$bigVecs"
+    results += op("ivf_index_build", smallV, bigV, smallVecs, bigVecs) { v =>
+      val p = if (v eq smallV) ivfSmall else ivfBig
+      Similarity.buildIvfIndex(rest(v), p, kClusters = 16, iters = 2)
+      1L
+    }
+    results += op("ann_ivf", smallV, bigV, smallVecs, bigVecs) { v =>
+      val p = if (v eq smallV) ivfSmall else ivfBig
+      Similarity.ivfTopKIndexed(spark, p, query(v), 10, nprobe = 2).count()
     }
 
     // traces/metrics exporter slices over a 100x synthetic events table:

@@ -33,13 +33,21 @@ import graft.functions.NearestCentroid
   */
 object Clustering {
 
-  /** Returns (vec_id, cluster, dist_e6) after `iters` Lloyd iterations. */
-  def kmeans(
+  /** Trained quantizer: the final centroid table (driver-small, k×dim) plus
+    * the final assignment frame `(vec_id, v, cluster, dist_e6)` — `v` keeps
+    * the raw vector so downstream consumers (IVF search) avoid a re-join.
+    */
+  final case class KmeansModel(
+      centroids: Array[Array[Double]],
+      assigned: DataFrame)
+
+  /** `iters` Lloyd iterations; returns centroids + final assignment. */
+  def kmeansModel(
       embs: DataFrame,
       idCol: Column,
       vecCol: Column,
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): KmeansModel = {
     val init: Array[Array[Double]] = embs
       .select(idCol.as("vec_id"), vecCol.as("v"))
       .orderBy(col("vec_id").asc).limit(k)
@@ -69,7 +77,42 @@ object Clustering {
       }
       it += 1
     }
-    assigned.select(col("vec_id"), col("a.cluster").as("cluster"),
-      col("a.dist_e6").as("dist_e6"))
+    KmeansModel(centroids, assigned.select(col("vec_id"), col("v"),
+      col("a.cluster").as("cluster"), col("a.dist_e6").as("dist_e6")))
+  }
+
+  /** Returns (vec_id, cluster, dist_e6) after `iters` Lloyd iterations. */
+  def kmeans(
+      embs: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      k: Int = 8,
+      iters: Int = 2): DataFrame =
+    kmeansModel(embs, idCol, vecCol, k, iters)
+      .assigned.select(col("vec_id"), col("cluster"), col("dist_e6"))
+
+  /** Driver-side: the `nprobe` centroids nearest to one query vector, by
+    * the same dimension-ascending fold + e6 HALF_UP quantization as the
+    * [[NearestCentroid]] kernel (ties to the lower cluster id), so the
+    * probe set is reproducible in plain SQL over the same centroid table.
+    */
+  def nearestClusters(
+      centroids: Array[Array[Double]],
+      qVec: Seq[Float],
+      nprobe: Int): Seq[Int] = {
+    val dists = centroids.zipWithIndex.map { case (cent, cl) =>
+      var d = 0.0
+      var i = 0
+      val n = math.min(qVec.length, cent.length)
+      while (i < n) {
+        val diff = qVec(i).toDouble - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      val e6 = BigDecimal(d * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (e6, cl)
+    }
+    dists.sortBy(identity).take(nprobe).map(_._2).toSeq
   }
 }

@@ -414,6 +414,37 @@ class DataOpsSpec extends SparkSuite {
     assert(one("n_tokens") == 1L && one("n_bigrams") == 0L && one("ppl") == 0.0)
   }
 
+  test("naive bayes: hand-computed priors/likelihoods, vocab cap, OOV, " +
+      "argmax + margin, empty doc scores priors only") {
+    import graft.ops.Classify
+    val corpus = Seq(
+      (0L, "a a b", "en"), (1L, "a b", "en"), (2L, "c c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val m = Classify.nbTrain(corpus, col("text"), col("lang"), vocabSize = 2)
+    assert(m.classes.toSeq == Seq("en", "fr"))
+    // priors: log2(2/3) -> -584963, log2(1/3) -> -1584963
+    assert(m.priorsE6.toSeq == Seq(-584963L, -1584963L))
+    // vocab cap 2 by (count DESC, term ASC): a(3), b(2); c -> <unk>
+    assert(m.vocab.toSeq == Seq("a", "b"))
+    assert(m.classTokTotals.toSeq == Seq(5L, 2L))
+
+    def score(text: String) = {
+      val df = Seq((0L, text)).toDF("doc_id", "text")
+      val cols = Classify.nbScoreColumns(m, col("text"))
+      val r = df.select(cols.map { case (n, c) => c.as(n) }: _*).head()
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    }
+    // "a a b" en: -584963 + 2*log2(4/8)e6 + log2(3/8)e6 = -4000000
+    //         fr: -1584963 + 3*log2(1/5)e6 = -8550747
+    assert(score("a a b") == ((3L, "en", -4000000L, 4550747L)))
+    // "a b" en: -3000000; fr: -6228819
+    assert(score("a b") == ((2L, "en", -3000000L, 3228819L)))
+    // "c c" maps to <unk> twice: en -6584963, fr -1584963 + 2*log2(3/5)e6
+    assert(score("c c") == ((2L, "fr", -3058895L, 3526068L)))
+    // empty text: priors only, margin = prior gap
+    assert(score("") == ((0L, "en", -584963L, 1000000L)))
+  }
+
   test("k-means: hand-computed 2D geometry, tie-break to lower cluster, " +
       "empty-cluster fallback") {
     import graft.ops.Clustering
@@ -436,6 +467,61 @@ class DataOpsSpec extends SparkSuite {
     val r2 = Clustering.kmeans(same, col("vec_id"), col("embedding"), k = 2, iters = 2)
       .collect()
     assert(r2.forall(x => x.getInt(1) == 0 && x.getLong(2) == 0L))
+  }
+
+  test("ivf ann: quantizer geometry, probe selection, list-restricted " +
+      "ranking, persisted index prunes unprobed lists") {
+    import graft.ops.Clustering
+    val pts = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(1f, 0.1f)),
+      (4L, Array(10f, 10f)), (5L, Array(9f, 11f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(10f, 10.5f))).toDF("vec_id", "embedding")
+
+    // hand-traced Lloyd (k=2, iters=2): init c0=(1,0) c1=(0.9,0.1); iter1
+    // groups {1,3} / {2,4,5}; final centroids (1,0.05) / (6.633333,7.033333)
+    val model = Clustering.kmeansModel(pts, col("vec_id"), col("embedding"),
+      k = 2, iters = 2)
+    assert(model.centroids(0).toSeq == Seq(1.0, 0.05))
+    assert(model.centroids(1).toSeq == Seq(6.633333, 7.033333))
+    // the query sits in cluster 1's region -> single probe = list 1
+    assert(Clustering.nearestClusters(model.centroids,
+      Seq(10f, 10.5f), nprobe = 1) == Seq(1))
+
+    // nprobe=1: only list-1 members pay cosine; (10,10) is the closer angle
+    val r1 = Similarity.ivfTopK(pts, query, k = 3, kClusters = 2, iters = 2,
+      nprobe = 1).collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    assert(r1.forall(_.getInt(1) == 1))
+    assert(r1(0).getDouble(2) > r1(1).getDouble(2))
+
+    // nprobe = kClusters degrades to brute force: same ids, same order
+    val rAll = Similarity.ivfTopK(pts, query, k = 5, kClusters = 2, iters = 2,
+      nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = Similarity.bruteForceTopK(pts, query, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rAll == brute)
+
+    // persisted index: sidecar centroids round-trip, probe filter prunes
+    // partition files, results match the in-memory path
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(pts, idx, kClusters = 2, iters = 2)
+    assert(Similarity.loadIvfCentroids(idx).map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    val ri = Similarity.ivfTopKIndexed(spark, idx, query, k = 3, nprobe = 1)
+    val rows = ri.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = ri.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val touched = plan.collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(idx).inputFiles.length
+    assert(touched > 0 && touched < total,
+      s"ivf partition pruning failed: read $touched of $total files")
   }
 
   test("connected components: chains converge past one hop, clusters keep " +
