@@ -472,6 +472,32 @@ object DataQueries {
       TranscriptOps.convEmbeddings(e)
     }),
 
+    // SFT pair extraction: nearest-preceding-user prompt per assistant
+    // turn in one conv-keyed window pass; int lengths cast to long so the
+    // schema matches DuckDB's BIGINT length()
+    "q_sft_pairs" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.sftPairs(transcriptView(s, d))
+        .withColumn("prompt_chars", col("prompt_chars").cast("long"))
+        .withColumn("response_chars", col("response_chars").cast("long"))
+    }),
+
+    // chat-template rendering: each conversation serialized to ONE
+    // training text in strict turn order (tool turns tagged tool:name),
+    // with char count + md5 digest
+    "q_chat_render" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.renderChat(transcriptView(s, d))
+    }),
+
+    // preference-pair mining: repeated normalized user prompts inside a
+    // conversation pair their first (rejected) and last (chosen) assistant
+    // responses; the two degenerate retry convs (0, 25) guarantee pairs
+    "q_pref_pairs" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.preferencePairs(transcriptView(s, d))
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -1073,6 +1099,66 @@ object DataQueries {
          |n AS (SELECT count(*) AS n FROM w)
          |SELECT tpl AS item, count(*) AS cnt FROM w, n
          |GROUP BY 1, n.n HAVING count(*) > 0.01 * n.n""".stripMargin,
+
+    // SFT pairs: identical frame (UNBOUNDED PRECEDING .. 1 PRECEDING)
+    // last-non-null user text + prior-turn count
+    "q_sft_pairs" ->
+      s"""$transcriptSql,
+         |p AS (
+         |  SELECT conv_id, turn_idx, role, text,
+         |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+         |      OVER w AS prompt,
+         |    count(*) OVER w AS n_context_turns
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT conv_id, turn_idx, prompt, text AS response,
+         |  CAST(n_context_turns AS BIGINT) AS n_context_turns,
+         |  CAST(length(prompt) AS BIGINT) AS prompt_chars,
+         |  CAST(length(text) AS BIGINT) AS response_chars
+         |FROM p
+         |WHERE role = 'assistant' AND prompt IS NOT NULL
+         |  AND length(text) >= 1""".stripMargin,
+
+    // chat render: same per-turn serialization, order-pinned string_agg
+    "q_chat_render" ->
+      s"""$transcriptSql,
+         |r AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || CASE WHEN tool IS NOT NULL AND tool <> ''
+         |        THEN 'tool:' || tool ELSE role END
+         |      || '|>' || chr(10) || text || chr(10) || '<|end|>' || chr(10)
+         |      AS r
+         |  FROM t)
+         |SELECT conv_id, count(*) AS n_turns,
+         |  CAST(sum(length(r)) AS BIGINT) AS n_chars,
+         |  string_agg(r, '' ORDER BY turn_idx) AS text,
+         |  md5(string_agg(r, '' ORDER BY turn_idx)) AS digest
+         |FROM r GROUP BY 1""".stripMargin,
+
+    // preference pairs: sft prompt derivation + the turn-template
+    // normalization, arg_min/arg_max for the rejected/chosen responses
+    "q_pref_pairs" ->
+      s"""$transcriptSql,
+         |p AS (
+         |  SELECT conv_id, turn_idx, role, text,
+         |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+         |      OVER w AS prompt
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sft AS (
+         |  SELECT conv_id, turn_idx, text AS response,
+         |    trim(regexp_replace(regexp_replace(lower(prompt),
+         |      '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS prompt_tpl
+         |  FROM p
+         |  WHERE role = 'assistant' AND prompt IS NOT NULL
+         |    AND length(text) >= 1)
+         |SELECT conv_id, prompt_tpl, count(*) AS n_attempts,
+         |  min(turn_idx) AS rejected_turn, max(turn_idx) AS chosen_turn,
+         |  arg_min(response, turn_idx) AS rejected,
+         |  arg_max(response, turn_idx) AS chosen
+         |FROM sft GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // conversation retrieval: the q_conv_embedding pooling, then integer
     // dots/norms and the identical IEEE expression tree for cosine

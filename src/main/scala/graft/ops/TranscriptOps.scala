@@ -372,4 +372,88 @@ object TranscriptOps {
       .limit(k)
       .select(col("conv_id"), col("dot"), col("cosine_e6"))
   }
+
+  /** SFT (instruction-tuning) pair extraction: one (prompt, response) row
+    * per assistant turn, where the prompt is the NEAREST PRECEDING user
+    * turn in the same conversation (tool turns between them are context,
+    * not prompt). Assistant turns with no prior user turn (conversation
+    * openers, system-only prefixes) are dropped — there is nothing to
+    * condition on. `n_context_turns` counts ALL turns before the response
+    * (the context-window budget a sample would need).
+    *
+    * Scale shape: ONE conv-keyed window pass (the same
+    * partitionBy(conv_id).orderBy(turn_idx) sort every transcript op here
+    * shares — Catalyst reuses a single sort for both window functions),
+    * then a codegen filter/projection. No joins, no second shuffle.
+    */
+  def sftPairs(turns: DataFrame, minResponseChars: Int = 1): DataFrame = {
+    val before = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("__prompt",
+        last(when(col("role") === "user", col("text")), ignoreNulls = true)
+          .over(before))
+      .withColumn("__n_ctx", count(lit(1)).over(before))
+      .filter(col("role") === "assistant" && col("__prompt").isNotNull &&
+        length(col("text")) >= minResponseChars)
+      .select(col("conv_id"), col("turn_idx"),
+        col("__prompt").as("prompt"), col("text").as("response"),
+        col("__n_ctx").as("n_context_turns"),
+        length(col("__prompt")).as("prompt_chars"),
+        length(col("text")).as("response_chars"))
+  }
+
+  /** Chat-template rendering: serialize each conversation into ONE
+    * training-ready text in strict turn order —
+    * `<|role|>\ntext\n<|end|>\n` per turn, where a tool turn renders as
+    * `<|tool:name|>`. Emits the rendered text plus its md5 digest and
+    * char count, so downstream exact-dedup/sharding can key on the digest
+    * without re-reading the text.
+    *
+    * Scale shape: per-turn rendering is a codegen concat; the
+    * conversation assembly is one conv-keyed aggregate whose buffer is
+    * bounded by ONE conversation's turns (collect_list + array_sort —
+    * the same deliberate bounded-buffer ObjectHashAggregate shape as
+    * [[packedWindows]] and conv-granularity minhash). Output rows are
+    * conversations, 3-4 orders fewer than turns.
+    */
+  def renderChat(turns: DataFrame): DataFrame = {
+    val roleTag = when(col("tool").isNotNull && col("tool") =!= "",
+      concat(lit("tool:"), col("tool"))).otherwise(col("role"))
+    val rendered = concat(lit("<|"), roleTag, lit("|>\n"), col("text"),
+      lit("\n<|end|>\n"))
+    turns
+      .select(col("conv_id"), col("turn_idx"), rendered.as("__r"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(length(col("__r"))).as("n_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("__r")))),
+          x => x.getField("__r")), "").as("text"))
+      .withColumn("digest", md5(col("text")))
+  }
+
+  /** Preference-pair (DPO-style) mining from retry structure: when the
+    * SAME normalized user prompt ([[turnTemplate]] — digit runs
+    * collapsed, case/whitespace folded) draws two or more assistant
+    * responses in one conversation, the user was re-asking — the FIRST
+    * response is the implicit reject, the LAST the implicit accept.
+    * Emits (conv_id, prompt_tpl, n_attempts, rejected, chosen) with the
+    * turn indices so a downstream gate can bound the retry distance.
+    *
+    * Scale shape: [[sftPairs]]' single window pass, then ONE hash
+    * aggregate keyed (conv_id, prompt_tpl) with bounded state (min_by /
+    * max_by keep one response each — no per-group list). Ties cannot
+    * occur: turn_idx is unique within a conversation.
+    */
+  def preferencePairs(turns: DataFrame): DataFrame =
+    sftPairs(turns)
+      .withColumn("prompt_tpl", turnTemplate(col("prompt")))
+      .groupBy(col("conv_id"), col("prompt_tpl"))
+      .agg(count(lit(1)).as("n_attempts"),
+        min(col("turn_idx")).as("rejected_turn"),
+        max(col("turn_idx")).as("chosen_turn"),
+        min_by(col("response"), col("turn_idx")).as("rejected"),
+        max_by(col("response"), col("turn_idx")).as("chosen"))
+      .filter(col("n_attempts") >= 2)
 }

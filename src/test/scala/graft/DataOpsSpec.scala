@@ -1188,4 +1188,84 @@ class DataOpsSpec extends SparkSuite {
         assert(math.abs(est - 500.0) / 500.0 < 0.15, s"estimate $est")
       }
   }
+
+  test("sft pairs: nearest preceding user prompt, openers dropped, tool " +
+      "turns count as context only") {
+    import graft.ops.TranscriptOps
+    // conv 1: a0 has no prior user -> dropped; u1 -> a2 and (through the
+    // tool turn) a4; u5 -> a6. conv 2: user-only -> no pairs.
+    val t = Seq(
+      (1L, 0L, "assistant", "opener", null.asInstanceOf[String]),
+      (1L, 1L, "user", "question one", null.asInstanceOf[String]),
+      (1L, 2L, "assistant", "answer one", null.asInstanceOf[String]),
+      (1L, 3L, "tool", "tool output", "search"),
+      (1L, 4L, "assistant", "answer two", null.asInstanceOf[String]),
+      (1L, 5L, "user", "question two", null.asInstanceOf[String]),
+      (1L, 6L, "assistant", "answer three", null.asInstanceOf[String]),
+      (2L, 0L, "user", "never answered", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TranscriptOps.sftPairs(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[String]("prompt"), r.getAs[String]("response"),
+          r.getAs[Long]("n_context_turns"))).toMap
+    assert(got == Map(
+      (1L, 2L) -> (("question one", "answer one", 2L)),
+      (1L, 4L) -> (("question one", "answer two", 4L)),
+      (1L, 6L) -> (("question two", "answer three", 6L))))
+    // the window pass is deterministic under any partitioning
+    assert(TranscriptOps.sftPairs(t.repartition(7)).collect().toSet ==
+      TranscriptOps.sftPairs(t).collect().toSet)
+  }
+
+  test("chat render: strict turn order, tool tag, exact serialized text " +
+      "and digest stability") {
+    import graft.ops.TranscriptOps
+    val t = Seq(
+      (1L, 1L, "assistant", "hi there", null.asInstanceOf[String]),
+      (1L, 0L, "user", "hello", null.asInstanceOf[String]), // out of order on purpose
+      (1L, 2L, "tool", "{\"ok\":true}", "bash"),
+      (2L, 0L, "user", "solo", ""))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TranscriptOps.renderChat(t)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("n_chars"),
+          r.getAs[String]("text"))).toMap
+    val conv1 = "<|user|>\nhello\n<|end|>\n" +
+      "<|assistant|>\nhi there\n<|end|>\n" +
+      "<|tool:bash|>\n{\"ok\":true}\n<|end|>\n"
+    assert(got(1L) == ((3L, conv1.length.toLong, conv1)))
+    // empty-string tool renders as the role, not "tool:"
+    assert(got(2L) == ((1L, "<|user|>\nsolo\n<|end|>\n".length.toLong,
+      "<|user|>\nsolo\n<|end|>\n")))
+    // input partitioning can't change the serialized conversation
+    assert(TranscriptOps.renderChat(t.repartition(5)).collect().toSet ==
+      TranscriptOps.renderChat(t).collect().toSet)
+  }
+
+  test("preference pairs: same normalized prompt -> first response " +
+      "rejected, last chosen; singles excluded") {
+    import graft.ops.TranscriptOps
+    // 'run job 12'/'run job 99' normalize to one template -> the two
+    // answers form a pair (first=rejected, last=chosen); 'other task' has
+    // one answer -> no pair
+    val t = Seq(
+      (1L, 0L, "user", "run job 12", null.asInstanceOf[String]),
+      (1L, 1L, "assistant", "failed with timeout", null.asInstanceOf[String]),
+      (1L, 2L, "user", "run job 99", null.asInstanceOf[String]),
+      (1L, 3L, "assistant", "done in 4s", null.asInstanceOf[String]),
+      (1L, 4L, "user", "other task", null.asInstanceOf[String]),
+      (1L, 5L, "assistant", "sure", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val rows = TranscriptOps.preferencePairs(t).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("prompt_tpl") == "run job #")
+    assert(r.getAs[Long]("n_attempts") == 2L)
+    assert(r.getAs[Long]("rejected_turn") == 1L &&
+      r.getAs[Long]("chosen_turn") == 3L)
+    assert(r.getAs[String]("rejected") == "failed with timeout" &&
+      r.getAs[String]("chosen") == "done in 4s")
+    assert(TranscriptOps.preferencePairs(t.repartition(6)).collect().toSet ==
+      rows.toSet)
+  }
 }
