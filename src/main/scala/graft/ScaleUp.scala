@@ -365,6 +365,24 @@ object ScaleUp {
       sess + trans + pref
     }
 
+    // sft_render = the training-sample format ops over the flagship
+    // transcript table: SFT (prompt, response) pair extraction +
+    // preference-pair mining (both ride ONE conv_id-keyed window pass)
+    // and chat-template serialization (per-turn codegen concat + a
+    // conv-sized bounded-buffer aggregate). Output rows are pairs/convs —
+    // orders fewer than turns — so the digests/counts are what's forced.
+    results += op("sft_render", smallT, bigT, turnsSmall, turnsBig) { t =>
+      val pairs = graft.ops.TranscriptOps.sftPairs(t)
+        .agg(count(lit(1)), sum(col("response_chars").cast("long")))
+        .collect().head.getLong(0)
+      val prefs = graft.ops.TranscriptOps.preferencePairs(t)
+        .agg(count(lit(1))).collect().head.getLong(0)
+      val rendered = graft.ops.TranscriptOps.renderChat(t)
+        .agg(count(lit(1)), sum(col("n_chars")))
+        .collect().head.getLong(0)
+      pairs + prefs + rendered
+    }
+
     // conv_embedding = mean-pool per-turn vectors into conversation
     // representations: explode rows x dims, ONE (conv, dim)-keyed
     // map-side-combined aggregation over quantized integers (group count

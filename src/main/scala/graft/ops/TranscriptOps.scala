@@ -441,19 +441,32 @@ object TranscriptOps {
     * Emits (conv_id, prompt_tpl, n_attempts, rejected, chosen) with the
     * turn indices so a downstream gate can bound the retry distance.
     *
-    * Scale shape: [[sftPairs]]' single window pass, then ONE hash
-    * aggregate keyed (conv_id, prompt_tpl) with bounded state (min_by /
-    * max_by keep one response each — no per-group list). Ties cannot
-    * occur: turn_idx is unique within a conversation.
+    * Scale shape: [[sftPairs]]' single window pass, then ONE
+    * (conv_id, prompt_tpl)-keyed sort shared by all the group window
+    * functions. Deliberately NOT a min_by/max_by aggregation: string
+    * aggregation buffers aren't hash-aggregable, so that plan degrades to
+    * a SortAggregate — the window form sorts exactly once on the same
+    * keys and keeps the projection in codegen. Group frames are bounded
+    * by one prompt's retry count. Ties cannot occur: turn_idx is unique
+    * within a conversation.
     */
-  def preferencePairs(turns: DataFrame): DataFrame =
+  def preferencePairs(turns: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("conv_id"), col("prompt_tpl"))
+    val byTurn = grp.orderBy(col("turn_idx"))
+    val full = byTurn.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     sftPairs(turns)
       .withColumn("prompt_tpl", turnTemplate(col("prompt")))
-      .groupBy(col("conv_id"), col("prompt_tpl"))
-      .agg(count(lit(1)).as("n_attempts"),
-        min(col("turn_idx")).as("rejected_turn"),
-        max(col("turn_idx")).as("chosen_turn"),
-        min_by(col("response"), col("turn_idx")).as("rejected"),
-        max_by(col("response"), col("turn_idx")).as("chosen"))
-      .filter(col("n_attempts") >= 2)
+      .withColumn("__rn", row_number().over(byTurn))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .withColumn("__chosen_turn", last(col("turn_idx")).over(full))
+      .withColumn("__chosen", last(col("response")).over(full))
+      .filter(col("__n") >= 2 && col("__rn") === 1)
+      .select(col("conv_id"), col("prompt_tpl"),
+        col("__n").as("n_attempts"),
+        col("turn_idx").as("rejected_turn"),
+        col("__chosen_turn").as("chosen_turn"),
+        col("response").as("rejected"),
+        col("__chosen").as("chosen"))
+  }
 }
