@@ -498,6 +498,15 @@ object DataQueries {
       TranscriptOps.preferencePairs(transcriptView(s, d))
     }),
 
+    // end-to-end curation composition: gate -> keep -> render -> digest
+    // dedup, in ONE plan (each stage is separately oracle-verified; this
+    // row verifies the composition — the degenerate retry convs 0/25 must
+    // be gated out before rendering)
+    "q_curation_e2e" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.curateConversations(transcriptView(s, d))
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -1159,6 +1168,63 @@ object DataQueries {
          |  arg_min(response, turn_idx) AS rejected,
          |  arg_max(response, turn_idx) AS chosen
          |FROM sft GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // curation e2e: the q_transcript_gate CTE chain -> keep filter ->
+    // the q_chat_render serialization over surviving convs -> keep-first
+    // digest dedup (QUALIFY row_number)
+    "q_curation_e2e" ->
+      s"""$transcriptSql,
+         |r AS (
+         |  SELECT conv_id, turn_idx, role, text, tool,
+         |    role || coalesce(tool, '') AS key,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      - row_number() OVER (PARTITION BY conv_id, role || coalesce(tool, '')
+         |                           ORDER BY turn_idx) AS island,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         |    lag(coalesce(tool, '') || text)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sig
+         |  FROM t),
+         |runs AS (
+         |  SELECT conv_id, max(run) AS max_run FROM (
+         |    SELECT conv_id, key, island, count(*) AS run
+         |    FROM r GROUP BY 1, 2, 3) GROUP BY 1),
+         |pw AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    CAST(sum(CASE WHEN prev_sig IS NOT NULL
+         |      AND prev_sig = coalesce(tool, '') || text THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_repeats,
+         |    CAST(sum(CASE WHEN prev_role IS NOT NULL
+         |      AND prev_role <> role THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM r GROUP BY 1),
+         |dd AS (
+         |  SELECT conv_id, count(*) AS nt,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_turns
+         |  FROM (SELECT conv_id, row_number() OVER (
+         |          PARTITION BY md5(text) ORDER BY conv_id, turn_idx) AS rn
+         |        FROM t) GROUP BY 1),
+         |keepers AS (
+         |  SELECT p.conv_id
+         |  FROM pw p JOIN runs USING (conv_id) JOIN dd USING (conv_id)
+         |  WHERE p.n_turns >= 3 AND p.n_turns <= 2000
+         |    AND runs.max_run <= 4
+         |    AND round(p.n_repeats * 1.0 / greatest(p.n_turns - 1, 1), 6) <= 0.4
+         |    AND round(p.n_switches * 1.0 / greatest(p.n_turns - 1, 1), 6) >= 0.2
+         |    AND round(dd.n_dup_turns * 1.0 / dd.nt, 6) <= 0.5),
+         |rr AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || CASE WHEN tool IS NOT NULL AND tool <> ''
+         |        THEN 'tool:' || tool ELSE role END
+         |      || '|>' || chr(10) || text || chr(10) || '<|end|>' || chr(10)
+         |      AS rend
+         |  FROM t SEMI JOIN keepers USING (conv_id)),
+         |agg AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    CAST(sum(length(rend)) AS BIGINT) AS n_chars,
+         |    md5(string_agg(rend, '' ORDER BY turn_idx)) AS digest
+         |  FROM rr GROUP BY 1)
+         |SELECT conv_id, n_turns, n_chars, digest FROM agg
+         |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY conv_id) = 1""".stripMargin,
 
     // conversation retrieval: the q_conv_embedding pooling, then integer
     // dots/norms and the identical IEEE expression tree for cosine

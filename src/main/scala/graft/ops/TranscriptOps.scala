@@ -469,4 +469,27 @@ object TranscriptOps {
         col("response").as("rejected"),
         col("__chosen").as("chosen"))
   }
+
+  /** The end-to-end conversation-curation pipeline in one plan:
+    * [[transcriptGate]] (keep/drop per conversation) → keep filter →
+    * [[renderChat]] (one training text per surviving conversation) →
+    * exact dedup on the rendered digest (keep-first by conv_id). This is
+    * the composition a production corpus build runs — each stage is
+    * individually oracle-verified; this query verifies the composition.
+    *
+    * Scale shape: the gate emits conv-sized rows; the keep set joins back
+    * to turns as a conv_id-keyed semi-join (co-partitioned with the
+    * render aggregation's own conv_id shuffle — Catalyst reuses the
+    * exchange); the final dedup is one shuffle on the 16-byte digest with
+    * a per-group sort bounded by one text's duplicate count.
+    */
+  def curateConversations(turns: DataFrame): DataFrame = {
+    val kept = transcriptGate(turns).filter(col("keep")).select("conv_id")
+    val rendered = renderChat(turns.join(kept, Seq("conv_id"), "left_semi"))
+    val byDigest = Window.partitionBy(col("digest")).orderBy(col("conv_id"))
+    rendered
+      .withColumn("__rn", row_number().over(byDigest))
+      .filter(col("__rn") === 1)
+      .select(col("conv_id"), col("n_turns"), col("n_chars"), col("digest"))
+  }
 }

@@ -1242,6 +1242,25 @@ class DataOpsSpec extends SparkSuite {
       TranscriptOps.renderChat(t).collect().toSet)
   }
 
+  test("curation e2e: degenerate conv gated out, identical rendered " +
+      "convs collapse keep-first") {
+    import graft.ops.TranscriptOps
+    // convs 1 and 2 are identical healthy u/a/u/a exchanges -> both pass
+    // the gate, render to the same text, dedup keeps conv 1. conv 3 is a
+    // 4-turn verbatim user loop -> gated out (alternation 0, repeats 1.0).
+    def conv(id: Long) = Seq(
+      (id, 0L, "user", "hello", null.asInstanceOf[String]),
+      (id, 1L, "assistant", "hi", null.asInstanceOf[String]),
+      (id, 2L, "user", "thanks", null.asInstanceOf[String]),
+      (id, 3L, "assistant", "welcome", null.asInstanceOf[String]))
+    val loop = (0L to 3L).map(i => (3L, i, "user", "retry", null.asInstanceOf[String]))
+    val t = (conv(1) ++ conv(2) ++ loop)
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TranscriptOps.curateConversations(t)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_turns")))
+    assert(got.toSeq == Seq((1L, 4L)))
+  }
+
   test("preference pairs: same normalized prompt -> first response " +
       "rejected, last chosen; singles excluded") {
     import graft.ops.TranscriptOps
