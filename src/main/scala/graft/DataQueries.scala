@@ -507,6 +507,33 @@ object DataQueries {
       TranscriptOps.curateConversations(transcriptView(s, d))
     }),
 
+    // conversation-keyed leakage-proof train/val/test split (md5
+    // hex-prefix threshold on conv_id, 90/5/5): every turn of a conv
+    // lands in one split by construction; per-split audit counts
+    "q_split_leakproof" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.leakproofSplit(transcriptView(s, d))
+    }),
+
+    // rejection sampling: best-of-n assistant response per normalized
+    // prompt template (retry groups), reward = the q_quality composite
+    // over the response text, argmax kept (ties -> last turn)
+    "q_reject_sample" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.rejectionSample(transcriptView(s, d))
+        .withColumn("response_chars", col("response_chars").cast("long"))
+    }),
+
+    // length-bucketed batch assembly: power-of-two token-length buckets,
+    // 4 hash shards each forming batch-of-16 groups longest-first; the
+    // per-bucket padding-waste audit a padded-batch trainer runs
+    "q_batch_pack" -> ((s, d) => {
+      import graft.ops.{Packing, TranscriptOps}
+      val t = transcriptView(s, d)
+      Packing.lengthBucketBatches(t, TranscriptOps.turnTokens(col("text")),
+        batchSize = 16, shards = 4)
+    }),
+
     // heavy hitters with bounded state: Misra-Gries candidates (k=128)
     // + exact verification over the candidate sliver; the injected vocab
     // (500 unique tail tokens + a sub-threshold 'warm') forces real MG
@@ -1225,6 +1252,116 @@ object DataQueries {
          |  FROM rr GROUP BY 1)
          |SELECT conv_id, n_turns, n_chars, digest FROM agg
          |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY conv_id) = 1""".stripMargin,
+
+    // leakage-proof split: same md5 hex-prefix thresholds interpolated
+    // from the same integer formula, same per-split audit aggregates
+    "q_split_leakproof" -> {
+      val trainThr = f"${90 * 65536 / 100}%04x"
+      val valThr = f"${95 * 65536 / 100}%04x"
+      s"""$transcriptSql,
+         |s AS (
+         |  SELECT conv_id, text,
+         |    CASE WHEN substr(md5(CAST(conv_id AS VARCHAR)), 1, 4) < '$trainThr'
+         |           THEN 'train'
+         |         WHEN substr(md5(CAST(conv_id AS VARCHAR)), 1, 4) < '$valThr'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM t)
+         |SELECT split, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM s GROUP BY 1""".stripMargin
+    },
+
+    // rejection sampling: the q_sft_pairs prompt derivation, the
+    // q_turn_templates normalization, the q_quality composite as reward
+    // (same 6-decimal ratio rounding), argmax by (reward, turn_idx)
+    "q_reject_sample" -> {
+      val stop = graft.ops.TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val rtoks = "string_split_regex(trim(response), '\\s+')"
+      s"""$transcriptSql,
+         |p AS (
+         |  SELECT conv_id, turn_idx, role, text,
+         |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+         |      OVER w AS prompt
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sft AS (
+         |  SELECT conv_id, turn_idx, text AS response,
+         |    trim(regexp_replace(regexp_replace(lower(prompt),
+         |      '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS prompt_tpl
+         |  FROM p
+         |  WHERE role = 'assistant' AND prompt IS NOT NULL
+         |    AND length(text) >= 1),
+         |b AS (
+         |  SELECT *, length(response) AS n_chars,
+         |    CASE WHEN length(trim(response)) = 0 THEN 0
+         |      ELSE len($rtoks) END AS n_words,
+         |    len(regexp_extract_all(response, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |    len(regexp_extract_all(response, '[A-Za-z]')) AS n_alpha,
+         |    len(list_filter($rtoks, w -> list_contains($stop, w))) AS n_stop
+         |  FROM sft),
+         |q AS (
+         |  SELECT conv_id, turn_idx, prompt_tpl, n_chars,
+         |    CASE WHEN n_chars > 0
+         |      THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN n_chars > 0
+         |      THEN round(CAST(n_alpha AS DOUBLE) / n_chars, 6)
+         |      ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN n_words > 0
+         |      THEN round(CAST(n_stop AS DOUBLE) / n_words, 6)
+         |      ELSE 0.0 END AS stopword_ratio
+         |  FROM b),
+         |r AS (
+         |  SELECT conv_id, prompt_tpl, turn_idx, n_chars,
+         |    round(greatest(0.0, least(1.0,
+         |      alpha_ratio * 0.5 + least(stopword_ratio * 4.0, 1.0) * 0.3 +
+         |      (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2)), 6) AS reward
+         |  FROM q),
+         |w2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY conv_id, prompt_tpl
+         |      ORDER BY reward DESC, turn_idx DESC) AS rn,
+         |    count(*) OVER (PARTITION BY conv_id, prompt_tpl) AS n
+         |  FROM r)
+         |SELECT conv_id, prompt_tpl, CAST(n AS BIGINT) AS n_candidates,
+         |  turn_idx AS chosen_turn, reward,
+         |  CAST(n_chars AS BIGINT) AS response_chars
+         |FROM w2 WHERE rn = 1""".stripMargin
+    },
+
+    // length-bucketed batching: same power-of-two bucket (bit length via
+    // bin()), same conv-hash shard, same longest-first shard-local
+    // batch numbering and padding-waste audit
+    "q_batch_pack" ->
+      s"""$transcriptSql,
+         |tok AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM t),
+         |bk AS (
+         |  SELECT *,
+         |    CAST(least(16, length(bin(greatest(n_tokens, 1)))) AS INT) AS bucket,
+         |    CAST(conv_id % 4 AS INT) AS shard
+         |  FROM tok),
+         |w AS (
+         |  SELECT bucket, shard, n_tokens,
+         |    CAST((row_number() OVER (PARTITION BY bucket, shard
+         |      ORDER BY n_tokens DESC, conv_id, turn_idx) - 1) // 16 AS BIGINT)
+         |      AS batch
+         |  FROM bk),
+         |g AS (
+         |  SELECT bucket, shard, batch, count(*) AS n,
+         |    max(n_tokens) AS max_len, sum(n_tokens) AS toks
+         |  FROM w GROUP BY 1, 2, 3)
+         |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_samples,
+         |  count(*) AS n_batches,
+         |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n * max_len) AS BIGINT) AS padded_tokens,
+         |  round(CAST(sum(n * max_len) - sum(toks) AS DOUBLE)
+         |    / sum(n * max_len), 6) AS waste_pct
+         |FROM g GROUP BY 1""".stripMargin,
 
     // conversation retrieval: the q_conv_embedding pooling, then integer
     // dots/norms and the identical IEEE expression tree for cosine

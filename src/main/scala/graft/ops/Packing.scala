@@ -45,4 +45,49 @@ object Packing {
   def packStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  /** Length-bucketed batch assembly with a padding-waste audit — the
+    * "sorted batching" a padded-batch trainer runs: group samples of
+    * similar length into fixed-size batches so each batch pads to ITS
+    * max, not the corpus max.
+    *
+    * Buckets are power-of-two length ranges (bucket = bit-length of the
+    * token count, clamped at `maxBucket`) — fixed boundaries, no
+    * quantile pass, and exactly reproducible on any engine via
+    * `length(bin(n))`. A global length sort is a single-partition
+    * window (the scale killer), so batching is SHARDED like
+    * [[packSequences]]: samples hash into `shards` independent streams
+    * per bucket, each (bucket, shard) forms batches locally off one
+    * shuffle — what a multi-writer 100 TB pipeline does anyway. Within
+    * a shard, samples are taken longest-first so near-equal lengths
+    * share a batch; batch padding = batch_size × its max length.
+    *
+    * Emits the per-bucket audit: sample/batch counts, real vs padded
+    * token totals, waste fraction.
+    */
+  def lengthBucketBatches(samples: DataFrame, tokens: Column,
+      batchSize: Int, shards: Int, idCol: String = "conv_id",
+      orderCol: String = "turn_idx", maxBucket: Int = 16): DataFrame = {
+    require(batchSize > 0 && shards > 0 && maxBucket > 0)
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens").desc, col(idCol), col(orderCol))
+    samples
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("bucket", least(lit(maxBucket),
+        length(bin(greatest(col("n_tokens"), lit(1))))).cast("int"))
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("batch",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("toks"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_samples"),
+        count(lit(1)).as("n_batches"),
+        sum(col("toks")).as("sum_tokens"),
+        sum(col("n") * col("max_len")).as("padded_tokens"))
+      .withColumn("waste_pct",
+        round((col("padded_tokens") - col("sum_tokens")).cast("double") /
+          col("padded_tokens"), 6))
+  }
 }

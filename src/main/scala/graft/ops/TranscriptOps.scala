@@ -470,6 +470,71 @@ object TranscriptOps {
         col("__chosen").as("chosen"))
   }
 
+  /** Leakage-proof train/val/test split: the split is keyed on
+    * `conv_id` — every turn of a conversation lands in the same split BY
+    * CONSTRUCTION (the leakage a row-level random split causes: val
+    * prompts whose context appeared in train). Assignment is the
+    * engine's standard content-stable sampling idiom (md5 hex-prefix
+    * threshold, the [[Curation.temperatureSample]] mechanism): bucket =
+    * first 4 md5 hex chars of the conv id, train below
+    * `trainPct%` of 0x10000, val below `trainPct+valPct`, else test —
+    * deterministic, re-runnable, and identical on any engine with md5.
+    * Emits per-split conversation/turn/char counts (the split audit).
+    *
+    * Scale shape: a per-row codegen projection (md5 + two string
+    * compares), then one groupBy on a 3-value key with a
+    * partial-aggregated distinct on conv_id. No window, no sort.
+    */
+  def leakproofSplit(turns: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val h = substring(md5(col("conv_id").cast("string")), 1, 4)
+    val trainThr = f"${trainPct * 65536 / 100}%04x"
+    val valThr = f"${(trainPct + valPct) * 65536 / 100}%04x"
+    turns
+      .withColumn("split",
+        when(h < trainThr, "train").when(h < valThr, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"),
+        count(lit(1)).as("n_turns"),
+        sum(length(col("text"))).as("n_chars"))
+  }
+
+  /** Rejection sampling (best-of-n by a deterministic reward): group
+    * assistant responses by their normalized prompt template (the
+    * [[preferencePairs]] retry grouping — n candidates per re-asked
+    * prompt), score each response with the corpus quality kernel
+    * ([[TextOps.qualityColumns]] composite), keep the argmax. This is
+    * the batch form of best-of-n sampling pipelines: candidates come
+    * from retries instead of a sampler, the reward model is the
+    * deterministic quality score instead of a learned RM (swap the
+    * `reward` column for model scores and nothing else changes).
+    *
+    * Scale shape: [[sftPairs]]' conv-keyed window pass, then ONE
+    * (conv_id, prompt_tpl)-keyed sort shared by row_number and the
+    * group count — the same deliberately window-shaped (not
+    * string-min_by) plan as [[preferencePairs]], so the projection
+    * stays in whole-stage codegen. Ties broken by LAST turn (the
+    * retry that ended the loop), made unique by turn_idx.
+    */
+  def rejectionSample(turns: DataFrame): DataFrame = {
+    val reward = TextOps.qualityColumns(col("response"))
+      .collectFirst { case ("quality_score", c) => c }.get
+    val grp = Window.partitionBy(col("conv_id"), col("prompt_tpl"))
+    val best = grp.orderBy(col("__reward").desc, col("turn_idx").desc)
+    sftPairs(turns)
+      .withColumn("prompt_tpl", turnTemplate(col("prompt")))
+      .withColumn("__reward", reward)
+      .withColumn("__rn", row_number().over(best))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .filter(col("__rn") === 1)
+      .select(col("conv_id"), col("prompt_tpl"),
+        col("__n").as("n_candidates"),
+        col("turn_idx").as("chosen_turn"),
+        col("__reward").as("reward"),
+        col("response_chars"))
+  }
+
   /** The end-to-end conversation-curation pipeline in one plan:
     * [[transcriptGate]] (keep/drop per conversation) → keep filter →
     * [[renderChat]] (one training text per surviving conversation) →

@@ -1287,4 +1287,87 @@ class DataOpsSpec extends SparkSuite {
     assert(TranscriptOps.preferencePairs(t.repartition(6)).collect().toSet ==
       rows.toSet)
   }
+
+  test("leakproof split: conversation-keyed md5 assignment, audit counts " +
+      "match an independent per-conv computation") {
+    import graft.ops.TranscriptOps
+    val turns = (0L until 40L).map { i =>
+      (i % 10, i / 10, if (i % 2 == 0) "user" else "assistant",
+        s"turn text $i", null.asInstanceOf[String])
+    }
+    val t = turns.toDF("conv_id", "turn_idx", "role", "text", "tool")
+    // independent expectation: same md5 hex-prefix rule, computed in plain
+    // Scala over the raw rows (trainPct=90, valPct=5 defaults)
+    def hex4(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val (trainThr, valThr) = (f"${90 * 65536 / 100}%04x", f"${95 * 65536 / 100}%04x")
+    def splitOf(id: Long): String = {
+      val h = hex4(id)
+      if (h < trainThr) "train" else if (h < valThr) "val" else "test"
+    }
+    val expected = turns.groupBy(r => splitOf(r._1)).map { case (s, rs) =>
+      s -> ((rs.map(_._1).distinct.size.toLong, rs.size.toLong,
+        rs.map(_._4.length.toLong).sum))
+    }
+    val got = TranscriptOps.leakproofSplit(t).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // leakage-proof by construction: every conv in exactly one split
+    assert(got.values.map(_._1).sum == 10L)
+  }
+
+  test("rejection sampling: argmax by quality reward beats recency; " +
+      "ties fall to the last turn") {
+    import graft.ops.TranscriptOps
+    // both prompts normalize to 'run job #'; the FIRST response is
+    // alpha-heavy prose (high reward), the retry is punctuation junk (low
+    // reward) -> argmax keeps turn 1, unlike preferencePairs' chosen=last
+    val t = Seq(
+      (1L, 0L, "user", "run job 12", null.asInstanceOf[String]),
+      (1L, 1L, "assistant", "the job finished and all checks passed",
+        null.asInstanceOf[String]),
+      (1L, 2L, "user", "run job 99", null.asInstanceOf[String]),
+      (1L, 3L, "assistant", "!!! ### %%% @@@", null.asInstanceOf[String]),
+      // conv 2: two byte-identical responses -> equal reward, tie -> last
+      (2L, 0L, "user", "ping 1", null.asInstanceOf[String]),
+      (2L, 1L, "assistant", "same answer", null.asInstanceOf[String]),
+      (2L, 2L, "user", "ping 2", null.asInstanceOf[String]),
+      (2L, 3L, "assistant", "same answer", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TranscriptOps.rejectionSample(t).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("prompt_tpl"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("chosen_turn")))).toMap
+    assert(got(1L) == (("run job #", 2L, 1L)))
+    assert(got(2L) == (("ping #", 2L, 3L)))
+    // deterministic under any partitioning
+    assert(TranscriptOps.rejectionSample(t.repartition(5)).collect().toSet ==
+      TranscriptOps.rejectionSample(t).collect().toSet)
+  }
+
+  test("length-bucketed batching: power-of-two buckets, longest-first " +
+      "shard-local batches, exact padding waste") {
+    import graft.ops.{Packing, TranscriptOps}
+    def txt(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    // one shard (all conv_id % 1 == 0): tokens 4..7 share bucket 3
+    // (bit-length), 1 lands in bucket 1, '' counts 0 tokens -> bucket 1
+    val t = Seq(
+      (0L, 0L, txt(4)), (0L, 1L, txt(5)), (0L, 2L, txt(6)), (0L, 3L, txt(7)),
+      (0L, 4L, txt(1)), (0L, 5L, ""))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = Packing.lengthBucketBatches(t,
+        TranscriptOps.turnTokens(col("text")), batchSize = 2, shards = 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("sum_tokens"), r.getAs[Long]("padded_tokens"),
+          r.getAs[Double]("waste_pct")))).toMap
+    // bucket 3: [7,6] pads to 14, [5,4] pads to 10 -> 24 padded vs 22 real
+    assert(got(3) == ((4L, 2L, 22L, 24L, 0.083333)))
+    // bucket 1: the 1-token and 0-token rows batch together, max_len 1
+    assert(got(1) == ((2L, 1L, 1L, 2L, 0.5)))
+    assert(got.keySet == Set(1, 3))
+  }
 }
