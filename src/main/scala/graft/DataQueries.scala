@@ -263,6 +263,21 @@ object DataQueries {
       Dedup.dupClusters(Dedup.minhashCandidates(docs(s, d), shingleN = 3,
         k = 16, bands = 4, maxBandGroup = 256))),
 
+    // the full SemDeDup pipeline: k-means -> within-cluster cosine pairs
+    // -> transitive closure -> keep the member farthest from its centroid;
+    // one audit row per duplicate component
+    "q_semdedup" -> ((s, d) => {
+      val model = graft.ops.Clustering.kmeansModel(embs(s, d),
+        col("vec_id"), col("embedding"), k = 8, iters = 2)
+      Dedup.semDedup(model.assigned, threshold = 0.35)
+        .filter(col("component").isNotNull)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).as("sum_ids"),
+          max(when(col("keep"), col("vec_id"))).as("kept_id"),
+          max(when(col("keep"), col("dist_e6"))).as("kept_dist_e6"))
+    }),
+
     // BM25 against the corpus's own top-8 document-frequency terms (a
     // deterministic stand-in for a user query set); per-term e6 fixed-point
     // keeps the DuckDB compare exact
@@ -2124,6 +2139,75 @@ object DataQueries {
          |SELECT cluster, count(*) AS n_members,
          |       CAST(sum(id) AS BIGINT) AS sum_ids
          |FROM lbl GROUP BY cluster""".stripMargin,
+
+    // the full SemDeDup pipeline in SQL: the q_kmeans Lloyd unroll, the
+    // q_embedding_neardup capped within-cluster pairs, the q_dup_clusters
+    // recursive closure, then the farthest-from-centroid keeper
+    "q_semdedup" -> {
+      val cos = cosineSql("ea", "eb")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+         |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |     FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |a0 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c0 c),
+         |asg0 AS (SELECT vec_id, cl, dist_e6 FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a0)
+         |         WHERE rn = 1),
+         |dims AS (SELECT a.cl, unnest(e.v) AS x,
+         |                unnest(range(1, len(e.v)+1)) AS i
+         |         FROM asg0 a JOIN e ON a.vec_id = e.vec_id),
+         |m1 AS (SELECT cl, i, round(sum(x) / count(*), 6) AS m
+         |       FROM dims GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+         |c1f AS (SELECT c0.cl, coalesce(c1.v, c0.v) AS v
+         |        FROM c0 LEFT JOIN c1 ON c0.cl = c1.cl),
+         |a1 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c1f c),
+         |asg AS (SELECT r1.vec_id, r1.cl, r1.dist_e6, e.embedding FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a1) r1
+         |        JOIN e USING (vec_id) WHERE r1.rn = 1),
+         |ranked AS (SELECT vec_id, embedding, cl,
+         |             row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn,
+         |             min(vec_id) OVER (PARTITION BY cl) AS anchor,
+         |             first_value(embedding) OVER (PARTITION BY cl ORDER BY vec_id)
+         |               AS anchor_emb
+         |           FROM asg),
+         |cand AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |         l.embedding AS ea, r.embedding AS eb
+         |  FROM ranked l JOIN ranked r ON l.cl = r.cl AND l.vec_id < r.vec_id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION ALL
+         |  SELECT anchor AS a, vec_id AS b, anchor_emb AS ea, embedding AS eb
+         |  FROM ranked WHERE rn > 256),
+         |ed0 AS (SELECT a, b FROM cand WHERE $cos >= 0.35),
+         |edges AS (SELECT a AS s, b AS d FROM ed0
+         |          UNION SELECT b, a FROM ed0),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT e2.s, rr.r FROM edges e2 JOIN reach rr ON e2.d = rr.id),
+         |lbl AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+         |mem AS (SELECT l.id, l.component, a.dist_e6
+         |        FROM lbl l JOIN asg a ON l.id = a.vec_id),
+         |kk AS (SELECT *, row_number() OVER (PARTITION BY component
+         |         ORDER BY dist_e6 DESC, id ASC) AS krn FROM mem)
+         |SELECT component, count(*) AS n_members,
+         |  CAST(sum(id) AS BIGINT) AS sum_ids,
+         |  max(CASE WHEN krn = 1 THEN id END) AS kept_id,
+         |  max(CASE WHEN krn = 1 THEN dist_e6 END) AS kept_dist_e6
+         |FROM kk GROUP BY 1""".stripMargin
+    },
 
     // BM25 replicated end-to-end: df/avgdl/top-8 terms recomputed in SQL,
     // identical operand trees for every float step, per-term e6 quantization

@@ -73,6 +73,17 @@ object ScaleUp {
     * side discards a slow-phase round.
     */
   private def op(name: String, small: DataFrame, big: DataFrame,
+      rowsSmall: Long, rowsBig: Long)(run: DataFrame => Long): OpResult =
+    // one broken row must not zero the whole battery's evidence: report it
+    // (rows = -1 flags the failure in the artifact) and keep going
+    try opInner(name, small, big, rowsSmall, rowsBig)(run)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[scaleup] $name FAILED: $e")
+        OpResult(name, -1L, 0.0, -1L, 0.0, -1L)
+    }
+
+  private def opInner(name: String, small: DataFrame, big: DataFrame,
       rowsSmall: Long, rowsBig: Long)(run: DataFrame => Long): OpResult = {
     run(small) // warm
     var out = 0L
@@ -216,9 +227,13 @@ object ScaleUp {
     // the honest end-to-end cost of a corpus-size-independent model
     results += op("nb_classify", smallD, bigD, smallDocs, bigDocs) { d =>
       import graft.ops.Classify
-      val m = Classify.nbTrain(d, col("text"), col("lang"), vocabSize = 24)
+      // label synthesized like temp_sample's stratum: the generator has no
+      // domain column
+      val dd = d.withColumn("label",
+        pmod(xxhash64(col("doc_id"), lit(11L)), lit(5L)).cast("string"))
+      val m = Classify.nbTrain(dd, col("text"), col("label"), vocabSize = 24)
       val cols = Classify.nbScoreColumns(m, col("text"))
-      d.select(cols.map { case (n, c) => c.as(n) }: _*)
+      dd.select(cols.map { case (n, c) => c.as(n) }: _*)
         .agg(sum(col("score_e6"))).collect().head.getLong(0)
     }
     results += op("kmeans", smallV, bigV, smallVecs, bigVecs) { v =>

@@ -330,6 +330,55 @@ object Dedup {
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
 
+  // --------------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — the full published
+    * pipeline over a k-means assignment ([[Clustering.kmeansModel]]):
+    * candidate pairs are formed only WITHIN a cluster (the paper's trick
+    * that makes pairwise cosine tractable — k partitions the O(n²)
+    * problem), pairs at cosine ≥ `threshold` are semantic duplicates,
+    * duplicates close transitively into groups ([[connectedComponents]]),
+    * and each group keeps exactly ONE member — the one FARTHEST from its
+    * cluster centroid (the paper's low-centroid-similarity keep policy,
+    * which preserved the most diversity in their ablation), ties to the
+    * lower id.
+    *
+    * Scale shape: the within-cluster self-join co-partitions both sides on
+    * one cluster-keyed shuffle, and [[cappedPairs]] bounds hot clusters
+    * exactly like the minhash band cap (all pairs within `maxClusterGroup`,
+    * star edges to the cluster anchor beyond it — recall-preserving for the
+    * transitive closure). The keeper window partitions by component, whose
+    * size is bounded by the candidate graph, not the corpus; singletons
+    * never enter a window (they join left-anti and keep by construction).
+    *
+    * Input: the assignment frame `(vec_id, v, cluster, dist_e6)`.
+    * Returns per-doc decisions `(vec_id, cluster, dist_e6, component, keep)`
+    * — `component` null for docs with no semantic duplicate.
+    */
+  def semDedup(assigned: DataFrame, threshold: Double = 0.35,
+      maxClusterGroup: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = assigned.select(col("vec_id").as("id"), col("cluster"),
+      col("v"), col("dist_e6"))
+    val edges = cappedPairs(keyed.select("id", "cluster", "v"),
+        Seq("cluster"), maxClusterGroup, carry = Seq("v"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b")
+    val comp = connectedComponents(edges)
+      .select(col("id"), col("label").as("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("dist_e6").desc, col("id").asc)
+    val members = keyed.join(comp, Seq("id"))
+      .withColumn("keep", row_number().over(w) === 1)
+    val singles = keyed.join(comp.select("id"), Seq("id"), "left_anti")
+      .withColumn("component", lit(null).cast("long"))
+      .withColumn("keep", lit(true))
+    members.unionByName(singles).select(col("id").as("vec_id"),
+      col("cluster"), col("dist_e6"), col("component"), col("keep"))
+  }
+
   // ------------------------------------------------------ substring windows
 
   /** Sliding token windows: every `w`-token window at every position (stride

@@ -1348,6 +1348,35 @@ class DataOpsSpec extends SparkSuite {
       TranscriptOps.rejectionSample(t).collect().toSet)
   }
 
+  test("semdedup: within-cluster transitive closure, farthest-from-centroid " +
+      "keeper with min-id ties, cross-cluster twins never pair") {
+    // cluster 0: a=(1,0), b=(1,1), c=(0,1) — cos(a,b)=cos(b,c)=0.7071,
+    // cos(a,c)=0 -> at threshold 0.6 edges a-b and b-c close into ONE
+    // component {1,2,3}; d=(-1,0) matches nothing. cluster 1: e=(1,0) is
+    // byte-identical to a but in another cluster -> stays a singleton.
+    val assigned = Seq(
+      (1L, Array(1f, 0f), 0, 100L),
+      (2L, Array(1f, 1f), 0, 300L),
+      (3L, Array(0f, 1f), 0, 300L),
+      (4L, Array(-1f, 0f), 0, 50L),
+      (5L, Array(1f, 0f), 1, 200L))
+      .toDF("vec_id", "v", "cluster", "dist_e6")
+    val got = Dedup.semDedup(assigned, threshold = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))).toMap
+    // component label = min id reachable; keeper = max dist_e6 (2 and 3
+    // tie at 300 -> lower id 2 wins)
+    assert(got == Map(
+      1L -> ((Some(1L), false)),
+      2L -> ((Some(1L), true)),
+      3L -> ((Some(1L), false)),
+      4L -> ((None, true)),
+      5L -> ((None, true))))
+    // deterministic under any partitioning
+    assert(Dedup.semDedup(assigned.repartition(4), threshold = 0.6)
+      .collect().toSet == Dedup.semDedup(assigned, threshold = 0.6).collect().toSet)
+  }
+
   test("length-bucketed batching: power-of-two buckets, longest-first " +
       "shard-local batches, exact padding waste") {
     import graft.ops.{Packing, TranscriptOps}
