@@ -241,6 +241,17 @@ object ScaleUp {
         k = 8, iters = 2)
         .agg(sum(col("dist_e6"))).collect().head.getLong(0)
     }
+    // semdedup = the FULL SemDeDup pipeline (kmeans + capped within-cluster
+    // cosine pairs + component closure + keeper): the cluster cap bounds
+    // the pair join exactly like the minhash band cap, so the big side is
+    // pair-output-bound, not cluster-size-quadratic
+    results += op("semdedup", smallV, bigV, smallVecs, bigVecs) { v =>
+      val m = graft.ops.Clustering.kmeansModel(v, col("vec_id"),
+        col("embedding"), k = 8, iters = 2)
+      graft.ops.Dedup.semDedup(m.assigned, threshold = 0.35)
+        .agg(count(when(!col("keep"), lit(1))).as("dropped"))
+        .collect().head.getLong(0)
+    }
     // dup_clusters = the full near-dup pipeline + min-label propagation to
     // fixpoint: per round one id-keyed shuffle, and the round count tracks
     // component DIAMETER (which the capped star edges keep ~2 by
