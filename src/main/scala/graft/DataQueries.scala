@@ -173,12 +173,7 @@ object DataQueries {
     // from doc_id) -> staged regexp redaction; emits per-class counts +
     // the redacted text's md5
     "q_pii_redact" -> ((s, d) => {
-      val injected = docs(s, d).withColumn("text", concat(
-        col("text"),
-        lit(" contact user"), col("doc_id"), lit("@example.com or +1555"),
-        lpad(col("doc_id") % 10000, 4, "0"),
-        lit(" at 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
-        lit(" ssn 123-45-"), lpad(col("doc_id") % 10000, 4, "0")))
+      val injected = piiInjected(docs(s, d))
       val counts = graft.ops.Curation.piiCounts(col("text"))
       injected.select(
         col("doc_id") +:
@@ -729,8 +724,85 @@ object DataQueries {
       val cv = TranscriptOps.convEmbeddings(e)
         .select(col("conv_id"), col("dim"), col("mean_e6"))
       TranscriptOps.convTopK(cv, queryConv = 0L, k = 8)
+    }),
+
+    // stable PII pseudonymization: same injected spans as q_pii_redact,
+    // rewritten to <TAG:md5-prefix> tokens by the one-pass codegen kernel;
+    // n_entities pins the staged match census, pseudo_md5 the exact
+    // rewritten text
+    "q_pii_pseudo" -> ((s, d) => {
+      import graft.ops.Curation
+      val counts = Curation.piiCounts(col("text"))
+      piiInjected(docs(s, d)).select(col("doc_id"),
+        counts.map(_._2).reduce(_ + _).as("n_entities"),
+        md5(Curation.pseudonymize(col("text"))).as("pseudo_md5"))
+    }),
+
+    // the pseudonym linkage table: per (class, pseudonym) mention + doc
+    // counts — the cross-document entity analytics static redaction
+    // destroys (injected IPs collide across docs by construction, so
+    // n_docs > 1 rows must appear)
+    "q_pii_linkage" -> ((s, d) => {
+      import graft.ops.Curation
+      Curation.piiEntities(piiInjected(docs(s, d)), col("doc_id"), col("text"))
+    }),
+
+    // quality-tier epoch upsampling (the executable "data recipe"): tier
+    // by quality composite, fractional epochs resolved by md5 threshold,
+    // per-tier audit with an id*copy checksum pinning the exact expansion
+    "q_epoch_mix" -> ((s, d) => {
+      import graft.ops.Curation
+      Curation.epochMix(docs(s, d), epochTiers)
+        .groupBy(col("tier"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          sum(col("doc_id") * col("copy_idx")).as("sum_key"))
+    }),
+
+    // deterministic training-order shuffle + sharding over the rendered
+    // conversations: md5 order key, leading-16-bit shard, dense per-shard
+    // position
+    "q_train_shards" -> ((s, d) => {
+      import graft.ops.TranscriptOps
+      TranscriptOps.trainOrderShards(
+        TranscriptOps.renderChat(transcriptView(s, d)), k = 8)
+        .select(col("shard"), col("pos").cast("long").as("pos"),
+          col("conv_id"), col("digest"))
+    }),
+
+    // domain-mixture planner under a token budget: per-domain targets,
+    // capped keep-rates (incl. the rate-1 'zzzz' and unweighted-domain-0
+    // paths), deterministically sampled result pinned by an id-sum
+    "q_mix_plan" -> ((s, d) => {
+      import graft.ops.Curation
+      Curation.mixPlan(docs(s, d), mixWeights, mixBudget)
     })
   )
+
+  /** Deterministic PII injection shared by q_pii_redact / q_pii_pseudo /
+    * q_pii_linkage: email unique per doc, IPs colliding across docs (mod
+    * arithmetic), phone + ssn from the id — pure doc_id arithmetic on both
+    * engines.
+    */
+  private def piiInjected(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1555"),
+      lpad(col("doc_id") % 10000, 4, "0"),
+      lit(" at 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+      lit(" ssn 123-45-"), lpad(col("doc_id") % 10000, 4, "0")))
+
+  /** Epoch-mix recipe for q_epoch_mix (name, min quality score, epochs). */
+  private val epochTiers: Seq[(String, Double, Double)] =
+    Seq(("hi", 0.71, 2.5), ("mid", 0.66, 1.0), ("low", 0.0, 0.25))
+
+  /** Mixture plan config for q_mix_plan: es deliberately unweighted (rate-0
+    * reporting path); zh's target exceeds its availability (rate-1 'zzzz'
+    * path) at this budget.
+    */
+  private val mixWeights: Map[String, Double] =
+    Map("en" -> 0.45, "de" -> 0.1, "fr" -> 0.05, "zh" -> 0.4)
+  private val mixBudget: Long = 12000L
 
   // ---- oracles --------------------------------------------------------------
 
@@ -878,6 +950,14 @@ object DataQueries {
       |         ELSE text END AS text,
       |    CASE WHEN (doc_id // 50) % 5 = 4 THEN 'search' ELSE NULL END AS tool
       |  FROM documents)""".stripMargin
+
+  /** SQL twin of [[piiInjected]]. */
+  private val piiInjectSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+      " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)" +
+      " || '.' || CAST(doc_id % 100 AS VARCHAR)" +
+      " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
   val oracles: Map[String, String] = Map(
     // BPE: trainer (6 unrolled merge iterations over the word dict) and
@@ -2507,6 +2587,183 @@ object DataQueries {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
          |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
          |            WHEN 'fr' THEN '0ccd' ELSE 'zzzz' END
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // stable pseudonymization: the kernel's staged rewrite replayed per
+    // class as split/extract + a list_transform rebuild (same md5-prefix
+    // tokens, same class staging)
+    "q_pii_pseudo" -> {
+      val cls = graft.ops.Curation.piiPatterns.map { case (_, pat, repl) =>
+        (repl.stripPrefix("<").stripSuffix(">"), pat)
+      }
+      val stages = cls.zipWithIndex.map { case ((tag, pat), i) =>
+        val carry = (0 until i).map(j => s"c$j, ").mkString
+        s"""g$i AS (
+           |  SELECT doc_id, $carry s$i,
+           |    regexp_split_to_array(s$i, '$pat') AS sg,
+           |    regexp_extract_all(s$i, '$pat') AS sm
+           |  FROM ${if (i == 0) "t0" else s"r${i - 1}"}),
+           |r$i AS (
+           |  SELECT doc_id, $carry len(sm) AS c$i,
+           |    array_to_string(list_transform(range(1, len(sg) + 1),
+           |      i -> sg[i] || CASE WHEN i <= len(sm)
+           |        THEN '<$tag:' || substr(md5(sm[i]), 1, 8) || '>' ELSE '' END),
+           |      '') AS s${i + 1}
+           |  FROM g$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t0 AS (
+         |  SELECT doc_id, $piiInjectSql AS s0 FROM documents),
+         |$stages
+         |SELECT doc_id, CAST(c0 + c1 + c2 + c3 AS BIGINT) AS n_entities,
+         |  md5(s4) AS pseudo_md5
+         |FROM r3""".stripMargin
+    },
+
+    // pseudonym linkage table: per-class surfaces from the SAME staged
+    // strings as piiCounts, grouped by the 8-hex md5-prefix identity
+    "q_pii_linkage" -> {
+      val Seq(email, ipv4, phone, ssn) = graft.ops.Curation.piiPatterns.map(_._2)
+      s"""WITH t0 AS (
+         |  SELECT doc_id, $piiInjectSql AS s0 FROM documents),
+         |st AS (
+         |  SELECT doc_id, s0,
+         |    regexp_replace(s0, '$email', '<EMAIL>', 'g') AS t1,
+         |    regexp_replace(regexp_replace(s0, '$email', '<EMAIL>', 'g'),
+         |      '$ipv4', '<IP>', 'g') AS t2,
+         |    regexp_replace(regexp_replace(regexp_replace(s0, '$email', '<EMAIL>', 'g'),
+         |      '$ipv4', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS t3
+         |  FROM t0),
+         |e AS (
+         |  SELECT 'EMAIL' AS pii_class, doc_id,
+         |    unnest(regexp_extract_all(s0, '$email')) AS surface FROM st
+         |  UNION ALL SELECT 'IP', doc_id,
+         |    unnest(regexp_extract_all(t1, '$ipv4')) FROM st
+         |  UNION ALL SELECT 'PHONE', doc_id,
+         |    unnest(regexp_extract_all(t2, '$phone')) FROM st
+         |  UNION ALL SELECT 'SSN', doc_id,
+         |    unnest(regexp_extract_all(t3, '$ssn')) FROM st)
+         |SELECT pii_class, substr(md5(surface), 1, 8) AS pseudo_id,
+         |  count(*) AS n_mentions, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM e GROUP BY 1, 2""".stripMargin
+    },
+
+    // epoch upsampling: the q_quality score chain, tier CASE + copy count
+    // (base + md5-threshold fractional) generated from the SAME epochTiers
+    // config the Spark query uses
+    "q_epoch_mix" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val tierCase = epochTiers.map { case (n, ms, _) =>
+        s"WHEN quality_score >= $ms THEN '$n'"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+      val baseCase = epochTiers.map { case (n, _, ep) =>
+        s"WHEN '$n' THEN ${math.floor(ep).toLong}"
+      }.mkString("CASE tier ", " ", " ELSE 0 END")
+      val fracCase = epochTiers.map { case (n, _, ep) =>
+        s"WHEN '$n' THEN '${graft.ops.Curation.rateHex(ep - math.floor(ep))}'"
+      }.mkString("CASE tier ", " ", " ELSE '0000' END")
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END AS n_words,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         |         len(list_filter($toks, w -> list_contains($stop, w))) AS n_stop
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 6)
+         |              ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN n_chars > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_chars, 6)
+         |              ELSE 0.0 END AS alpha_ratio,
+         |         CASE WHEN n_words > 0 THEN round(CAST(n_stop AS DOUBLE) / n_words, 6)
+         |              ELSE 0.0 END AS stopword_ratio
+         |  FROM b),
+         |q AS (
+         |  SELECT doc_id, round(greatest(0.0, least(1.0,
+         |    alpha_ratio * 0.5 + least(stopword_ratio * 4.0, 1.0) * 0.3 +
+         |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2)), 6) AS quality_score
+         |  FROM r),
+         |tiered AS (SELECT doc_id, $tierCase AS tier FROM q),
+         |c AS (
+         |  SELECT doc_id, tier,
+         |    $baseCase
+         |      + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4)
+         |          < $fracCase THEN 1 ELSE 0 END AS copies
+         |  FROM tiered WHERE tier IS NOT NULL),
+         |x AS (
+         |  SELECT doc_id, tier, unnest(generate_series(1, copies)) AS copy_idx
+         |  FROM c WHERE copies >= 1)
+         |SELECT tier, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_copies, CAST(sum(doc_id * copy_idx) AS BIGINT) AS sum_key
+         |FROM x GROUP BY 1""".stripMargin
+    },
+
+    // training-order shards over the rendered conversations: md5 order
+    // key, leading-16-bit hex parsed with the '0x' cast, row_number pos
+    "q_train_shards" ->
+      s"""$transcriptSql,
+         |r AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || CASE WHEN tool IS NOT NULL AND tool <> ''
+         |        THEN 'tool:' || tool ELSE role END
+         |      || '|>' || chr(10) || text || chr(10) || '<|end|>' || chr(10)
+         |      AS r
+         |  FROM t),
+         |chat AS (
+         |  SELECT conv_id, md5(string_agg(r, '' ORDER BY turn_idx)) AS digest
+         |  FROM r GROUP BY 1),
+         |k AS (
+         |  SELECT conv_id, digest, md5('ord:' || conv_id) AS order_key FROM chat),
+         |sh AS (
+         |  SELECT conv_id, digest, order_key,
+         |    CAST(CAST(('0x' || substr(order_key, 1, 4)) AS INT) % 8 AS BIGINT) AS shard
+         |  FROM k)
+         |SELECT shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY order_key, conv_id) AS pos,
+         |  conv_id, digest
+         |FROM sh""".stripMargin,
+
+    // mixture planner: targets interpolated from the SAME weights/budget
+    // arithmetic, thresholds from the same floor(min(1, t/a)*65536) IEEE
+    // ops, sampled set pinned by the id-sum
+    "q_mix_plan" -> {
+      val wsum = mixWeights.values.sum
+      val targetCase = mixWeights.map { case (dm, w) =>
+        s"WHEN '$dm' THEN ${math.floor(mixBudget * w / wsum).toLong}"
+      }.mkString("CASE domain ", " ", " ELSE 0 END")
+      s"""WITH base AS (
+         |  SELECT lang AS domain, doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END
+         |      AS BIGINT) AS tok
+         |  FROM documents),
+         |avail AS (
+         |  SELECT domain, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS available_tokens
+         |  FROM base GROUP BY 1),
+         |plan AS (
+         |  SELECT domain, n_docs, available_tokens,
+         |    CAST($targetCase AS BIGINT) AS target_tokens
+         |  FROM avail),
+         |p2 AS (
+         |  SELECT *, CAST(floor(least(1.0,
+         |    CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE))
+         |    * 65536.0) AS BIGINT) AS thr
+         |  FROM plan),
+         |p3 AS (
+         |  SELECT domain, n_docs, available_tokens, target_tokens,
+         |    CASE WHEN thr >= 65536 THEN 'zzzz' ELSE printf('%04x', thr) END AS rate_hex
+         |  FROM p2),
+         |samp AS (
+         |  SELECT b.domain, count(*) AS sampled_docs,
+         |    CAST(sum(b.tok) AS BIGINT) AS sampled_tokens,
+         |    CAST(sum(b.doc_id) AS BIGINT) AS sum_doc_id
+         |  FROM base b JOIN p3 USING (domain)
+         |  WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || ':mix'), 1, 4) < p3.rate_hex
+         |  GROUP BY 1)
+         |SELECT p3.domain, p3.n_docs, p3.available_tokens, p3.target_tokens,
+         |  p3.rate_hex,
+         |  coalesce(samp.sampled_docs, 0) AS sampled_docs,
+         |  coalesce(samp.sampled_tokens, 0) AS sampled_tokens,
+         |  coalesce(samp.sum_doc_id, 0) AS sum_doc_id
+         |FROM p3 LEFT JOIN samp USING (domain)""".stripMargin
+    }
   )
 }

@@ -202,6 +202,20 @@ object ScaleUp {
       d.select(xxhash64(graft.ops.Curation.redact(col("text"))).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // pseudonymization: the same scan-pass shape as redact plus a per-match
+    // md5 inside the kernel — per-row cost tracks matches, not corpus size
+    results += op("pii_pseudo", smallD, bigD, smallDocs, bigDocs) { d =>
+      d.select(xxhash64(graft.ops.Curation.pseudonymize(col("text"))).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
+    }
+    // epoch_mix: quality score + tier CASE + bounded sequence explode, zero
+    // shuffle before the audit agg; checksum pins the exact expansion
+    results += op("epoch_mix", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.Curation.epochMix(d,
+        Seq(("hi", 0.71, 2.5), ("mid", 0.66, 1.0), ("low", 0.0, 0.25)))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id") * col("copy_idx")).as("ck"))
+        .select(col("n") + col("ck")).collect().head.getLong(0)
+    }
     // round-5 quality/clustering additions at 100x docs/vecs:
     // gopher_repetition is a single-projection scan pass (the ratio IS the
     // linearity statement); lm_perplexity runs the FULL train (two aggs +

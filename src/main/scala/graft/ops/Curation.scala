@@ -99,7 +99,7 @@ object Curation {
   /** 16-bit rate threshold as a 4-hex-char lower-bound string; `"zzzz"`
     * sorts above every hex digest, i.e. keep-everything.
     */
-  private def rateHex(rate: Double): String = {
+  private[graft] def rateHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
     val t = math.round(rate * 65536.0).toInt
     if (t >= 65536) "zzzz" else f"$t%04x"
@@ -170,5 +170,156 @@ object Curation {
       case (acc, (s, r)) => when(stratum === s, lit(rateHex(r))).otherwise(acc)
     }
     df.filter(substring(md5(key.cast("string")), 1, 4) < threshold)
+  }
+
+  // ------------------------------------------------------------ pseudonymize
+
+  /** PII pseudonymization: each [[piiPatterns]] span replaced (in the same
+    * staged class order as [[redact]]) by the STABLE token
+    * `<TAG:first-8-hex-of-md5(surface)>` — the same address / IP / number
+    * maps to the same token corpus-wide, so de-identified text keeps its
+    * cross-document entity linkage (abuse/spam clustering, contact-graph
+    * analysis) that static `<EMAIL>` redaction destroys. One per-row
+    * codegen kernel pass ([[graft.functions.StableTokenRewrite]]), scan
+    * speed, zero shuffle.
+    */
+  def pseudonymize(text: Column): Column =
+    graft.functions.StableTokenRewrite(text,
+      piiPatterns.map { case (_, pat, repl) =>
+        (repl.stripPrefix("<").stripSuffix(">"), pat)
+      })
+
+  /** The PII entity-linkage table behind [[pseudonymize]]: one row per
+    * (class, pseudonym), with mention and document counts. Surfaces are
+    * extracted per class from the same STAGED strings as [[piiCounts]]
+    * (class i+1 extracts from the text with classes ≤ i already redacted,
+    * so spans are never double-counted); the pseudonym id IS the identity —
+    * distinct surfaces sharing an 8-hex md5 prefix merge by definition.
+    *
+    * Scale shape: per-class codegen extract + explode over one scan each
+    * (a 4-way union of Generate stages), then ONE hash aggregation keyed on
+    * (class, pseudo_id) with map-side partials; the shuffle carries only
+    * 11-byte keys + counts.
+    */
+  def piiEntities(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val staged = piiPatterns.scanLeft(text) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    val perClass = piiPatterns.zip(staged).map { case ((_, pat, repl), in) =>
+      df.select(
+        lit(repl.stripPrefix("<").stripSuffix(">")).as("pii_class"),
+        idCol.as("__id"),
+        explode(regexp_extract_all(in, lit(pat), lit(0))).as("surface"))
+    }
+    perClass.reduce(_.unionAll(_))
+      .groupBy(col("pii_class"), substring(md5(col("surface")), 1, 8).as("pseudo_id"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("__id")).as("n_docs"))
+  }
+
+  // --------------------------------------------------------------- epoch mix
+
+  /** Quality-tier epoch upsampling — the executable form of a "data recipe"
+    * (DCLM/FineWeb-style: see the most valuable documents several times per
+    * epoch, downsample the tail): each document is assigned the FIRST tier
+    * in `tiers` whose `minScore` its [[TextOps.qualityColumns]] composite
+    * meets (documents below every tier are dropped), then emitted
+    * `floor(epochs)` times plus one more iff the md5 hex-prefix of
+    * `id:epoch` falls under the fractional part — the same deterministic
+    * content-hash threshold as [[stratifiedSample]], so fractional epochs
+    * hold exactly in expectation with zero RNG and full retry stability.
+    * `epochs < 1` is a downsample (base 0 copies + fractional keep).
+    *
+    * Output: the expanded corpus — every input column plus `tier` and
+    * `copy_idx` (1-based). Scale shape: one codegen projection (score +
+    * tier + copy count) and one Generate (explode of a ≤⌈epochs⌉-element
+    * sequence) per row — no shuffle at all; the expansion IS the output a
+    * trainer-facing writer shards.
+    */
+  def epochMix(docs: DataFrame, tiers: Seq[(String, Double, Double)],
+      idCol: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    require(tiers.nonEmpty && tiers.forall(_._3 >= 0.0))
+    val score = TextOps.qualityColumns(text)
+      .collectFirst { case ("quality_score", c) => c }.get
+    val tierCol = tiers.foldRight(lit(null: String)) {
+      case ((name, minScore, _), acc) => when(score >= minScore, name).otherwise(acc)
+    }
+    // NOTE: tier CASE order = Seq order, so overlapping minScores resolve
+    // first-match-wins exactly like the reference router.
+    val h = substring(md5(concat(idCol.cast("string"), lit(":epoch"))), 1, 4)
+    val copies = tiers.foldRight(lit(null: java.lang.Long).cast("long")) {
+      case ((name, _, epochs), acc) =>
+        val base = math.floor(epochs).toLong
+        val frac = epochs - base
+        when(col("tier") === name,
+          lit(base) + when(h < lit(rateHex(frac)), 1L).otherwise(0L))
+          .otherwise(acc)
+    }
+    docs
+      .withColumn("tier", tierCol)
+      .filter(col("tier").isNotNull)
+      .withColumn("__copies", copies)
+      .withColumn("copy_idx", explode(
+        when(col("__copies") >= 1L, sequence(lit(1L), col("__copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__copies")
+  }
+
+  // ---------------------------------------------------------------- mix plan
+
+  /** Domain-mixture planner with a token budget: given target mixture
+    * `weights` (domain -> share) and a total `tokenBudget`, compute each
+    * domain's integer token target, the keep-rate that realizes it
+    * (capped at 1 — this planner never upsamples; pair with [[epochMix]]
+    * for epochs > 1), and the deterministically sampled result. Domains
+    * without a weight get rate 0 and are reported, not silently dropped.
+    *
+    * Output (one row per domain): `domain, n_docs, available_tokens,
+    * target_tokens, rate_hex, sampled_docs, sampled_tokens, sum_doc_id`
+    * (the id-sum pins the exact sampled SET cross-engine, not just its
+    * size). Keep-rate resolution is the standard 16-bit md5-prefix
+    * threshold; the rate arithmetic (`floor(min(1, target/available) *
+    * 65536)`) is single-scalar IEEE ops over identical operand trees, so
+    * an external engine reproduces the thresholds bit-exactly.
+    *
+    * Scale shape: one map-side-combined per-domain aggregation over the
+    * corpus, arithmetic on the |domains|-row frame, then a broadcast join
+    * back + codegen threshold filter + second tiny aggregation. The corpus
+    * never shuffles on content.
+    */
+  def mixPlan(docs: DataFrame, weights: Map[String, Double], tokenBudget: Long,
+      domain: Column = col("lang"), text: Column = col("text"),
+      idCol: Column = col("doc_id")): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0) && tokenBudget >= 0)
+    val wsum = weights.values.sum
+    val targets = weights.map { case (d, w) =>
+      d -> math.floor(tokenBudget * w / wsum).toLong
+    }
+    val base = docs.select(domain.as("domain"), idCol.as("__id"),
+      TextOps.wsTokenCount(text).cast("long").as("__tok"))
+    val avail = base.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("available_tokens"))
+    val targetCol = targets.foldLeft(lit(0L)) {
+      case (acc, (d, t)) => when(col("domain") === d, lit(t)).otherwise(acc)
+    }
+    val thr = floor(least(lit(1.0),
+      col("target_tokens").cast("double") / col("available_tokens").cast("double"))
+      * 65536.0).cast("long")
+    val plan = avail
+      .withColumn("target_tokens", targetCol)
+      .withColumn("__thr", thr)
+      .withColumn("rate_hex",
+        when(col("__thr") >= 65536L, "zzzz")
+          .otherwise(format_string("%04x", col("__thr"))))
+      .drop("__thr")
+    val sampled = base
+      .join(broadcast(plan.select(col("domain"), col("rate_hex"))), Seq("domain"))
+      .filter(substring(md5(concat(col("__id").cast("string"), lit(":mix"))), 1, 4)
+        < col("rate_hex"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("__tok")).as("sampled_tokens"),
+        sum(col("__id")).as("sum_doc_id"))
+    plan.join(sampled, Seq("domain"), "left")
+      .na.fill(0L, Seq("sampled_docs", "sampled_tokens", "sum_doc_id"))
   }
 }

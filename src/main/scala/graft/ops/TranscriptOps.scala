@@ -557,4 +557,48 @@ object TranscriptOps {
       .filter(col("__rn") === 1)
       .select(col("conv_id"), col("n_turns"), col("n_chars"), col("digest"))
   }
+
+  /** Deterministic training-order shuffle + sharding — the last step before
+    * a trainer reads the corpus: a global pseudorandom permutation (order
+    * key = md5 of the sample key, so the order is content-independent,
+    * seedless, and identical on every engine and every rerun) cut into `k`
+    * shards by the key's leading 16 bits mod k, with a dense 1-based
+    * position within each shard. Hash-derived order destroys the corpus's
+    * source/time locality — the "global shuffle" property trainers need so
+    * consecutive batches are not topically correlated.
+    *
+    * Output: the input columns plus `order_key`, `shard`, `pos`. The `pos`
+    * window partitions by shard — k partitions total, so at 10^12 samples
+    * the materialized-pos form is for shard counts that keep n/k sortable
+    * per task; [[writeTrainShards]] is the writer form (repartition on
+    * shard + sort within partition), where file order carries the
+    * permutation and `pos` need not materialize globally.
+    */
+  def trainOrderShards(samples: DataFrame, k: Int,
+      keyCol: Column = col("conv_id")): DataFrame = {
+    require(k > 0)
+    val key = md5(concat(lit("ord:"), keyCol.cast("string")))
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("order_key"), keyCol)
+    samples
+      .withColumn("order_key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("order_key"), 1, 4), 16, 10).cast("long"), lit(k.toLong)))
+      .withColumn("pos", row_number().over(byShard))
+  }
+
+  /** Writer form of [[trainOrderShards]]: k-way repartition on the shard
+    * id, permutation order carried by `sortWithinPartitions`, committed
+    * through [[graft.sinks.GraftTable]] with hive-style `shard=` partition
+    * directories — so the snapshot manifest records per-shard lineage +
+    * row counts and `completedPartitions` makes a killed backfill resume
+    * per shard.
+    */
+  def writeTrainShards(samples: DataFrame, k: Int, table: String,
+      keyCol: Column = col("conv_id")): graft.sinks.GraftTable.Snapshot =
+    graft.sinks.GraftTable.write(
+      trainOrderShards(samples, k, keyCol)
+        .repartition(k, col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos")),
+      table, partitionCol = Some("shard"), stage = "train_shards")
 }
