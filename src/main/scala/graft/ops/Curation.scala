@@ -239,10 +239,17 @@ object Curation {
   def epochMix(docs: DataFrame, tiers: Seq[(String, Double, Double)],
       idCol: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
     require(tiers.nonEmpty && tiers.forall(_._3 >= 0.0))
+    // Materialize pins the expensive score kernel to ONE evaluated column:
+    // the tier CASE ladder (one score reference per tier) + the pushed-down
+    // tier filter would otherwise each get their own inlined copy of the
+    // whole kernel (measured 5.4x at 500k docs — see
+    // functions/Materialize.scala). tier/copies then reference the cheap
+    // materialized column.
     val score = TextOps.qualityColumns(text)
       .collectFirst { case ("quality_score", c) => c }.get
     val tierCol = tiers.foldRight(lit(null: String)) {
-      case ((name, minScore, _), acc) => when(score >= minScore, name).otherwise(acc)
+      case ((name, minScore, _), acc) =>
+        when(col("__q") >= minScore, name).otherwise(acc)
     }
     // NOTE: tier CASE order = Seq order, so overlapping minScores resolve
     // first-match-wins exactly like the reference router.
@@ -256,13 +263,14 @@ object Curation {
           .otherwise(acc)
     }
     docs
+      .withColumn("__q", graft.functions.Materialize(score))
       .withColumn("tier", tierCol)
       .filter(col("tier").isNotNull)
       .withColumn("__copies", copies)
       .withColumn("copy_idx", explode(
         when(col("__copies") >= 1L, sequence(lit(1L), col("__copies")))
           .otherwise(array().cast("array<bigint>"))))
-      .drop("__copies")
+      .drop("__q", "__copies")
   }
 
   // ---------------------------------------------------------------- mix plan
