@@ -776,8 +776,71 @@ object DataQueries {
     "q_mix_plan" -> ((s, d) => {
       import graft.ops.Curation
       Curation.mixPlan(docs(s, d), mixWeights, mixBudget)
+    }),
+
+    // blocklist / safety tagging: ONE Aho-Corasick automaton pass per doc
+    // (phrase count free) vs k contains/regex passes; overlapping + nested
+    // matches counted, first hit = minimal (start, phrase_id)
+    "q_blocklist" -> ((s, d) => {
+      import graft.functions.AcBlocklistStats
+      docs(s, d)
+        .select(col("doc_id"),
+          AcBlocklistStats(col("text"), blocklistPhrases).as("b"))
+        .select(col("doc_id"),
+          col("b.n_matches").as("n_matches"),
+          col("b.n_phrases").as("n_phrases"),
+          col("b.first_pos").as("first_pos"),
+          col("b.first_phrase").as("first_phrase"))
+    }),
+
+    // character-distribution quality signal: Shannon entropy over char
+    // unigrams, order-free exact integer sum (LmKernels quantization),
+    // float only in the final divide
+    "q_char_entropy" -> ((s, d) => {
+      import graft.functions.CharEntropyStats
+      docs(s, d)
+        .select(col("doc_id"), CharEntropyStats(col("text")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_chars").as("n_chars"),
+          col("e.n_distinct").as("n_distinct"),
+          col("e.h_sum_e6").as("h_sum_e6"),
+          when(col("e.n_chars") > 0,
+            round(col("e.h_sum_e6").cast("double") / col("e.n_chars") / 1e6, 6))
+            .otherwise(0.0).as("entropy_bits"))
+    }),
+
+    // Johnson-Lindenstrauss sign projection 64 -> 8 dims: exact BIGINT
+    // arithmetic end-to-end (per-component e6 quantize, signed integer
+    // sums), zero-shuffle codegen pass
+    "q_jl_project" -> ((s, d) => {
+      import graft.functions.VectorKernels
+      embs(s, d)
+        .select(col("vec_id"),
+          VectorKernels.jlProject(col("embedding"), 8).as("p"))
+        .select(col("vec_id") +:
+          (0 until 8).map(j => element_at(col("p"), j + 1).as(s"p$j")): _*)
     })
   )
+
+  /** Blocklist for q_blocklist — word phrases over the corpus vocabulary,
+    * chosen to exercise every automaton path: overlapping phrases (0/1),
+    * a single word that is a proper suffix of a longer phrase (2 vs 1 —
+    * dictionary-link enumeration), a self-overlapping phrase (6), and
+    * multi-word runs. At most 64 (Long bitset).
+    */
+  private[graft] val blocklistPhrases: Seq[String] = Seq(
+    "fast table",     // 0
+    "table value",    // 1: overlaps 0 on "table"
+    "value",          // 2: proper suffix of 1 -> nested output link
+    "row scan",       // 3
+    "scan slow",      // 4: overlaps 3
+    "merge batch",    // 5
+    "a a",            // 6: self-overlapping in "a a a"
+    "customer query", // 7
+    "data window",    // 8
+    "slow filter",    // 9
+    "the row",        // 10
+    "key agg row")    // 11: shares "row" with 3/10
 
   /** Deterministic PII injection shared by q_pii_redact / q_pii_pseudo /
     * q_pii_linkage: email unique per doc, IPs colliding across docs (mod
@@ -2764,6 +2827,82 @@ object DataQueries {
          |  coalesce(samp.sampled_tokens, 0) AS sampled_tokens,
          |  coalesce(samp.sum_doc_id, 0) AS sum_doc_id
          |FROM p3 LEFT JOIN samp USING (domain)""".stripMargin
+    },
+
+    // positional replica of the AC match semantics: every (start, phrase)
+    // substring occurrence, incl. overlapping/nested; first = min encoded
+    // (start * 1024 + pid)
+    "q_blocklist" -> {
+      val values = blocklistPhrases.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      s"""WITH p(pid, ph) AS (VALUES $values),
+         |hits AS (
+         |  SELECT d.doc_id, p.pid, CAST(t.pos AS BIGINT) AS pos
+         |  FROM documents d CROSS JOIN p
+         |  CROSS JOIN LATERAL (
+         |    SELECT unnest(range(1, length(d.text) - length(p.ph) + 2)) AS pos) t
+         |  WHERE substr(d.text, CAST(t.pos AS INT), length(p.ph)) = p.ph),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_matches,
+         |         count(DISTINCT pid) AS n_phrases,
+         |         min((pos - 1) * 1024 + pid) AS code
+         |  FROM hits GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_matches, 0) AS n_matches,
+         |  coalesce(a.n_phrases, 0) AS n_phrases,
+         |  coalesce(a.code // 1024, -1) AS first_pos,
+         |  coalesce(a.code % 1024, -1) AS first_phrase
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+
+    // char-unigram Shannon entropy, the LmKernels e6-integer-term
+    // convention so the sum is order-free exact
+    "q_char_entropy" ->
+      """WITH tot AS (SELECT doc_id, length(text) AS n FROM documents),
+        |cnt AS (
+        |  SELECT d.doc_id, substr(d.text, CAST(t.i AS INT), 1) AS c,
+        |         count(*) AS k
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, length(d.text) + 1)) AS i) t
+        |  GROUP BY d.doc_id, substr(d.text, CAST(t.i AS INT), 1)),
+        |h AS (
+        |  SELECT c.doc_id, count(*) AS n_distinct,
+        |    sum(c.k * CAST(round(log2(CAST(t.n AS DOUBLE) / c.k) * 1e6)
+        |              AS BIGINT)) AS h_sum
+        |  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars,
+        |  CAST(coalesce(h.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(h.h_sum, 0) AS BIGINT) AS h_sum_e6,
+        |  CASE WHEN t.n > 0
+        |       THEN round(CAST(coalesce(h.h_sum, 0) AS DOUBLE) / t.n / 1e6, 6)
+        |       ELSE 0.0 END AS entropy_bits
+        |FROM tot t LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    // JL sign projection: sign(i,j) from md5 first-hex-digit parity, e6
+    // quantized components, exact BIGINT signed sums, pivoted to p0..p7
+    "q_jl_project" -> {
+      val pivots = (0 until 8)
+        .map(j => s"  max(CASE WHEN j = $j THEN v END) AS p$j").mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+         |    CASE WHEN substr(md5('jl:' || CAST(i.i AS VARCHAR) || ':' ||
+         |                        CAST(j.j AS VARCHAR)), 1, 1)
+         |         IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
+         |  FROM range(0, 64) i(i), range(0, 8) j(j)),
+         |q AS (
+         |  SELECT e.vec_id, CAST(t.i - 1 AS BIGINT) AS i,
+         |    CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) * 1e6)
+         |         AS BIGINT) AS qv
+         |  FROM embeddings e
+         |  CROSS JOIN LATERAL (
+         |    SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t),
+         |pr AS (
+         |  SELECT q.vec_id, s.j, CAST(sum(s.sgn * q.qv) AS BIGINT) AS v
+         |  FROM q JOIN s USING (i) GROUP BY q.vec_id, s.j)
+         |SELECT vec_id,
+         |$pivots
+         |FROM pr GROUP BY vec_id""".stripMargin
     }
   )
 }

@@ -216,6 +216,15 @@ object ScaleUp {
         .agg(count(lit(1)).as("n"), sum(col("doc_id") * col("copy_idx")).as("ck"))
         .select(col("n") + col("ck")).collect().head.getLong(0)
     }
+    // blocklist: ONE Aho-Corasick automaton pass per doc — per-char cost
+    // independent of phrase count, the k-pass contains/regex replacement
+    results += op("blocklist", smallD, bigD, smallDocs, bigDocs) { d =>
+      d.select(graft.functions.AcBlocklistStats(
+          col("text"), DataQueries.blocklistPhrases).as("b"))
+        .select((col("b.n_matches") + col("b.first_pos") * 7L +
+          col("b.first_phrase")).as("h"))
+        .agg(sum(col("h"))).collect().head.getLong(0)
+    }
     // round-5 quality/clustering additions at 100x docs/vecs:
     // gopher_repetition is a single-projection scan pass (the ratio IS the
     // linearity statement); lm_perplexity runs the FULL train (two aggs +

@@ -96,3 +96,94 @@ object CountInSet {
     org.apache.spark.sql.graftbridge.GraftBridge.column(
       CountInSet(org.apache.spark.sql.graftbridge.GraftBridge.expression(c), items))
 }
+
+/** One-pass character-distribution quality signal: Shannon entropy of the
+  * character unigram distribution plus the distinct-character count. Low
+  * entropy flags degenerate documents (repeated boilerplate, single-char
+  * floods) that length/stopword heuristics miss; it is the cheap stand-in
+  * for the compression-ratio filter used by large-corpus cleaning recipes.
+  *
+  * Cross-engine exactness (the LmKernels convention): each character class
+  * with count k contributes `k * round(log2(n/k) * 1e6)` — an integer — so
+  * the per-document sum is order-free exact BIGINT arithmetic on both
+  * engines; only the final divide-by-n happens in floating point, in the
+  * query layer. Characters are UTF-16 units on the Spark side and DuckDB
+  * characters in the oracle — identical over the ASCII corpus (documented;
+  * a non-BMP corpus would need a codepoint walk).
+  */
+final class CharEntropyWorker extends Serializable {
+  private val LN2 = math.log(2.0)
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    var n = 0L
+    var distinct = 0L
+    var hSum = 0L
+    if (s != null) {
+      val t = s.toString
+      n = t.length.toLong
+      if (n > 0) {
+        val counts = new java.util.HashMap[Character, Array[Long]]()
+        var i = 0
+        while (i < t.length) {
+          val c = Character.valueOf(t.charAt(i))
+          var box = counts.get(c)
+          if (box == null) { box = new Array[Long](1); counts.put(c, box) }
+          box(0) += 1L
+          i += 1
+        }
+        distinct = counts.size.toLong
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val k = it.next()(0)
+          val lg = math.log(n.toDouble / k.toDouble) / LN2
+          val e6 = BigDecimal(lg * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          hSum += k * e6
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, hSum))
+  }
+}
+
+/** `char_entropy(text)` -> struct(n_chars, n_distinct, h_sum_e6). */
+case class CharEntropyStats(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  private lazy val worker = new CharEntropyWorker
+  override def dataType: org.apache.spark.sql.types.DataType = CharEntropyStats.schema
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    worker.compute(child.eval(input)
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val w = ctx.addReferenceObj("worker", worker, classOf[CharEntropyWorker].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        InternalRow ${ev.value} = $w.compute(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
+object CharEntropyStats {
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h_sum_e6",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      CharEntropyStats(org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
+}

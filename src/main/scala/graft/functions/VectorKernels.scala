@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{GraftBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen vector kernels for the ANN / embedding-dedup family.
   *
@@ -90,7 +90,44 @@ object VectorKernelsImpl extends Serializable {
     }
     bits
   }
+  /** Deterministic Johnson–Lindenstrauss sign matrix: sign(i, j) = +1 when
+    * the first hex digit of md5("jl:i:j") is even, else -1 — a derivation a
+    * SQL oracle replicates verbatim. Rows quantize each input component to
+    * round(v * 1e6) (HALF_UP) once, then each output component is an exact
+    * BIGINT signed sum — no floating-point accumulation anywhere, so the
+    * projection is bit-identical on any engine and any row order.
+    */
+  def jlSigns(dIn: Int, dOut: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dIn, dOut) { (i, j) =>
+      md.reset()
+      val d = md.digest(s"jl:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((((d(0) >> 4) & 0xf) & 1) == 0) 1 else -1
+    }
+  }
+
+  private val jlCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
+
+  def jlProject(v: ArrayData, dOut: Int): ArrayData = {
+    val dIn = v.numElements()
+    val m = jlCache.computeIfAbsent((dIn, dOut), { k: (Int, Int) =>
+      jlSigns(k._1, k._2)
+    })
+    val out = new Array[Long](dOut)
+    var i = 0
+    while (i < dIn) {
+      val q = BigDecimal(v.getFloat(i).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val row = m(i)
+      var j = 0
+      while (j < dOut) { out(j) += row(j) * q; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
+
 
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -132,6 +169,25 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss sign-matrix projection to `dOut` exact BIGINT
+  * components (micro-units of the input scale). The standard cheap
+  * embedding compressor ahead of ANN/dedup at corpus scale: one zero-shuffle
+  * codegen pass, output dimension independent of the input width, distances
+  * preserved to (1±eps) by the JL lemma. Integer arithmetic end-to-end (see
+  * jlProject) keeps it bit-identical across engines.
+  */
+case class JlProject(child: Expression, dOut: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernelsImpl.jlProject(input.asInstanceOf[ArrayData], dOut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernelsImpl$$.MODULE$$.jlProject($v, $dOut)")
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -141,4 +197,6 @@ object VectorKernels {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hyperplaneSig(v: Column, planes: Int): Column =
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(v), planes))
+  def jlProject(v: Column, dOut: Int): Column =
+    ExpressionUtils.column(JlProject(ExpressionUtils.expression(v), dOut))
 }

@@ -1559,4 +1559,55 @@ class DataOpsSpec extends SparkSuite {
       .filter($"domain" === "a").head
     assert(allA.getLong(5) == 3L && allA.getLong(7) == 6L)
   }
+
+  test("AC blocklist: overlapping + nested matches, first = min (start, pid)") {
+    import graft.functions.AcWorker
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(phrases: Seq[String], text: String): (Long, Long, Long, Long) = {
+      val r = new AcWorker(phrases.toArray)
+        .compute(if (text == null) null else UTF8String.fromString(text))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // overlapping occurrences of both phrases: "abca" at 0,3; "a" at 0,3,6
+    assert(run(Seq("abca", "a"), "abcabca") == ((5L, 2L, 0L, 0L)))
+    // nested: "value" is a proper suffix of "table value" (dictionary link)
+    assert(run(Seq("table value", "value"), "x table value") == ((2L, 2L, 2L, 0L)))
+    // self-overlap: "a a" matches at 0 and 2 in "a a a"
+    assert(run(Seq("a a"), "a a a") == ((2L, 1L, 0L, 0L)))
+    // same start, two phrases: lowest pid wins the first slot
+    assert(run(Seq("abc", "ab"), "abc") == ((2L, 2L, 0L, 0L)))
+    assert(run(Seq("ab", "abc"), "abc") == ((2L, 2L, 0L, 0L)))
+    // no match / null
+    assert(run(Seq("zq"), "abc") == ((0L, 0L, -1L, -1L)))
+    assert(run(Seq("zq"), null) == ((0L, 0L, -1L, -1L)))
+  }
+
+  test("char entropy: exact e6-integer terms, order-free") {
+    import graft.functions.CharEntropyWorker
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(text: String): (Long, Long, Long) = {
+      val r = new CharEntropyWorker()
+        .compute(if (text == null) null else UTF8String.fromString(text))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(run("aaaa") == ((4L, 1L, 0L)))            // zero entropy
+    assert(run("ab") == ((2L, 2L, 2000000L)))        // exactly 1 bit
+    // "aab": 2*round(log2(3/2)*1e6) + 1*round(log2(3)*1e6)
+    //      = 2*584963 + 1584963 = 2754889
+    assert(run("aab") == ((3L, 2L, 2754889L)))
+    assert(run("") == ((0L, 0L, 0L)))
+    assert(run(null) == ((0L, 0L, 0L)))
+  }
+
+  test("JL projection: pinned md5 signs, exact integer sums") {
+    import graft.functions.VectorKernelsImpl
+    // pinned parity of md5("jl:i:j") first hex digit for dIn=2, dOut=2
+    assert(VectorKernelsImpl.jlSigns(2, 2).map(_.toSeq).toSeq ==
+      Seq(Seq(-1, 1), Seq(1, 1)))
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](0.5f, -0.25f))
+    val out = VectorKernelsImpl.jlProject(arr, 2)
+    // q = [500000, -250000]; p0 = -1*500000 + (-250000); p1 = 500000 - 250000
+    assert(out.toLongArray().toSeq == Seq(-750000L, 250000L))
+  }
 }
