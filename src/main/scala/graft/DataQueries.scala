@@ -819,6 +819,32 @@ object DataQueries {
           VectorKernels.jlProject(col("embedding"), 8).as("p"))
         .select(col("vec_id") +:
           (0 until 8).map(j => element_at(col("p"), j + 1).as(s"p$j")): _*)
+    }),
+
+    // winnowing (MOSS) fingerprints + cross-doc shared-span detection:
+    // k=16/w=8 selects ~2/(w+1) of gram positions (vs substr_windows'
+    // every-position shuffle) with the >= k+w-1 shared-span guarantee;
+    // deterministic injected tails create real cross-doc overlap classes
+    "q_winnow" -> ((s, d) => {
+      import graft.functions.WinnowFps
+      val injected = docs(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" shared winnow marker alpha beta gamma")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" second shared span delta epsilon zeta")).otherwise(lit(""))))
+      val fps = injected.select(col("doc_id"),
+        explode(WinnowFps(col("text"), 16, 8)).as("h"))
+      val shared = fps.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      val perDoc = fps.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+          sum(col("h")).as("fp_sum"))
+      docs(s, d).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+          coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
     })
   )
 
@@ -2903,6 +2929,47 @@ object DataQueries {
          |SELECT vec_id,
          |$pivots
          |FROM pr GROUP BY vec_id""".stripMargin
-    }
+    },
+
+    // positional replica of winnowing: per-window rightmost-tie argmin over
+    // 48-bit md5 gram hashes, DISTINCT selected positions, then the shared
+    // inverted-index aggregation
+    "q_winnow" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' shared winnow marker alpha beta gamma' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' second shared span delta epsilon zeta' ELSE '' END AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+        |    ('0x' || substr(md5(substr(d.text, CAST(t.j AS INT), 16)), 1, 12))::BIGINT AS h
+        |  FROM d0 d
+        |  CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, length(d.text) - 16 + 2)) AS j) t),
+        |wn AS (SELECT doc_id, length(text) - 16 - 8 + 2 AS nwin FROM d0),
+        |w AS (
+        |  SELECT g.doc_id, CAST(t.t AS BIGINT) AS t, g.j, g.h
+        |  FROM g JOIN wn USING (doc_id)
+        |  CROSS JOIN LATERAL (
+        |    SELECT unnest(range(greatest(1, g.j - 8 + 1),
+        |                        least(wn.nwin, g.j) + 1)) AS t) t),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, j, h FROM (
+        |    SELECT doc_id, t, j, h,
+        |      row_number() OVER (PARTITION BY doc_id, t ORDER BY h ASC, j DESC) AS rn
+        |    FROM w) WHERE rn = 1),
+        |sh AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sel GROUP BY h),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_fps,
+        |    sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS n_shared_fps,
+        |    CAST(sum(s.h) AS BIGINT) AS fp_sum
+        |  FROM sel s JOIN sh USING (h) GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_fps, 0) AS BIGINT) AS n_fps,
+        |  CAST(coalesce(p.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+        |  coalesce(p.fp_sum, 0) AS fp_sum
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
   )
 }

@@ -225,6 +225,18 @@ object ScaleUp {
           col("b.first_phrase")).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // winnow: the selected-fraction (~2/(w+1)) inverted-index exchange vs
+    // substr_windows' every-position shuffle — same md5-bound gram hashing,
+    // ~4.5x less exchange volume by construction at k=16/w=8
+    results += op("winnow", smallD, bigD, smallDocs, bigDocs) { d =>
+      val fps = d.select(col("doc_id"),
+        explode(graft.functions.WinnowFps(col("text"), 16, 8)).as("h"))
+      val shared = fps.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      fps.join(shared, "h").groupBy(col("doc_id"))
+        .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("ns"))
+        .agg(sum(col("ns"))).collect().head.getLong(0)
+    }
     // round-5 quality/clustering additions at 100x docs/vecs:
     // gopher_repetition is a single-projection scan pass (the ratio IS the
     // linearity statement); lm_perplexity runs the FULL train (two aggs +

@@ -1610,4 +1610,46 @@ class DataOpsSpec extends SparkSuite {
     // q = [500000, -250000]; p0 = -1*500000 + (-250000); p1 = 500000 - 250000
     assert(out.toLongArray().toSeq == Seq(-750000L, 250000L))
   }
+
+  test("winnowing: brute-force distinct-argmin equivalence, tie + guarantee") {
+    import graft.functions.WinnowWorker
+    import org.apache.spark.unsafe.types.UTF8String
+    def h48(g: String): Long = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      ((b(0) & 0xffL) << 40) | ((b(1) & 0xffL) << 32) | ((b(2) & 0xffL) << 24) |
+        ((b(3) & 0xffL) << 16) | ((b(4) & 0xffL) << 8) | (b(5) & 0xffL)
+    }
+    // reference: DISTINCT argmin (rightmost tie) of every window, the
+    // definition the DuckDB oracle implements positionally
+    def brute(t: String, k: Int, w: Int): Seq[Long] = {
+      val n = t.length - k + 1
+      if (n < w) return Seq.empty
+      val hs = (0 until n).map(i => h48(t.substring(i, i + k)))
+      (0 to n - w).map { s =>
+        (s until s + w).minBy(j => (hs(j), -j))
+      }.distinct.sorted.map(hs)
+    }
+    def run(t: String, k: Int, w: Int): Seq[Long] =
+      new WinnowWorker(k, w).compute(UTF8String.fromString(t))
+        .toLongArray().toSeq
+    // selection order is position order, so sorted == as-emitted
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs on",
+      "aaaaaaaaaaaa", "abcabcabcabcabcabc", "key agg row scan slow fast")
+    for (t <- texts; (k, w) <- Seq((2, 3), (4, 4), (8, 4), (3, 2)))
+      assert(run(t, k, w) == brute(t, k, w), s"k=$k w=$w text=$t")
+    // single-gram, single window: pinned 48-bit md5 constant
+    assert(run("abcdefgh", 8, 1) == Seq(256032672690484L))
+    // all-equal hashes: every window picks its rightmost -> one fp/window
+    assert(run("aaaaaa", 2, 3).length == 3)
+    // guarantee: sharing a >= k+w-1 substring implies a shared fingerprint
+    val shared = "XXsharedspanYY"
+    val a = run("prefix one " + shared + " tail alpha", 4, 3).toSet
+    val b = run("other words " + shared + " something", 4, 3).toSet
+    assert(a.intersect(b).nonEmpty)
+    // short/null input -> empty
+    assert(run("ab", 8, 4).isEmpty)
+    assert(new WinnowWorker(8, 4).compute(null).numElements() == 0)
+  }
 }
