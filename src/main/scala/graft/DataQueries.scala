@@ -845,6 +845,24 @@ object DataQueries {
           coalesce(col("n_fps"), lit(0L)).as("n_fps"),
           coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
           coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+    }),
+
+    // asymmetric containment dedup (Broder containment vs resemblance):
+    // injected 20-word prefix children are contained (1.0) in their parents
+    // while scoring low Jaccard — the superset/subset mode q_ngram_jaccard
+    // misses; n_hidden counts exactly those pairs
+    "q_containment" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 5000)
+        .select(col("doc_id"), col("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      val children = base.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 20)).as("text"))
+      Dedup.containmentPairs(base.unionByName(children), threshold = 0.9)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("containment") * 1000000, 0).cast("long")).as("sum_containment_e6"),
+          sum(when(col("containment") === 1.0, 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("jaccard") < 0.5, 1L).otherwise(0L)).as("n_hidden"))
     })
   )
 
@@ -2970,6 +2988,35 @@ object DataQueries {
         |  CAST(coalesce(p.n_fps, 0) AS BIGINT) AS n_fps,
         |  CAST(coalesce(p.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
         |  coalesce(p.fp_sum, 0) AS fp_sum
-        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // containment = inter / min(|A|,|B|) over the same distinct-shingle
+    // machinery as q_ngram_jaccard; prefix children replicated via the
+    // word-slice injection
+    "q_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 5000),
+         |d0 AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |         array_to_string(($toks)[1:20], ' ')
+         |  FROM base WHERE doc_id % 31 = 0),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM d0),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+         |          FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |p AS (SELECT round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS c,
+         |             round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS j
+         |      FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+         |                 JOIN sizes sb ON inter.b = sb.doc_id)
+         |SELECT count(*) AS n,
+         |  CAST(coalesce(sum(CAST(round(c * 1000000) AS BIGINT)), 0) AS BIGINT)
+         |    AS sum_containment_e6,
+         |  CAST(coalesce(sum(CASE WHEN c = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_full,
+         |  CAST(coalesce(sum(CASE WHEN j < 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_hidden
+         |FROM p WHERE c >= 0.9""".stripMargin
   )
 }

@@ -191,6 +191,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Asymmetric containment dedup: containment(A,B) = |A∩B| / min(|A|,|B|)
+    * over shingle sets. Catches the superset/subset duplication mode
+    * resemblance misses — a short document quoted or embedded whole inside
+    * a longer one scores near-zero Jaccard (the union is dominated by the
+    * host) but containment 1.0. Transcripts hit this constantly (turns
+    * re-quoting prior context, tool outputs pasted into later messages);
+    * Broder's classic resemblance/containment split is exactly this pair
+    * of metrics. Emits both so callers can select the
+    * high-containment/low-Jaccard pairs the resemblance pass misses.
+    *
+    * Same status as [[ngramJaccardPairs]]: an exact verifier, quadratic in
+    * shingle collisions — at scale the candidate set comes from the minhash
+    * band index and THIS op verifies it; run it on capped input.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("l").join(sh.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("sza"), col("szb")), 6))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     * Quadratic in collisions — verification-scale only.
     */

@@ -1652,4 +1652,19 @@ class DataOpsSpec extends SparkSuite {
     assert(run("ab", 8, 4).isEmpty)
     assert(new WinnowWorker(8, 4).compute(null).numElements() == 0)
   }
+
+  test("containment pairs: subset doc scores 1.0 with low jaccard") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"), // host: 14 shingles
+      (2L, "a b c d e"),                       // strict prefix: 3 shingles
+      (3L, "z y x w v u t s")                  // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, threshold = 0.9)
+      .select("a", "b", "containment", "jaccard").collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0)       // all of doc 2 inside doc 1
+    assert(r.getDouble(3) < 0.25)       // resemblance would never flag it
+  }
 }
