@@ -863,7 +863,13 @@ object DataQueries {
           sum(round(col("containment") * 1000000, 0).cast("long")).as("sum_containment_e6"),
           sum(when(col("containment") === 1.0, 1L).otherwise(0L)).as("n_full"),
           sum(when(col("jaccard") < 0.5, 1L).otherwise(0L)).as("n_hidden"))
-    })
+    }),
+
+    // exact duplicate-span REMOVAL (Lee et al. 2022): excise every repeated
+    // 8-token window except its globally-first occurrence; kept_md5 pins
+    // the exact surviving text per doc
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(docs(s, d), w = 8))
   )
 
   /** Blocklist for q_blocklist — word phrases over the corpus vocabulary,
@@ -3017,6 +3023,48 @@ object DataQueries {
          |    AS n_full,
          |  CAST(coalesce(sum(CASE WHEN j < 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT)
          |    AS n_hidden
-         |FROM p WHERE c >= 0.9""".stripMargin
+         |FROM p WHERE c >= 0.9""".stripMargin,
+
+    // positional replica of keep-first span removal: window keeper by
+    // (doc_id, pos) rank, removed-position union, run/island span count,
+    // ordered re-assembly md5
+    "q_dedup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |wrows AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |        FROM tok WHERE len(t) >= 8)),
+         |occ AS (SELECT h, count(*) AS c FROM wrows GROUP BY h),
+         |rk AS (SELECT doc_id, pos, h,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |       FROM wrows),
+         |nk AS (SELECT rk.doc_id, rk.pos FROM rk JOIN occ USING (h)
+         |       WHERE occ.c > 1 AND rk.rn > 1),
+         |rem AS (SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS rp
+         |        FROM nk CROSS JOIN LATERAL (
+         |          SELECT unnest(range(pos, pos + 8)) AS p) t),
+         |spans AS (
+         |  SELECT doc_id, count(*) AS n_removed,
+         |         count(DISTINCT rp - rn) AS n_spans
+         |  FROM (SELECT doc_id, rp,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS rn
+         |        FROM rem) GROUP BY doc_id),
+         |tr AS (SELECT doc_id, CAST(tp AS BIGINT) AS tp,
+         |         t[CAST(tp AS INT)] AS tok
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS tp
+         |             FROM tok)),
+         |kept AS (
+         |  SELECT tr.doc_id, count(*) AS n_kept,
+         |         md5(string_agg(tr.tok, ' ' ORDER BY tr.tp)) AS kept_md5
+         |  FROM tr LEFT JOIN rem ON tr.doc_id = rem.doc_id AND tr.tp = rem.rp
+         |  WHERE rem.rp IS NULL GROUP BY tr.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+         |  CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+         |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans_removed,
+         |  coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM documents d
+         |LEFT JOIN spans s USING (doc_id) LEFT JOIN kept k USING (doc_id)""".stripMargin
   )
 }

@@ -225,6 +225,14 @@ object ScaleUp {
           col("b.first_phrase")).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // dedup_spans: the ACTION step over substr_windows' detection — keeper
+    // rank + position-union excision + ordered re-assembly; state per doc
+    // bounded by its own token count
+    results += op("dedup_spans", smallD, bigD, smallDocs, bigDocs) { d =>
+      graft.ops.Dedup.removeDuplicateSpans(d, w = 8)
+        .agg(sum(col("n_removed_tokens") +
+          xxhash64(col("kept_md5")) % 1000L)).collect().head.getLong(0)
+    }
     // winnow: the selected-fraction (~2/(w+1)) inverted-index exchange vs
     // substr_windows' every-position shuffle — same md5-bound gram hashing,
     // ~4.5x less exchange volume by construction at k=16/w=8

@@ -462,6 +462,66 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Exact duplicate-span REMOVAL — the action step over
+    * [[duplicateWindowStats]]' detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated substrings are
+    * excised from the corpus, not just flagged). Every w-token window
+    * occurring at ≥2 corpus positions is removed everywhere EXCEPT its
+    * globally-first occurrence (minimal (id, pos)); a document's removed
+    * token set is the union of its non-keeper windows' ranges, and the
+    * kept text is re-assembled from the surviving tokens in order.
+    *
+    * Scale shape: the digest shuffle + one broadcast-free join are the same
+    * exchanges as the stats op; the per-doc interval union and re-assembly
+    * are id-keyed aggregations whose state is bounded by ONE document's
+    * token count (the run/island trick needs no interval merging pass).
+    * Determinism: the keeper rule is a total order, so output is
+    * partitioning-invariant; `kept_md5` pins the exact surviving text.
+    */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    // keeper = min (id, pos) PACKED into one BIGINT (id*2^20 + pos): a
+    // struct-min falls back to SortAggregate; the packed min stays a
+    // codegen HashAggregate and preserves the lexicographic order exactly
+    // while pos < 2^20 tokens/doc (far above any real document)
+    val rows = tokenWindowRows(docs, textCol, idCol, w)
+      .withColumn("code", col("id") * lit(1048576L) + col("pos"))
+    val keeper = rows.groupBy("whash")
+      .agg(min(col("code")).as("kcode"), count(lit(1)).as("occ"))
+    val nonKeep = rows.join(keeper, "whash")
+      .filter(col("occ") > 1 && col("code") =!= col("kcode"))
+    val removed = nonKeep
+      .select(col("id").as("rid"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("rp"))
+      .distinct()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rid")).orderBy(col("rp"))
+    val spans = removed
+      .withColumn("isl", col("rp") - row_number().over(byDoc))
+      .groupBy("rid")
+      .agg(count(lit(1)).as("n_removed"), countDistinct(col("isl")).as("n_spans"))
+    val tokRows = toks
+      .select(col("id"), posexplode(col("t")).as(Seq("tp0", "tok")))
+      .select(col("id"), (col("tp0") + 1).as("tp"), col("tok"))
+    val kept = tokRows.join(removed,
+        tokRows("id") === removed("rid") && col("tp") === col("rp"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x.getField("tok")))).as("kept_md5"))
+    docs.select(col(idCol).as("id"))
+      .join(spans, col("id") === col("rid"), "left").drop("rid")
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
   // ------------------------------------------------------------ paragraphs
 
   /** Split documents into (id, para_idx, para) rows on a delimiter regex,

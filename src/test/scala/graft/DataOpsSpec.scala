@@ -1667,4 +1667,26 @@ class DataOpsSpec extends SparkSuite {
     assert(r.getDouble(2) == 1.0)       // all of doc 2 inside doc 1
     assert(r.getDouble(3) < 0.25)       // resemblance would never flag it
   }
+
+  test("duplicate-span removal: keep-first excision, runs, full-excise edge") {
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = Seq(
+      (1L, "a b c d e f g h x1 x2"),                  // keeper of the window
+      (2L, "z1 z2 a b c d e f g h"),                  // window again at pos 3
+      (3L, "q r s t u v w y"),                        // unique window
+      (4L, "a b c d e f g h a b c d e f g h")         // window at pos 1 AND 9
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // doc 1 holds the globally-first occurrence -> untouched
+    assert(out(1L) == ((10L, 0L, 0L, md5s("a b c d e f g h x1 x2"))))
+    // doc 2 loses positions 3..10, keeps the 2-token prefix
+    assert(out(2L) == ((2L, 8L, 1L, md5s("z1 z2"))))
+    assert(out(3L) == ((8L, 0L, 0L, md5s("q r s t u v w y"))))
+    // doc 4: both occurrences are non-keepers -> every token excised, one run
+    assert(out(4L) == ((0L, 16L, 1L, md5s(""))))
+  }
 }
