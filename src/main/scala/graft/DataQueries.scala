@@ -869,7 +869,31 @@ object DataQueries {
     // 8-token window except its globally-first occurrence; kept_md5 pins
     // the exact surviving text per doc
     "q_dedup_spans" -> ((s, d) =>
-      Dedup.removeDuplicateSpans(docs(s, d), w = 8))
+      Dedup.removeDuplicateSpans(docs(s, d), w = 8)),
+
+    // within-doc retrieval chunking: 64-token windows every 48 (16-token
+    // overlap), stable md5 chunk ids, zero-shuffle generate+projection
+    "q_rag_chunks" -> ((s, d) =>
+      graft.ops.Packing.ragChunks(docs(s, d), chunkTokens = 64, stride = 48)),
+
+    // corpus drift monitor between the doc_id-parity halves: exact integer
+    // two-sample KS numerators over two integer features + categorical L1
+    // over lang — bit-identical on any engine (divide by n0*n1 at read)
+    "q_drift" -> ((s, d) => {
+      import graft.ops.Drift
+      val dd = docs(s, d).withColumn("s", (col("doc_id") % 2).cast("int"))
+      Drift.ksDrift(dd, TextOps.wsTokenCount(col("text")), col("s"))
+        .select(lit("ws_tokens_ks").as("metric"), col("ks_num").as("stat_num"),
+          col("n0"), col("n1"))
+        .unionByName(
+          Drift.ksDrift(dd, col("n_chars"), col("s"))
+            .select(lit("n_chars_ks").as("metric"), col("ks_num").as("stat_num"),
+              col("n0"), col("n1")))
+        .unionByName(
+          Drift.l1Drift(dd, col("lang"), col("s"))
+            .select(lit("lang_l1").as("metric"), col("l1_num").as("stat_num"),
+              col("n0"), col("n1")))
+    })
   )
 
   /** Blocklist for q_blocklist — word phrases over the corpus vocabulary,
@@ -3065,6 +3089,62 @@ object DataQueries {
          |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans_removed,
          |  coalesce(k.kept_md5, md5('')) AS kept_md5
          |FROM documents d
-         |LEFT JOIN spans s USING (doc_id) LEFT JOIN kept k USING (doc_id)""".stripMargin
+         |LEFT JOIN spans s USING (doc_id) LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // overlapping-window chunking replicated positionally (K = ceil((n -
+    // chunk)/stride) extra chunks, list_slice clipping, same id/md5 forms)
+    "q_rag_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |k AS (SELECT doc_id, t,
+         |        unnest(range(0,
+         |          greatest(0, CAST(len(t) - 64 + 48 - 1 AS INT) // 48) + 1)) AS ci
+         |      FROM tok)
+         |SELECT doc_id,
+         |  CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(ci * 48 + 1 AS BIGINT) AS start_tok,
+         |  CAST(len(list_slice(t, CAST(ci * 48 + 1 AS INT),
+         |                         CAST(ci * 48 + 64 AS INT))) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ci AS VARCHAR)) AS chunk_id,
+         |  md5(array_to_string(list_slice(t, CAST(ci * 48 + 1 AS INT),
+         |                                    CAST(ci * 48 + 64 AS INT)), ' '))
+         |    AS chunk_md5
+         |FROM k""".stripMargin,
+
+    // exact integer KS/L1 drift numerators between the doc_id-parity halves
+    "q_drift" -> {
+      val wsTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(" + toks + ") END"
+      def ks(feature: String, label: String) =
+        s"""SELECT '$label' AS metric, CAST(x.ks AS BIGINT) AS stat_num, t.n0, t.n1 FROM (
+           |  SELECT max(abs(cum0 * n1 - cum1 * n0)) AS ks FROM (
+           |    SELECT sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum0,
+           |           sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1
+           |    FROM (SELECT $feature AS v,
+           |            sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+           |            sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+           |          FROM documents GROUP BY 1))
+           |  CROSS JOIN (SELECT count(*) FILTER (doc_id % 2 = 0) AS n0,
+           |                     count(*) FILTER (doc_id % 2 = 1) AS n1
+           |              FROM documents)) x
+           |CROSS JOIN (SELECT count(*) FILTER (doc_id % 2 = 0) AS n0,
+           |                   count(*) FILTER (doc_id % 2 = 1) AS n1
+           |            FROM documents) t""".stripMargin
+      s"""${ks(wsTok, "ws_tokens_ks")}
+         |UNION ALL
+         |${ks("n_chars", "n_chars_ks")}
+         |UNION ALL
+         |SELECT 'lang_l1' AS metric, CAST(x.l1 AS BIGINT) AS stat_num, t.n0, t.n1 FROM (
+         |  SELECT sum(abs(c0 * n1 - c1 * n0)) AS l1 FROM (
+         |    SELECT lang,
+         |      sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         |      sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+         |    FROM documents GROUP BY 1)
+         |  CROSS JOIN (SELECT count(*) FILTER (doc_id % 2 = 0) AS n0,
+         |                     count(*) FILTER (doc_id % 2 = 1) AS n1
+         |              FROM documents)) x
+         |CROSS JOIN (SELECT count(*) FILTER (doc_id % 2 = 0) AS n0,
+         |                   count(*) FILTER (doc_id % 2 = 1) AS n1
+         |            FROM documents) t""".stripMargin
+    }
   )
 }

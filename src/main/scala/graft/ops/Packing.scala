@@ -90,4 +90,31 @@ object Packing {
         round((col("padded_tokens") - col("sum_tokens")).cast("double") /
           col("padded_tokens"), 6))
   }
+
+  /** Within-document retrieval chunking (the RAG prep step): fixed
+    * `chunkTokens` windows starting every `stride` tokens (overlap =
+    * chunkTokens - stride), every token covered, the final chunk clipped
+    * short. Chunk count K = max(0, ceil((n - chunkTokens)/stride)) + 1, so
+    * a document at or under the chunk size emits exactly one chunk. Stable
+    * ids: chunk_id = md5(doc_id ":" k) survives re-chunking runs. Pure
+    * generate + projection — zero shuffle, scan-speed at any corpus size.
+    */
+  def ragChunks(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = split(trim(col(textCol)), "\\s+")
+    val kMax = greatest(lit(0),
+      ((size(col("t")) - lit(chunkTokens) + lit(stride) - 1) / lit(stride))
+        .cast("int"))
+    docs.select(col(idCol), t.as("t"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0), kMax)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("start_tok"),
+        slice(col("t"), col("chunk_idx") * stride + 1, lit(chunkTokens)).as("c"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(":", col(idCol), col("chunk_idx"))).as("chunk_id"),
+        md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+  }
 }

@@ -1689,4 +1689,34 @@ class DataOpsSpec extends SparkSuite {
     // doc 4: both occurrences are non-keepers -> every token excised, one run
     assert(out(4L) == ((0L, 16L, 1L, md5s(""))))
   }
+
+  test("rag chunks: overlap windows, short-doc and exact-size edges") {
+    import graft.ops.Packing
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens -> 2 chunks
+      (2L, (1 to 64).map(i => s"u$i").mkString(" ")),  // exactly one chunk
+      (3L, "a b c")                                    // short -> one chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.ragChunks(df, chunkTokens = 64, stride = 48)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 4)
+    assert(out((1L, 0L)) == ((1L, 64L)))
+    assert(out((1L, 1L)) == ((49L, 52L))) // clipped final chunk, 16 overlap
+    assert(out((2L, 0L)) == ((1L, 64L)))
+    assert(out((3L, 0L)) == ((1L, 3L)))
+  }
+
+  test("drift: exact integer KS and L1 numerators") {
+    import graft.ops.Drift
+    val df = Seq((0, 1L, "a"), (0, 1L, "a"), (0, 2L, "b"),
+      (1, 2L, "b"), (1, 3L, "c")).toDF("s", "v", "c")
+    // ks over v: cums (2,0)->4, (3,1)->3, (3,2)->0 at n0=3 n1=2 -> max 4
+    val ks = Drift.ksDrift(df, $"v", $"s").collect().head
+    assert((ks.getLong(0), ks.getLong(1), ks.getLong(2)) == ((4L, 3L, 2L)))
+    // l1 over c: |2*2-0*3| + |1*2-1*3| + |0*2-1*3| = 4 + 1 + 3 = 8
+    val l1 = Drift.l1Drift(df, $"c", $"s").collect().head
+    assert((l1.getLong(0), l1.getLong(1), l1.getLong(2)) == ((8L, 3L, 2L)))
+  }
 }
