@@ -876,6 +876,39 @@ object DataQueries {
     "q_rag_chunks" -> ((s, d) =>
       graft.ops.Packing.ragChunks(docs(s, d), chunkTokens = 64, stride = 48)),
 
+    // dedup-quality evaluation harness: banding recall/precision vs exact
+    // Jaccard truth at a threshold grid — integer TP/FN/FP per threshold,
+    // the tuning loop (bands/rows/cap) a production dedup needs
+    "q_dedup_pr" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 3000)
+        .select(col("doc_id"), col("text"))
+      // sibling children with ~0.6 shingle overlap: the mid-Jaccard band
+      // where banding recall is actually probabilistic (exact dups would
+      // make every threshold read recall 1.0 and teach nothing)
+      val t0 = split(trim(col("text")), "\\s+")
+      val sel = base.filter(col("doc_id") % 17 === 0)
+      val childA = sel.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(t0, 1, 40)).as("text"))
+      val childB = sel.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", concat(slice(t0, 1, 32), reverse(slice(t0, 33, 8))))
+          .as("text"))
+      val reps = base.unionByName(childA).unionByName(childB)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val cand = Dedup.minhashCandidates(reps).withColumn("c", lit(1))
+      val truth = Dedup.ngramJaccardPairs(reps, shingleN = 3, threshold = 0.25)
+      val joined = cand.join(truth, Seq("a", "b"), "full_outer")
+        .select(coalesce(col("c"), lit(0)).as("c"),
+          coalesce(col("jaccard"), lit(0.0)).as("j"))
+      Seq(30, 50, 80).map { t =>
+        joined.agg(
+          lit(t.toLong).as("t_e2"),
+          sum(when(col("c") === 1 && col("j") >= t / 100.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("c") === 0 && col("j") >= t / 100.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("c") === 1 && col("j") < t / 100.0, 1L).otherwise(0L)).as("fp"))
+      }.reduce(_ unionByName _)
+    }),
+
     // corpus drift monitor between the doc_id-parity halves: exact integer
     // two-sample KS numerators over two integer features + categorical L1
     // over lang — bit-identical on any engine (divide by n0*n1 at read)
@@ -3110,6 +3143,62 @@ object DataQueries {
          |                                    CAST(ci * 48 + 64 AS INT)), ' '))
          |    AS chunk_md5
          |FROM k""".stripMargin,
+
+    // banding-vs-truth PR harness: candidate machinery and exact-Jaccard
+    // truth both replicated over the same capped rep universe
+    "q_dedup_pr" -> {
+      def cell(t: Int) =
+        s"""SELECT CAST($t AS BIGINT) AS t_e2,
+           |  CAST(sum(CASE WHEN c = 1 AND j >= $t / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN c = 0 AND j >= $t / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(sum(CASE WHEN c = 1 AND j < $t / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+           |FROM u""".stripMargin
+      s"""WITH capped AS (SELECT doc_id, text FROM documents WHERE doc_id < 3000),
+         |base AS (
+         |  SELECT doc_id, text FROM capped
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         array_to_string(($toks)[1:40], ' ')
+         |  FROM capped WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |         array_to_string(list_concat(($toks)[1:32],
+         |           list_reverse(($toks)[33:40])), ' ')
+         |  FROM capped WHERE doc_id % 17 = 0),
+         |reps AS (SELECT min(doc_id) AS doc_id, text FROM base GROUP BY text),
+         |sh AS (SELECT doc_id,
+         |         list_transform($shinglesSql, sh0 -> md5(sh0)) AS s FROM reps),
+         |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+         |bandsx AS (SELECT doc_id, unnest($bandsSql) AS band FROM sig),
+         |ranked AS (SELECT doc_id, band,
+         |             row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn,
+         |             min(doc_id) OVER (PARTITION BY band) AS anchor
+         |           FROM bandsx),
+         |cand AS (SELECT DISTINCT a, b FROM (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM ranked l JOIN ranked r ON l.band = r.band AND l.doc_id < r.doc_id
+         |  WHERE l.rn <= 256 AND r.rn <= 256
+         |  UNION
+         |  SELECT anchor AS a, doc_id AS b FROM ranked WHERE rn > 256)),
+         |shw AS (SELECT doc_id, unnest($shinglesSql) AS s FROM reps),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shw GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+         |          FROM shw l JOIN shw r ON l.s = r.s AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT a, b,
+         |            round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS j
+         |          FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+         |                     JOIN sizes sb ON inter.b = sb.doc_id
+         |          WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.25),
+         |u AS (SELECT coalesce(c.infl, 0) AS c, coalesce(t.j, 0.0) AS j
+         |      FROM (SELECT a, b, 1 AS infl FROM cand) c
+         |      FULL OUTER JOIN truth t USING (a, b))
+         |${cell(30)}
+         |UNION ALL
+         |${cell(50)}
+         |UNION ALL
+         |${cell(80)}""".stripMargin
+    },
 
     // exact integer KS/L1 drift numerators between the doc_id-parity halves
     "q_drift" -> {

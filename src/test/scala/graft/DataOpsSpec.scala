@@ -1719,4 +1719,26 @@ class DataOpsSpec extends SparkSuite {
     val l1 = Drift.l1Drift(df, $"c", $"s").collect().head
     assert((l1.getLong(0), l1.getLong(1), l1.getLong(2)) == ((8L, 3L, 2L)))
   }
+
+  test("dedup PR harness pieces: exact pair is candidate AND truth") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val reps = df.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"text")
+    // identical texts collapse to one rep -> no candidate pair remains;
+    // minhashCandidates ALSO collapses internally (exact dups never reach
+    // banding), so the PR harness MUST evaluate over the rep universe or
+    // every exact-dup pair would read as a structural false negative
+    assert(Dedup.minhashCandidates(reps).count() == 0)
+    assert(Dedup.minhashCandidates(df.select($"doc_id", $"text")).count() == 0)
+    assert(Dedup.ngramJaccardPairs(reps, threshold = 0.25).count() == 0)
+    // a true near-dup (not exact) survives the collapse into both sides
+    val near = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i XX"),
+      (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(near)
+    assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    val t2 = Dedup.ngramJaccardPairs(near, threshold = 0.25).collect()
+    assert(t2.length == 1 && t2.head.getDouble(2) > 0.5)
+  }
 }
