@@ -876,6 +876,12 @@ object DataQueries {
     "q_rag_chunks" -> ((s, d) =>
       graft.ops.Packing.ragChunks(docs(s, d), chunkTokens = 64, stride = 48)),
 
+    // ANN recall harness (the IVF twin of q_dedup_pr): per-query recall@10
+    // of the nprobe=2 probe vs brute-force truth over a 1%-sample query
+    // set, fully set-based — n_cands/corpus is the scan fraction bought
+    "q_ann_recall" -> ((s, d) =>
+      graft.ops.Similarity.ivfRecall(embs(s, d))),
+
     // dedup-quality evaluation harness: banding recall/precision vs exact
     // Jaccard truth at a threshold grid — integer TP/FN/FP per threshold,
     // the tuning loop (bands/rows/cap) a production dedup needs
@@ -3143,6 +3149,75 @@ object DataQueries {
          |                                    CAST(ci * 48 + 64 AS INT)), ' '))
          |    AS chunk_md5
          |FROM k""".stripMargin,
+
+    // IVF recall harness replica: the q_kmeans model machinery trained on
+    // ALL embeddings, per-query brute truth + probe-cluster candidates
+    "q_ann_recall" -> {
+      val cosTr = cosineSql("e.embedding", "q.qv")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |a0 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c0 c),
+         |asg0 AS (SELECT vec_id, cl FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a0)
+         |         WHERE rn = 1),
+         |dims AS (SELECT a.cl, unnest(e.v) AS x,
+         |                unnest(range(1, len(e.v)+1)) AS i
+         |         FROM asg0 a JOIN e ON a.vec_id = e.vec_id),
+         |m1 AS (SELECT cl, i, round(sum(x) / count(*), 6) AS m
+         |       FROM dims GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+         |c1f AS (SELECT c0.cl, coalesce(c1.v, c0.v) AS v
+         |        FROM c0 LEFT JOIN c1 ON c0.cl = c1.cl),
+         |a1 AS (SELECT e.vec_id, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM e CROSS JOIN c1f c),
+         |asg1 AS (SELECT vec_id, cl FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist_e6 ASC, cl ASC) rn FROM a1)
+         |         WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, v AS qvd
+         |      FROM e WHERE vec_id % 100 = 0),
+         |tr AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY $cosTr DESC, e.vec_id ASC) AS rn
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+         |cd AS (SELECT q.qid, c.cl,
+         |         CAST(round(list_reduce(list_transform(range(1, len(c.v)+1),
+         |                i -> (q.qvd[i] - c.v[i]) * (q.qvd[i] - c.v[i])),
+         |              (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS dist_e6
+         |       FROM c1f c CROSS JOIN q),
+         |probes AS (SELECT qid, cl FROM
+         |            (SELECT qid, cl, row_number() OVER (PARTITION BY qid
+         |               ORDER BY dist_e6 ASC, cl ASC) rn FROM cd)
+         |           WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id FROM asg1 a
+         |         JOIN probes p ON a.cl = p.cl WHERE a.vec_id <> p.qid),
+         |ncands AS (SELECT qid, count(*) AS n_cands FROM cand GROUP BY qid),
+         |ivf AS (SELECT qid, vec_id FROM (
+         |  SELECT c.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY $cosTr DESC, c.vec_id ASC) AS rn
+         |  FROM cand c JOIN e ON c.vec_id = e.vec_id
+         |              JOIN q ON c.qid = q.qid) WHERE rn <= 10),
+         |hits AS (SELECT t.qid, count(*) AS hits FROM tr t
+         |         JOIN ivf i ON t.qid = i.qid AND t.vec_id = i.vec_id
+         |         GROUP BY t.qid)
+         |SELECT q.qid,
+         |  CAST(coalesce(n.n_cands, 0) AS BIGINT) AS n_cands,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+         |FROM q LEFT JOIN ncands n USING (qid) LEFT JOIN hits h USING (qid)""".stripMargin
+    },
 
     // banding-vs-truth PR harness: candidate machinery and exact-Jaccard
     // truth both replicated over the same capped rep universe

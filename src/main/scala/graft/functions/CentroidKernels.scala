@@ -84,3 +84,67 @@ object NearestCentroid {
       NearestCentroid(
         org.apache.spark.sql.graftbridge.GraftBridge.expression(c), centroids))
 }
+
+/** Per-cluster quantized distances — the multi-probe companion of
+  * [[NearestCentroid]]: same dimension-ascending IEEE fold and e6 HALF_UP
+  * quantization per cluster, returned as array<long> indexed by cluster id
+  * so callers rank probe clusters with the identical (dist_e6, cluster)
+  * total order the assignment uses.
+  */
+final class CentroidDistsWorker(centroids: Array[Array[Double]])
+    extends Serializable {
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new Array[Long](centroids.length)
+    if (arr != null) {
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(arr.numElements(), cent.length)
+        while (i < n) {
+          val diff = arr.getFloat(i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        out(c) = BigDecimal(d * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        c += 1
+      }
+    } else { java.util.Arrays.fill(out, Long.MaxValue) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `centroid_dists(vec)` -> array<bigint> of dist_e6 per cluster. */
+case class CentroidDists(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+  private lazy val worker =
+    new CentroidDistsWorker(centroids.map(_.toArray).toArray)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    worker.compute(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val w = ctx.addReferenceObj("worker", worker,
+      classOf[CentroidDistsWorker].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $w.compute(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidDists =
+    copy(child = newChild)
+}
+
+object CentroidDists {
+  def apply(c: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      CentroidDists(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(c), centroids))
+}

@@ -199,4 +199,54 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("cluster"), col("cosine"))
   }
+
+  /** IVF recall harness — the ANN twin of the dedup PR harness: for a SET
+    * of query vectors (corpus members), measure recall@k of the nprobe IVF
+    * probe against brute-force truth, entirely set-based (no per-query
+    * driver loop): truth = per-query top-k over a broadcast cross join;
+    * probe clusters = top-nprobe of the CentroidDists kernel (the same
+    * quantized (dist_e6, cluster) total order the assignment uses);
+    * candidates = probe-cluster members. Self-matches excluded from both
+    * sides. Returns one row per query: (qid, n_cands, hits) with hits =
+    * |truth ∩ ivf-top-k| — recall@k = hits/k, and n_cands/corpus is the
+    * scan fraction the probe bought.
+    */
+  def ivfRecall(embs: DataFrame, queryMod: Long = 100L, k: Int = 10,
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = Clustering.kmeansModel(embs, col(idCol), col(vecCol),
+      kClusters, iters)
+    val cents = model.centroids.map(_.toSeq).toSeq
+    val q = embs.filter(pmod(col(idCol), lit(queryMod)) === 0)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val truth = embs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= k)
+      .select(col("qid"), col(idCol))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("cl").asc)
+    val probes = q
+      .select(col("qid"), col("qv"), posexplode(
+        graft.functions.CentroidDists(col("qv"), cents)).as(Seq("cl", "d")))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cl").cast("int").as("cl"))
+    val cand = model.assigned.join(broadcast(probes),
+        col("cluster") === col("cl") && col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val nCands = cand.groupBy("qid").agg(count(lit(1)).as("n_cands"))
+    val ivf = cand
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= k)
+      .select(col("qid"), col(idCol))
+    val hits = truth.join(ivf, Seq("qid", idCol))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q.select(col("qid")).join(nCands, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
 }

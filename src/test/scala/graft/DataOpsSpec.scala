@@ -1741,4 +1741,20 @@ class DataOpsSpec extends SparkSuite {
     val t2 = Dedup.ngramJaccardPairs(near, threshold = 0.25).collect()
     assert(t2.length == 1 && t2.head.getDouble(2) > 0.5)
   }
+
+  test("IVF recall harness: separated clusters give full recall, n_cands = probe size") {
+    // ids 0 and 1 seed the two k-means clusters (init = first k by vec_id)
+    val vecs = Seq(
+      (0L, Array(10f, 1f)), (1L, Array(1f, 10f)), (2L, Array(9f, 1f)),
+      (3L, Array(10f, 2f)), (4L, Array(9f, 2f)), (5L, Array(1f, 9f)),
+      (6L, Array(2f, 10f)), (7L, Array(2f, 9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfRecall(vecs, queryMod = 5L, k = 2, kClusters = 2,
+      iters = 2, nprobe = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // qid 0 lives in cluster {0,2,3,4}, qid 5 in {1,5,6,7}: probing ONE
+    // cluster still captures the true top-2 (well-separated groups), and
+    // the candidate count is the cluster size minus self
+    assert(out == Map(0L -> ((3L, 2L)), 5L -> ((3L, 2L))))
+  }
 }
