@@ -876,6 +876,28 @@ object DataQueries {
     "q_rag_chunks" -> ((s, d) =>
       graft.ops.Packing.ragChunks(docs(s, d), chunkTokens = 64, stride = 48)),
 
+    // conversation-level containment: a RESUMED session (prefix replay of
+    // an existing conversation plus new turns) scores containment 1.0 at
+    // low Jaccard — injected 6-turn prefix children replicate the mode
+    "q_conv_containment" -> ((s, d) => {
+      val t = transcriptView(s, d)
+      def render(df: DataFrame) = df.groupBy(col("conv_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+      val parents = render(t)
+      val children = render(
+        t.filter(col("conv_id") % 5 === 0 && col("turn_idx") < 6)
+          .withColumn("conv_id", col("conv_id") + 1000L))
+      Dedup.containmentPairs(parents.unionByName(children),
+          idCol = "conv_id", threshold = 0.9)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("containment") * 1000000, 0).cast("long"))
+            .as("sum_containment_e6"),
+          sum(when(col("containment") === 1.0, 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("jaccard") < 0.8, 1L).otherwise(0L)).as("n_resumed"))
+    }),
+
     // ANN recall harness (the IVF twin of q_dedup_pr): per-query recall@10
     // of the nprobe=2 probe vs brute-force truth over a 1%-sample query
     // set, fully set-based — n_cands/corpus is the scan fraction bought
@@ -3149,6 +3171,37 @@ object DataQueries {
          |                                    CAST(ci * 48 + 64 AS INT)), ' '))
          |    AS chunk_md5
          |FROM k""".stripMargin,
+
+    // conversation containment: rendered conv docs + 6-turn prefix
+    // children through the same shingle-containment machinery
+    "q_conv_containment" ->
+      s"""$transcriptSql,
+         |parents AS (
+         |  SELECT conv_id AS doc_id,
+         |         string_agg(text, e'\\n' ORDER BY turn_idx) AS text
+         |  FROM t GROUP BY 1),
+         |children AS (
+         |  SELECT conv_id + 1000 AS doc_id,
+         |         string_agg(text, e'\\n' ORDER BY turn_idx) AS text
+         |  FROM t WHERE conv_id % 5 = 0 AND turn_idx < 6 GROUP BY 1),
+         |d0 AS (SELECT * FROM parents UNION ALL SELECT * FROM children),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM d0),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+         |          FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |p AS (SELECT round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS c,
+         |             round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS j
+         |      FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+         |                 JOIN sizes sb ON inter.b = sb.doc_id)
+         |SELECT count(*) AS n,
+         |  CAST(coalesce(sum(CAST(round(c * 1000000) AS BIGINT)), 0) AS BIGINT)
+         |    AS sum_containment_e6,
+         |  CAST(coalesce(sum(CASE WHEN c = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_full,
+         |  CAST(coalesce(sum(CASE WHEN j < 0.8 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_resumed
+         |FROM p WHERE c >= 0.9""".stripMargin,
 
     // IVF recall harness replica: the q_kmeans model machinery trained on
     // ALL embeddings, per-query brute truth + probe-cluster candidates

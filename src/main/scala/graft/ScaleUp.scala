@@ -225,6 +225,13 @@ object ScaleUp {
           col("b.first_phrase")).as("h"))
         .agg(sum(col("h"))).collect().head.getLong(0)
     }
+    // ann_recall: fixed 20-query harness at both scales so the ratio reads
+    // per-corpus cost (truth cross-join is 20 x corpus, probe is bounded)
+    results += op("ann_recall", smallV, bigV, smallVecs, bigVecs) { v =>
+      val nRows = v.count()
+      graft.ops.Similarity.ivfRecall(v, queryMod = math.max(1L, nRows / 20))
+        .agg(sum(col("hits") * 1000L + col("n_cands"))).collect().head.getLong(0)
+    }
     // dedup_spans: the ACTION step over substr_windows' detection — keeper
     // rank + position-union excision + ordered re-assembly; state per doc
     // bounded by its own token count
