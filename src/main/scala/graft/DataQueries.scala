@@ -876,6 +876,27 @@ object DataQueries {
     "q_rag_chunks" -> ((s, d) =>
       graft.ops.Packing.ragChunks(docs(s, d), chunkTokens = 64, stride = 48)),
 
+    // normalization-aware exact dedup: case/accent/punctuation variants of
+    // the same doc collapse onto one normalized key — injected shouting
+    // accented children are caught by the normalized pass only
+    "q_dedup_normalized" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val children = base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(translate(upper(col("text")), "A", "Á"), lit("  !!"))
+            .as("text"))
+      val all = base.unionByName(children)
+        .withColumn("nk", TextOps.normalizeForDedup(col("text")))
+      val rawG = all.groupBy("text").agg(count(lit(1)).as("rc"))
+      val normG = all.groupBy("nk").agg(count(lit(1)).as("nc"))
+      all.join(rawG, "text").join(normG, "nk")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rc") > 1, 1L).otherwise(0L)).as("n_raw_dup_docs"),
+          sum(when(col("nc") > 1, 1L).otherwise(0L)).as("n_norm_dup_docs"),
+          sum(when(col("nc") > 1 && col("rc") === 1, 1L).otherwise(0L))
+            .as("n_norm_only"))
+    }),
+
     // conversation-level containment: a RESUMED session (prefix replay of
     // an existing conversation plus new turns) scores containment 1.0 at
     // low Jaccard — injected 6-turn prefix children replicate the mode
@@ -3171,6 +3192,33 @@ object DataQueries {
          |                                    CAST(ci * 48 + 64 AS INT)), ' '))
          |    AS chunk_md5
          |FROM k""".stripMargin,
+
+    // normalized-key dedup replicated with the identical translate table
+    "q_dedup_normalized" -> {
+      val from = graft.ops.TextOps.accentFrom
+      val to = graft.ops.TextOps.accentTo
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |all0 AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |         translate(upper(text), 'A', 'Á') || '  !!'
+         |  FROM base WHERE doc_id % 29 = 0),
+         |n AS (SELECT doc_id, text,
+         |        trim(regexp_replace(translate(lower(text), '$from', '$to'),
+         |             '[^a-z0-9]+', ' ', 'g')) AS nk
+         |      FROM all0),
+         |rawg AS (SELECT text, count(*) AS rc FROM n GROUP BY 1),
+         |normg AS (SELECT nk, count(*) AS nc FROM n GROUP BY 1)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_raw_dup_docs,
+         |  CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_norm_dup_docs,
+         |  CAST(sum(CASE WHEN nc > 1 AND rc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_norm_only
+         |FROM n JOIN rawg USING (text) JOIN normg USING (nk)""".stripMargin
+    },
 
     // conversation containment: rendered conv docs + 6-turn prefix
     // children through the same shingle-containment machinery

@@ -112,4 +112,21 @@ object TextOps {
         col("__st.sum_pow").as("sum_pow"),
         col("__st.registers_csv").as("registers_csv"),
         col("__st.estimate").as("estimate")): _*)
+
+  /** Latin accented chars folded by [[normalizeForDedup]] — a FIXED
+    * translate table (not java.text.Normalizer) so the fold is trivially
+    * engine-portable: the oracle runs the identical `translate`.
+    */
+  val accentFrom: String = "áàâäéèêëíìîïóòôöúùûüñç"
+  val accentTo: String = "aaaaeeeeiiiioooouuuunc"
+
+  /** Canonical dedup key: lowercase, fold Latin accents, collapse every
+    * non-alphanumeric run to one space, trim — the normalize-before-dedup
+    * step C4/CCNet-style pipelines run so that case/punctuation/accent
+    * variants of the same document collapse to one exact-dedup key. Pure
+    * codegen column (lower/translate/regexp), zero shuffle.
+    */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(translate(lower(c), accentFrom, accentTo),
+      "[^a-z0-9]+", " "))
 }

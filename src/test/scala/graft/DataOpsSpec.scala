@@ -1757,4 +1757,16 @@ class DataOpsSpec extends SparkSuite {
     // the candidate count is the cluster size minus self
     assert(out == Map(0L -> ((3L, 2L)), 5L -> ((3L, 2L))))
   }
+
+  test("normalizeForDedup: case/accent/punct variants share one key") {
+    import graft.ops.TextOps
+    val df = Seq(
+      "Fást,  Tàble!!", "fast table", "FAST   TABLE?", "  fást%tablé  ",
+      "different doc").toDF("text")
+    val keys = df.select(TextOps.normalizeForDedup($"text").as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(keys.take(4).toSet == Set("fast table"))
+    assert(keys(3) == "fast table")  // accents folded, junk collapsed
+    assert(keys(4) == "different doc")
+  }
 }
