@@ -209,6 +209,34 @@ object StreamJobs {
       .dropDuplicatesWithinWatermark("fingerprint", "seen_at_ts_bucket_start")
       .drop("event_time")
 
+  /** Streaming corpus-ingestion dedup — the streaming face of the batch
+    * incremental dedup family (Dedup.bloomIncremental / the normalized
+    * exact key): documents arriving on a stream are
+    *   1) keyed by the canonical normalized dedup key
+    *      (TextOps.normalizeForDedup — case/accent/punct variants collapse),
+    *   2) de-duplicated IN-STREAM via `dropDuplicatesWithinWatermark` on
+    *      that key (state bounded by the watermark, not the corpus),
+    *   3) filtered against the HISTORICAL corpus with a broadcast Bloom
+    *      bitset probe on the same key — a zero-shuffle codegen filter
+    *      with no false negatives, so every emitted row is definitely
+    *      new in-window AND (up to the filter's false-positive rate,
+    *      which a downstream exact verify resolves) new historically.
+    * Build the filter with `Dedup.bloomBuild(hist.withColumn("nk", ...),
+    * textCol = "nk")` so both sides key identically.
+    */
+  def ingestDedupStream(docs: DataFrame, historical: Array[Byte],
+      tsCol: String = "ts", watermarkDelay: String = "10 minutes",
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val keyed = docs
+      .withColumn("nk", graft.ops.TextOps.normalizeForDedup(col("text")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("nk")
+    graft.ops.Dedup.bloomProbe(keyed, historical, textCol = "nk",
+        mBits = mBits, k = k)
+      .filter(!col("maybe_dup"))
+      .drop("maybe_dup")
+  }
+
   /** Probabilistic sampling policy (`signoztailsampler` evaluator semantics,
     * `processor/signoztailsampler/evaluator.go:13-80`): keep a deterministic
     * hash-fraction of groups — usable in batch and streaming alike.
