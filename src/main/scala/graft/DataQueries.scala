@@ -876,6 +876,21 @@ object DataQueries {
     "q_rag_chunks" -> ((s, d) =>
       graft.ops.Packing.ragChunks(docs(s, d), chunkTokens = 64, stride = 48)),
 
+    // classifier evaluation harness (completes the harness trilogy with
+    // q_dedup_pr / q_ann_recall): NB trained on the even half, confusion
+    // counts on the held-out odd half
+    "q_nb_eval" -> ((s, d) => {
+      import graft.ops.Classify
+      val corpus = docs(s, d)
+      val train = corpus.filter(col("doc_id") % 2 === 0)
+      val test = corpus.filter(col("doc_id") % 2 === 1)
+      val m = Classify.nbTrain(train, col("text"), col("lang"), vocabSize = 24)
+      val cols = Classify.nbScoreColumns(m, col("text"))
+      test.select(col("lang") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // normalization-aware exact dedup: case/accent/punctuation variants of
     // the same doc collapse onto one normalized key — injected shouting
     // accented children are caught by the normalized pass only
@@ -3192,6 +3207,58 @@ object DataQueries {
          |                                    CAST(ci * 48 + 64 AS INT)), ' '))
          |    AS chunk_md5
          |FROM k""".stripMargin,
+
+    // held-out NB evaluation: train CTEs read the even half, scoring and
+    // the confusion aggregation run over the odd half with the SAME
+    // vocab/count machinery as q_nb_classify
+    "q_nb_eval" ->
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+         |cls AS (SELECT lang AS c, count(*) AS n FROM tr GROUP BY lang),
+         |prior AS (SELECT c, CAST(round(ln(n * 1.0 / (SELECT sum(n) FROM cls))
+         |            / ln(2) * 1e6, 0) AS BIGINT) AS p FROM cls),
+         |tokt AS (SELECT doc_id,
+         |           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                  x -> len(x) > 0)) AS w
+         |         FROM tr),
+         |tokv AS (SELECT t.doc_id, tr.lang, t.w FROM tokt t
+         |         JOIN tr ON tr.doc_id = t.doc_id),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS n FROM tokt GROUP BY w
+         |                         ORDER BY n DESC, w ASC LIMIT 24)),
+         |mappedtr AS (SELECT doc_id, lang,
+         |               CASE WHEN w IN (SELECT w FROM vocab) THEN w
+         |                    ELSE '<unk>' END AS wm FROM tokv),
+         |cc AS (SELECT lang AS c, wm, count(*) AS cnt FROM mappedtr GROUP BY 1, 2),
+         |ctot AS (SELECT c, sum(cnt) AS t FROM cc GROUP BY c),
+         |tokte AS (SELECT doc_id,
+         |            unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                   x -> len(x) > 0)) AS w
+         |          FROM te),
+         |mappedte AS (SELECT doc_id,
+         |               CASE WHEN w IN (SELECT w FROM vocab) THEN w
+         |                    ELSE '<unk>' END AS wm FROM tokte),
+         |doctok AS (SELECT doc_id, wm, count(*) AS k FROM mappedte
+         |           GROUP BY doc_id, wm),
+         |pairs AS (SELECT dt.doc_id, cl.c, dt.k,
+         |            CAST(round(ln((coalesce(cc.cnt, 0) + 1.0) / (ct.t + 25))
+         |              / ln(2) * 1e6, 0) AS BIGINT) AS lp
+         |          FROM doctok dt CROSS JOIN cls cl
+         |          LEFT JOIN cc ON cc.c = cl.c AND cc.wm = dt.wm
+         |          JOIN ctot ct ON ct.c = cl.c),
+         |score AS (SELECT d.doc_id, p.c, p.p + coalesce(s.s, 0) AS sc
+         |          FROM (SELECT doc_id FROM te) d
+         |          CROSS JOIN prior p
+         |          LEFT JOIN (SELECT doc_id, c, sum(k * lp) AS s FROM pairs
+         |                     GROUP BY doc_id, c) s
+         |            ON s.doc_id = d.doc_id AND s.c = p.c),
+         |rank AS (SELECT doc_id, c FROM
+         |          (SELECT doc_id, c,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY sc DESC, c ASC) AS rn FROM score)
+         |         WHERE rn = 1)
+         |SELECT te.lang, r.c AS pred, count(*) AS n
+         |FROM te JOIN rank r ON r.doc_id = te.doc_id
+         |GROUP BY te.lang, r.c""".stripMargin,
 
     // normalized-key dedup replicated with the identical translate table
     "q_dedup_normalized" -> {
