@@ -916,7 +916,10 @@ object DataQueries {
     // an existing conversation plus new turns) scores containment 1.0 at
     // low Jaccard — injected 6-turn prefix children replicate the mode
     "q_conv_containment" -> ((s, d) => {
-      val t = transcriptView(s, d)
+      // bounded to the 10-turn prefix: conv length grows with SF (turns =
+      // docs/50), and the shingle self-join is quadratic in conv length —
+      // a no-op at the sf0.01 oracle scale, a hard bound everywhere else
+      val t = transcriptView(s, d).filter(col("turn_idx") < 10)
       def render(df: DataFrame) = df.groupBy(col("conv_id"))
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("turn_idx"), col("text")))),
@@ -3294,7 +3297,7 @@ object DataQueries {
          |parents AS (
          |  SELECT conv_id AS doc_id,
          |         string_agg(text, e'\\n' ORDER BY turn_idx) AS text
-         |  FROM t GROUP BY 1),
+         |  FROM t WHERE turn_idx < 10 GROUP BY 1),
          |children AS (
          |  SELECT conv_id + 1000 AS doc_id,
          |         string_agg(text, e'\\n' ORDER BY turn_idx) AS text
