@@ -577,10 +577,16 @@ object DataQueries {
       val m = Dsir.trainSplit(dd, pmod(col("doc_id"), lit(7)) === 0,
         col("text"), buckets = 1024)
       val sc = Dsir.scoreColumns(m, col("text"))
-      val scored = dd
+      // round 6: widen the narrow scan for the kernel pass, then cut the
+      // plan once — `scored` feeds BOTH the top-k resample and the join
+      // left side, and without the checkpoint the full featurize+score
+      // scan executed twice (at scale: two corpus passes vs one + a
+      // small-row materialization)
+      val scored = graft.ops.Par.widen(dd, col("doc_id"))
         .select(col("doc_id") +: sc.map { case (n, c) => c.as(n) }: _*)
         .withColumn("gumbel_e6", Dsir.gumbelE6(col("doc_id")))
         .withColumn("score_e6", col("logw_e6") + col("gumbel_e6"))
+        .localCheckpoint()
       val sel = Dsir.resample(scored, col("doc_id"), col("score_e6"), 100)
         .select(col("doc_id"), lit(true).as("selected"))
       scored.join(broadcast(sel), Seq("doc_id"), "left")
@@ -967,13 +973,25 @@ object DataQueries {
       val joined = cand.join(truth, Seq("a", "b"), "full_outer")
         .select(coalesce(col("c"), lit(0)).as("c"),
           coalesce(col("jaccard"), lit(0.0)).as("j"))
-      Seq(30, 50, 80).map { t =>
-        joined.agg(
-          lit(t.toLong).as("t_e2"),
-          sum(when(col("c") === 1 && col("j") >= t / 100.0, 1L).otherwise(0L)).as("tp"),
-          sum(when(col("c") === 0 && col("j") >= t / 100.0, 1L).otherwise(0L)).as("fn"),
-          sum(when(col("c") === 1 && col("j") < t / 100.0, 1L).otherwise(0L)).as("fp"))
-      }.reduce(_ unionByName _)
+      // ONE pass over `joined` (round-6: the union-of-three-aggs form
+      // re-executed the minhash-candidate + exact-Jaccard truth join once
+      // per threshold — 3x the cost of the query's expensive part): nine
+      // conditional sums in a single aggregation, then explode back into
+      // the same three (t_e2, tp, fn, fp) rows in the same order
+      val thresholds = Seq(30, 50, 80)
+      val sums = thresholds.flatMap { t =>
+        Seq(
+          sum(when(col("c") === 1 && col("j") >= t / 100.0, 1L).otherwise(0L)).as(s"tp$t"),
+          sum(when(col("c") === 0 && col("j") >= t / 100.0, 1L).otherwise(0L)).as(s"fn$t"),
+          sum(when(col("c") === 1 && col("j") < t / 100.0, 1L).otherwise(0L)).as(s"fp$t"))
+      }
+      joined.agg(sums.head, sums.tail: _*)
+        .select(explode(array(thresholds.map { t =>
+          struct(lit(t.toLong).as("t_e2"), col(s"tp$t").as("tp"),
+            col(s"fn$t").as("fn"), col(s"fp$t").as("fp"))
+        }: _*)).as("r"))
+        .select(col("r.t_e2").as("t_e2"), col("r.tp").as("tp"),
+          col("r.fn").as("fn"), col("r.fp").as("fp"))
     }),
 
     // corpus drift monitor between the doc_id-parity halves: exact integer

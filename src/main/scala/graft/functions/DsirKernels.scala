@@ -53,6 +53,72 @@ final class DsirScoreWorker(ratioE6: Array[Long]) extends Serializable {
   }
 }
 
+/** One-pass feature->bucket kernel for the TRAINING side (round 6): emits
+  * the bucket id of every unigram+bigram feature of a document as one
+  * array<long>. Bit-identical buckets to the composed column form
+  * (`pmod(conv(substring(md5(f),1,8),16,10), B)` over `feats(text)`): the
+  * composed form's interpreted `transform` lambdas re-evaluate the token
+  * split per bigram position (quadratic in tokens, the shingle-kernel
+  * pathology) and run the md5 through hex-string conv parsing.
+  */
+final class DsirBucketWorker(buckets: Int) extends Serializable {
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private def bucket(f: String): Long = {
+    md.reset()
+    val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % buckets
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (s == null) return null
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val out = new Array[Any](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) {
+      out(i) = bucket(toks(i))
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = bucket(toks(i) + ' ' + toks(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `dsir_buckets(text)` -> array<long> of feature bucket ids. */
+case class DsirBucketIds(child: Expression, buckets: Int) extends UnaryExpression {
+
+  private lazy val worker = new DsirBucketWorker(buckets)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    worker.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("worker", worker, classOf[DsirBucketWorker].getName)
+    defineCodeGen(ctx, ev, input => s"$w.compute($input)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketIds =
+    copy(child = newChild)
+}
+
+object DsirBucketIds {
+  def apply(c: Column, buckets: Int): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      DsirBucketIds(org.apache.spark.sql.graftbridge.GraftBridge.expression(c), buckets))
+}
+
 /** `dsir_score(text)` -> struct(n_features, logw_e6). */
 case class DsirScoreStats(child: Expression, ratioE6: Seq[Long])
     extends UnaryExpression {

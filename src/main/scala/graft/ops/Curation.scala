@@ -43,7 +43,7 @@ object Curation {
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 13): DataFrame = {
     val bench = broadcast(benchmarkShingles(benchmark, textCol, n))
-    docs
+    Par.widen(docs, col(idCol))
       .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
       .join(bench, Seq("shingle"))
       .groupBy(col(idCol))

@@ -208,7 +208,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3,
       threshold: Double = 0.9): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Par.widen(docs, col(idCol)).select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("l").join(sh.as("r"),
@@ -231,7 +231,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Par.widen(docs, col(idCol)).select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("l").join(sh.as("r"),

@@ -57,8 +57,7 @@ object Dsir {
     pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
 
   private def bucketCounts(df: DataFrame, textCol: Column, buckets: Int): Map[Long, Long] =
-    df.select(explode(feats(textCol)).as("f"))
-      .select(bucketCol(col("f"), buckets).as("b"))
+    df.select(explode(graft.functions.DsirBucketIds(textCol, buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
@@ -89,8 +88,14 @@ object Dsir {
     */
   def trainSplit(raw: DataFrame, targetFilter: Column, textCol: Column,
       buckets: Int = 1024): DsirModel = {
-    val rows = raw.select(explode(feats(textCol)).as("f"), targetFilter.as("__t"))
-      .select(bucketCol(col("f"), buckets).as("b"), col("__t"))
+    // round 6: the feature->bucket step is ONE codegen kernel call
+    // (DsirBucketIds) instead of the composed explode(feats)+md5+conv chain
+    // whose interpreted bigram lambdas re-split the text per position; the
+    // widen() spreads a narrow small-file scan across the host (no-op on a
+    // production-wide scan) — same counts, same model, bit-identical.
+    val rows = Par.widen(raw, textCol)
+      .select(explode(graft.functions.DsirBucketIds(textCol, buckets)).as("b"),
+        targetFilter.as("__t"))
       .groupBy("b").agg(count(lit(1)).as("cq"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("cp"))
       .collect()
