@@ -562,7 +562,7 @@ object DataQueries {
     // est >= exact always, equal in the collision-free buckets
     "q_countmin" -> ((s, d) => {
       import graft.ops.FreqStats
-      val words = docs(s, d)
+      val words = graft.ops.Par.widen(docs(s, d), col("doc_id"))
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       val probes = words.distinct().orderBy(col("w")).limit(20)
       FreqStats.countMin(words, col("w"), probes, col("w"), d = 4, w = 1024)

@@ -196,8 +196,12 @@ object MetricQueries {
     // full 6-attr CloudWatch resource + the semconv-mapped dimension
     "q_firehose_metrics" -> ((s, d) => {
       SparkEntry.configure(s)
+      // round 6: the events scan is one row group -> one task; the
+      // json-encode + firehose-decode chain is compute-bound per row, so
+      // widen the narrow scan (no-op on a production-wide source)
       val frames = graft.sources.FirehoseMetrics.fromFirehoseCwMetrics(
-        firehoseRecordsFrom(read(s, d, "events")), col("record"))
+        firehoseRecordsFrom(graft.ops.Par.widen(read(s, d, "events"),
+          col("event_id"))), col("record"))
       MetricsExporter.samplesV4(MetricsExporter.scalarPoints(frames))
         .groupBy(col("env"), col("temporality"), col("metric_name"),
           col("fingerprint"))

@@ -31,14 +31,52 @@ object Probe6 {
     docs.count(); embs.count() // warm
 
     // ---- q_semdedup decomposition
-    time("kmeansModel")(
-      { Clustering.kmeansModel(embs, col("vec_id"), col("embedding"), 8, 2); 0L })
     val model = Clustering.kmeansModel(embs, col("vec_id"), col("embedding"), 8, 2)
     time("kmeansModel again")(
       { Clustering.kmeansModel(embs, col("vec_id"), col("embedding"), 8, 2); 0L })
-    time("semdedup full")(Dedup.semDedup(model.assigned, threshold = 0.35).count())
+    locally {
+      // inlined semDedup stages
+      val assigned = model.assigned
+      val keyed = assigned.select(col("vec_id").as("id"), col("cluster"),
+        col("v"), col("dist_e6"))
+      val edges = Dedup.probeCappedPairs(keyed.select("id", "cluster", "v"),
+          Seq("cluster"), 256, carry = Seq("v"))
+        .withColumn("cosine", graft.ops.Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= 0.35)
+        .select("a", "b")
+      time("semdedup edges")(edges.count())
+      time("semdedup edges rep2")(edges.count())
+      var comp: org.apache.spark.sql.DataFrame = null
+      time("semdedup CC call (eager)")(
+        { comp = Dedup.connectedComponents(edges); 0L })
+      time("semdedup CC count")(comp.count())
+      time("semdedup CC call rep2")(
+        { Dedup.connectedComponents(edges); 0L })
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val compSel = comp.select(col("id"), col("label").as("component"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("dist_e6").desc, col("id").asc)
+        val members = keyed.join(compSel, Seq("id"))
+          .withColumn("keep", row_number().over(w) === 1)
+        val singles = keyed.join(compSel.select("id"), Seq("id"), "left_anti")
+          .withColumn("component", lit(null).cast("long"))
+          .withColumn("keep", lit(true))
+        val out = members.unionByName(singles).select(col("id").as("vec_id"),
+          col("cluster"), col("dist_e6"), col("component"), col("keep"))
+        time("semdedup tail (members+singles)")(out.count())
+      }
+      time("semdedup full")(Dedup.semDedup(model.assigned, threshold = 0.35).count())
+      time("semdedup full rep2")(Dedup.semDedup(model.assigned, threshold = 0.35).count())
+    }
 
     // ---- q_dup_clusters decomposition
+    val bandRows = Dedup.minhashBandRows(docs, shingleN = 3, k = 16, bands = 4)
+    time("minhash bandRows")(bandRows.count())
+    time("minhash bandRows rep2")(bandRows.count())
+    val capped = Dedup.probeCappedPairs(bandRows, Seq("band"), 256)
+    time("minhash cappedPairs")(capped.count())
+    time("minhash cappedPairs rep2")(capped.count())
     val cand = Dedup.minhashCandidates(docs, shingleN = 3, k = 16, bands = 4,
       maxBandGroup = 256)
     time("minhash candidates")(cand.count())

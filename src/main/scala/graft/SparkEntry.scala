@@ -19,6 +19,15 @@ object SparkEntry {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Round 6: AQE's partition coalescing is parallelism-first but floors
+    // partitions at 1 MB (`minPartitionSize`), so a kernel-heavy stage fed
+    // by a small shuffle (e.g. the minhash signature pass after the
+    // exact-dup collapse: ~1.5 MB of distinct texts at sf0.1) collapses to
+    // ONE task and serializes md5-bound compute on one core. A 64 KB floor
+    // lets the coalescer actually target the session's parallelism for
+    // sub-MB shuffles; production-sized shuffles (>= parallelism x 1 MB)
+    // are untouched, so this is scale-neutral by construction.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     spark
   }
 

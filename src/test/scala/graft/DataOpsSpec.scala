@@ -542,6 +542,18 @@ class DataOpsSpec extends SparkSuite {
       1L -> ((5L, 15L)), 10L -> ((2L, 21L)), 20L -> ((3L, 63L))))
   }
 
+  test("connected components: distributed pointer-jump loop (forced past " +
+      "the local union-find fast path) matches the same fixpoint") {
+    // localEdgeThreshold=0 forces the RDD propagate+jump rounds; the
+    // 12-node path needs >1 plain round, so the jump path is exercised
+    val pairs = ((1L to 11L).map(i => (i, i + 1)) ++ Seq((30L, 31L)))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 12L).forall(labels(_) == 1L))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+  }
+
   test("bm25: hand-computed scores, df/avgdl from corpus, unmatched doc " +
       "scores zero") {
     import graft.ops.Relevance
