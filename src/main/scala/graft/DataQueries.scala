@@ -359,7 +359,8 @@ object DataQueries {
       val dd = docs(s, d)
       val model = Bpe.train(dd, col("text"), numMerges = 6)
       val cols = Bpe.encodeColumns(model, col("text"))
-      dd.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      graft.ops.Par.widen(dd, col("doc_id"))
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
         .withColumn("tokens_md5", md5(col("tokens"))).drop("tokens")
     }),
 
@@ -965,9 +966,14 @@ object DataQueries {
       val childB = sel.select((col("doc_id") + 3000000L).as("doc_id"),
         concat_ws(" ", concat(slice(t0, 1, 32), reverse(slice(t0, 33, 8))))
           .as("text"))
+      // round 6: `reps` feeds BOTH the minhash-candidate branch and the
+      // exact-Jaccard truth branch — cut the plan once so the
+      // union+collapse subtree executes once and each branch plans
+      // against a small cached relation
       val reps = base.unionByName(childA).unionByName(childB)
         .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       val cand = Dedup.minhashCandidates(reps).withColumn("c", lit(1))
       val truth = Dedup.ngramJaccardPairs(reps, shingleN = 3, threshold = 0.25)
       val joined = cand.join(truth, Seq("a", "b"), "full_outer")

@@ -19,13 +19,22 @@ object MetricQueries {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  // round 6: opt-in wide events scan for compute-heavy lifts — the
+  // single-row-group file plans as one task; the ~0.1 s repartition only
+  // pays for itself on the heavier decode/series chains (measured per
+  // query; no-op at production width — ops/Par.scala)
+  private def readWide(spark: SparkSession, dir: String, table: String): DataFrame =
+    graft.ops.Par.widen(read(spark, dir, table),
+      org.apache.spark.sql.functions.col("event_id"))
+
   /** Gauge datapoints: metric `events.value`, point attrs {event_type},
     * resource {service.name: svc-(user_id%4)}, scope all-empty. Values are
     * floored so cross-engine double summation stays exact.
     */
-  private def eventsAsGauges(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsAsGauges(spark: SparkSession, dir: String,
+      wide: Boolean = false): DataFrame = {
     SparkEntry.configure(spark)
-    gaugesFrom(read(spark, dir, "events"))
+    gaugesFrom(if (wide) readWide(spark, dir, "events") else read(spark, dir, "events"))
   }
 
   /** Deterministic CloudWatch metric-stream records from an events table
@@ -75,9 +84,10 @@ object MetricQueries {
     * per-series timestamps (unix_milli = event_id*1000 so window ordering is
     * total) and a value that rises and resets deterministically.
     */
-  private def eventsAsCounters(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsAsCounters(spark: SparkSession, dir: String,
+      wide: Boolean = false): DataFrame = {
     SparkEntry.configure(spark)
-    val ev = read(spark, dir, "events")
+    val ev = if (wide) readWide(spark, dir, "events") else read(spark, dir, "events")
     MetricFrames.withDefaults(ev.select(
       lit("req.count").as("metric_name"),
       lit("Sum").as("metric_type"),
@@ -131,7 +141,7 @@ object MetricQueries {
 
     // time_series_v4: labels JSON + hour flooring + per-hour dedup
     "q_metrics_timeseries" -> ((s, d) => {
-      val points = MetricsExporter.scalarPoints(eventsAsGauges(s, d))
+      val points = MetricsExporter.scalarPoints(eventsAsGauges(s, d, wide = true))
       MetricsExporter.timeSeriesV4(points)
         .select(col("metric_name"), col("fingerprint"), col("unix_milli"),
           col("labels"))
@@ -159,7 +169,7 @@ object MetricQueries {
     // groups), catalog row per group per hour
     "q_metrics_reduced" -> ((s, d) => {
       val points = MetricsExporter.withReduction(
-        MetricsExporter.scalarPoints(eventsAsGauges(s, d)),
+        MetricsExporter.scalarPoints(eventsAsGauges(s, d, wide = true)),
         Seq(ReductionRule("events.value", Seq("event_type"), keep = false, 0L)))
       points.groupBy(col("metric_name"), col("reduced_fingerprint"))
         .agg(count(lit(1)).as("n"),
@@ -200,8 +210,7 @@ object MetricQueries {
       // json-encode + firehose-decode chain is compute-bound per row, so
       // widen the narrow scan (no-op on a production-wide source)
       val frames = graft.sources.FirehoseMetrics.fromFirehoseCwMetrics(
-        firehoseRecordsFrom(graft.ops.Par.widen(read(s, d, "events"),
-          col("event_id"))), col("record"))
+        firehoseRecordsFrom(readWide(s, d, "events")), col("record"))
       MetricsExporter.samplesV4(MetricsExporter.scalarPoints(frames))
         .groupBy(col("env"), col("temporality"), col("metric_name"),
           col("fingerprint"))
@@ -250,7 +259,7 @@ object MetricQueries {
     // reduced 60s cumulative->delta with reset detection
     "q_metrics_reduced60" -> ((s, d) => {
       val points = MetricsExporter.withReduction(
-        MetricsExporter.scalarPoints(eventsAsCounters(s, d)),
+        MetricsExporter.scalarPoints(eventsAsCounters(s, d, wide = true)),
         Seq(ReductionRule("req.count", Seq("event_type"), keep = false, 0L)))
       MetricsExporter.reducedSum60sCumulative(MetricsExporter.samplesV4(points))
         .select(col("metric_name"), col("reduced_fingerprint"),

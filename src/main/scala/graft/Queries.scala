@@ -17,12 +17,21 @@ object Queries {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  // round 6: the single-row-group events file plans as ONE scan task, so a
+  // compute-heavy downstream lift serializes on one core. Opt-in per query:
+  // the repartition costs ~0.1 s at sf0.1, so only queries whose per-row
+  // work is heavier than that use the wide form (measured per query; widen
+  // itself is a no-op once the source is production-wide — ops/Par.scala).
+  private def readWide(spark: SparkSession, dir: String, table: String): DataFrame =
+    graft.ops.Par.widen(read(spark, dir, table), col("event_id"))
+
   /** events table lifted into LogRow shape: props string is the body,
     * event_type/value become typed attributes, user_id a resource label.
     */
-  private def eventsAsLogs(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsAsLogs(spark: SparkSession, dir: String,
+      wide: Boolean = false): DataFrame = {
     SparkEntry.configure(spark)
-    val ev = read(spark, dir, "events")
+    val ev = if (wide) readWide(spark, dir, "events") else read(spark, dir, "events")
     LogFrames.withDefaults(
       ev.select(
         col("event_id"),
@@ -368,7 +377,7 @@ object Queries {
     // (json_writer.go walkNode; types unioned across records)
     "q_json_path_types" -> ((s, d) => {
       SparkEntry.configure(s)
-      val ev = read(s, d, "events")
+      val ev = readWide(s, d, "events")
       val logs = LogFrames.withDefaults(ev.select(
         col("event_id"),
         concat(lit("{\"k\":"),
@@ -411,7 +420,8 @@ object Queries {
             graft.functions.Severity.Str("signup"), graft.functions.Severity.Str("purchase"),
             graft.functions.Severity.Str("click"), graft.functions.Severity.Str("view"))))),
         NoopOp(Common("__done1")), NoopOp(Common("__done2")), NoopOp(Common("__done3"))))
-      Exporter.severityHistogram(Exporter.logsV2(Pipeline.compile(spec)(eventsAsLogs(s, d))))
+      Exporter.severityHistogram(Exporter.logsV2(
+        Pipeline.compile(spec)(eventsAsLogs(s, d, wide = true))))
     }),
 
     // exporter: per-bucket resource dedup (SURVEY §2.4)

@@ -21,9 +21,14 @@ object TraceQueries {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  private[graft] def eventsAsSpans(spark: SparkSession, dir: String): DataFrame = {
+  // round 6: the single-row-group events scan plans as one task; queries
+  // whose per-row lift outweighs a ~0.1 s repartition opt in with
+  // wide=true (measured per query; no-op at production width — Par.scala)
+  private[graft] def eventsAsSpans(spark: SparkSession, dir: String,
+      wide: Boolean = false): DataFrame = {
     SparkEntry.configure(spark)
-    spansFrom(read(spark, dir, "events"))
+    val ev = read(spark, dir, "events")
+    spansFrom(if (wide) graft.ops.Par.widen(ev, col("event_id")) else ev)
   }
 
   /** The span lift as a pure DataFrame->DataFrame so the scale-up bench can
@@ -153,7 +158,7 @@ object TraceQueries {
 
     // signoz_error_index_v2: exception events with md5 grouping
     "q_span_errors" -> ((s, d) => {
-      TraceExporter.errorEvents(eventsAsSpans(s, d)).select(
+      TraceExporter.errorEvents(eventsAsSpans(s, d, wide = true)).select(
         col("timestamp"), col("error_id"), col("error_group_id"),
         col("trace_id"), col("span_id"), col("service_name"),
         col("exception_type"), col("exception_message"))
@@ -190,7 +195,7 @@ object TraceQueries {
     // durationSort projection: the duration-ordered second index — the
     // slowest 1000 spans via TakeOrderedAndProject (no full sort/shuffle)
     "q_duration_sort" -> ((s, d) => {
-      TraceExporter.durationSort(TraceExporter.spansV3(eventsAsSpans(s, d)))
+      TraceExporter.durationSort(TraceExporter.spansV3(eventsAsSpans(s, d, wide = true)))
         .select(col("timestamp"), col("traceID"), col("spanID"),
           col("parentSpanID"), col("serviceName"), col("name"), col("kind"),
           col("durationNano"), col("statusCode"), col("httpMethod"),
@@ -203,7 +208,7 @@ object TraceQueries {
 
     // span tag metadata rows grouped per key (span_attributes sink)
     "q_span_attrs" -> ((s, d) => {
-      TraceExporter.tagAttributes(TraceExporter.spansV3(eventsAsSpans(s, d)))
+      TraceExporter.tagAttributes(TraceExporter.spansV3(eventsAsSpans(s, d, wide = true)))
         .groupBy(col("tag_key"), col("tag_type"), col("tag_data_type"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -239,7 +244,7 @@ object TraceQueries {
     // metadata rows — span attrs + the spliced `name` attr, span-start 6h
     // window, flat FNV FingerprintHash pair (SURVEY §2.5 / round-4 missing #2)
     "q_span_attr_metadata" -> ((s, d) => {
-      graft.pipeline.Metadata.spanAttributesMetadata(eventsAsSpans(s, d))
+      graft.pipeline.Metadata.spanAttributesMetadata(eventsAsSpans(s, d, wide = true))
         .select(col("rounded_unix_milli"), col("data_source"),
           col("resource_fingerprint"), col("attr_fingerprint"),
           element_at(col("attrs"), "name").as("span_name"),

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpePairs, BpeStats}
+import graft.functions.BpeStats
 
 /** Byte-pair-encoding tokenizer trained on the corpus itself (Sennrich et
   * al. 2016 — the subword vocabulary construction used by GPT-2/LLaMA-class
@@ -42,30 +42,54 @@ object Bpe {
       textCol: Column,
       numMerges: Int,
       minPairCount: Long = 2L): BpeModel = {
-    val words = corpus
+    // ONE distributed corpus pass builds the (word, freq) dict — bounded
+    // by the vocabulary, not the corpus, i.e. the same driver-smallness
+    // contract as the NB/BM25/DSIR model collects. The k merge iterations
+    // then run LOCALLY over the collected dict, reusing the very same
+    // BpeWorker the distributed form evaluated per row, so pair counts and
+    // the (count DESC, pair ASC) tie-break are bit-identical (symbols are
+    // [a-z| ]-ASCII, where Java string order == UTF8 binary order).
+    // Round 6: each Spark-side iteration cost ~0.5 s of Catalyst planning
+    // + codegen against ~milliseconds of actual dict work, 6 iterations
+    // deep — the training loop now costs one aggregation job total.
+    val dict = corpus
       .select(explode(
         regexp_extract_all(lower(textCol), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .persist() // vocabulary-bounded; re-read k times
-    try {
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      var done = false
-      while (!done && merges.length < numMerges) {
-        val top = words
-          .select(explode(BpePairs(col("w"), merges.toSeq)).as("p"), col("f"))
-          .groupBy("p").agg(sum("f").as("c"))
-          .filter(col("c") >= minPairCount)
-          .orderBy(col("c").desc, col("p").asc)
-          .limit(1).collect()
-        if (top.isEmpty) done = true
-        else {
-          val p = top(0).getString(0) // "|a| |b|" — symbols never contain '|'
-          val parts = p.substring(1, p.length - 1).split("\\| \\|", 2)
-          merges += ((parts(0), parts(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val worker = new graft.functions.BpeWorker(merges.toArray)
+      val counts = new java.util.HashMap[String, Long]()
+      dict.foreach { case (w, f) =>
+        val syms = worker.encodeSyms(w)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = "|" + syms(i) + "| |" + syms(i + 1) + "|"
+          counts.merge(p, f, (a, b) => a + b)
+          i += 1
         }
       }
-      BpeModel(merges.toArray)
-    } finally { words.unpersist() }
+      var bestP: String = null
+      var bestC = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue >= minPairCount &&
+            (e.getValue > bestC ||
+              (e.getValue == bestC && (bestP == null || e.getKey < bestP)))) {
+          bestP = e.getKey
+          bestC = e.getValue
+        }
+      }
+      if (bestP == null) done = true
+      else {
+        val parts = bestP.substring(1, bestP.length - 1).split("\\| \\|", 2)
+        merges += ((parts(0), parts(1)))
+      }
+    }
+    BpeModel(merges.toArray)
   }
 
   /** Encoding columns over a trained model: one codegen kernel pass. */
