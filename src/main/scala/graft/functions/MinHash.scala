@@ -35,22 +35,55 @@ object MinHashKernel extends Serializable {
     new String(out)
   }
 
+  /** ASCII bytes of the lowercase hex of a 16-byte digest (round 6: the
+    * per-permutation re-hash input is the hex STRING of the shingle digest
+    * — producing those 32 ASCII bytes directly skips a String + a
+    * getBytes copy per md5 call; the digested bytes are identical).
+    */
+  private def hexBytes(d: Array[Byte], out: Array[Byte]): Unit = {
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HEX((d(i) >> 4) & 0xf).toByte
+      out(i * 2 + 1) = HEX(d(i) & 0xf).toByte
+      i += 1
+    }
+  }
+
+  /** Unsigned lexicographic compare of two equal-length digests — equals
+    * the compareTo order of their lowercase-hex strings (hex is
+    * order-preserving per byte), so byte-level minima pick the same
+    * signature values the hex-string form did.
+    */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
   def bands(input: UTF8String, shingleN: Int, k: Int, nBands: Int): GenericArrayData = {
     if (input == null) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     val ascii = java.nio.charset.StandardCharsets.UTF_8
 
     val toks = WS.split(input.toString.trim, -1)
-    val mins = new Array[String](k)
-    // precompute the "i|" prefixes once
-    val prefixes = Array.tabulate(k)(i => s"$i|")
+    val mins = new Array[Array[Byte]](k)
+    // precompute the "i|" prefix BYTES once
+    val prefixes = Array.tabulate(k)(i => s"$i|".getBytes(ascii))
+    val hex0 = new Array[Byte](32)
 
     def observe(shingle: String): Unit = {
-      val hex0 = hex(md.digest(shingle.getBytes(ascii)))
+      hexBytes(md.digest(shingle.getBytes(ascii)), hex0)
       var i = 0
       while (i < k) {
-        val h = hex(md.digest((prefixes(i) + hex0).getBytes(ascii)))
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        md.update(prefixes(i))
+        md.update(hex0)
+        val h = md.digest()
+        if (mins(i) == null || ltUnsigned(h, mins(i))) mins(i) = h
         i += 1
       }
     }
@@ -80,7 +113,7 @@ object MinHashKernel extends Serializable {
       var r = 0
       while (r < rows) {
         if (r > 0) sb.append('|')
-        sb.append(mins(b * rows + r))
+        sb.append(hex(mins(b * rows + r)))
         r += 1
       }
       out(b) = UTF8String.fromString(hex(md.digest(sb.toString.getBytes(ascii))))
