@@ -3,14 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Dedup}
+import graft.ops.{Curation, Dedup, Dsir, TextOps}
 
-/** Round-6 dev probe: stage-isolated timings for the slow queries
-  * (guide §1.4 — noop-sink / count isolation per subtree).
+/** Round-6 dev probe: stage-isolated timings for the heavy 100x scaleup
+  * rows over the materialized /tmp/graft_scaleup corpora (guide §1.4).
   */
 object Probe6 {
   def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,75 +25,46 @@ object Probe6 {
       println(f"[p6] $label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
 
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    val embs = spark.read.parquet(s"$d/embeddings.parquet")
-    docs.count(); embs.count() // warm
+    val d = spark.read.parquet("/tmp/graft_scaleup/docs_500000")
+    d.count() // warm page cache
 
-    // ---- q_semdedup decomposition
-    val model = Clustering.kmeansModel(embs, col("vec_id"), col("embedding"), 8, 2)
-    time("kmeansModel again")(
-      { Clustering.kmeansModel(embs, col("vec_id"), col("embedding"), 8, 2); 0L })
-    locally {
-      // inlined semDedup stages
-      val assigned = model.assigned
-      val keyed = assigned.select(col("vec_id").as("id"), col("cluster"),
-        col("v"), col("dist_e6"))
-      val edges = Dedup.probeCappedPairs(keyed.select("id", "cluster", "v"),
-          Seq("cluster"), 256, carry = Seq("v"))
-        .withColumn("cosine", graft.ops.Similarity.cosine(col("v_a"), col("v_b")))
-        .filter(col("cosine") >= 0.35)
-        .select("a", "b")
-      time("semdedup edges")(edges.count())
-      time("semdedup edges rep2")(edges.count())
-      var comp: org.apache.spark.sql.DataFrame = null
-      time("semdedup CC call (eager)")(
-        { comp = Dedup.connectedComponents(edges); 0L })
-      time("semdedup CC count")(comp.count())
-      time("semdedup CC call rep2")(
-        { Dedup.connectedComponents(edges); 0L })
-      locally {
-        import org.apache.spark.sql.expressions.Window
-        val compSel = comp.select(col("id"), col("label").as("component"))
-        val w = Window.partitionBy(col("component"))
-          .orderBy(col("dist_e6").desc, col("id").asc)
-        val members = keyed.join(compSel, Seq("id"))
-          .withColumn("keep", row_number().over(w) === 1)
-        val singles = keyed.join(compSel.select("id"), Seq("id"), "left_anti")
-          .withColumn("component", lit(null).cast("long"))
-          .withColumn("keep", lit(true))
-        val out = members.unionByName(singles).select(col("id").as("vec_id"),
-          col("cluster"), col("dist_e6"), col("component"), col("keep"))
-        time("semdedup tail (members+singles)")(out.count())
-      }
-      time("semdedup full")(Dedup.semDedup(model.assigned, threshold = 0.35).count())
-      time("semdedup full rep2")(Dedup.semDedup(model.assigned, threshold = 0.35).count())
+    // epoch_mix decomposition
+    val score = TextOps.qualityColumns(col("text"))
+      .collectFirst { case ("quality_score", c) => c }.get
+    time("quality score only (500k)") {
+      d.select(graft.functions.Materialize(score).as("q"))
+        .agg(sum(col("q"))).collect()
+      0L
     }
+    time("epoch_mix full (500k)")(
+      Curation.epochMix(d,
+        Seq(("hi", 0.71, 2.5), ("mid", 0.66, 1.0), ("low", 0.0, 0.25)))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id") * col("copy_idx")).as("ck"))
+        .select(col("n") + col("ck")).collect().head.getLong(0))
 
-    // ---- q_dup_clusters decomposition
-    val bandRows = Dedup.minhashBandRows(docs, shingleN = 3, k = 16, bands = 4)
-    time("minhash bandRows")(bandRows.count())
-    time("minhash bandRows rep2")(bandRows.count())
-    val capped = Dedup.probeCappedPairs(bandRows, Seq("band"), 256)
-    time("minhash cappedPairs")(capped.count())
-    time("minhash cappedPairs rep2")(capped.count())
-    val cand = Dedup.minhashCandidates(docs, shingleN = 3, k = 16, bands = 4,
-      maxBandGroup = 256)
-    time("minhash candidates")(cand.count())
-    time("minhash candidates rep2")(cand.count())
-    time("dup_clusters full")(Dedup.dupClusters(cand).count())
+    // window-hash family
+    time("dedup_spans (500k)")(
+      Dedup.removeDuplicateSpans(d, w = 8)
+        .agg(sum(col("n_kept_tokens"))).collect().head.getLong(0))
+    time("substr_windows (500k)")(
+      Dedup.duplicateWindowStats(d, w = 8)
+        .agg(sum(col("n_dup_windows"))).collect().head.getLong(0))
 
-    // ---- firehose + countmin
-    val ev = spark.read.parquet(s"$d/events.parquet")
-    println(s"[p6] events scan partitions = ${ev.rdd.getNumPartitions}")
-    val fn1 = SparkEntry.queries("q_firehose_metrics")
-    time("q_firehose_metrics")(fn1(spark, d).count())
-    time("q_firehose_metrics rep2")(fn1(spark, d).count())
-    val fn2 = SparkEntry.queries("q_countmin")
-    time("q_countmin")(fn2(spark, d).count())
-    val fn3 = SparkEntry.queries("q_conv_neardup")
-    time("q_conv_neardup")(fn3(spark, d).count())
-    val fn4 = SparkEntry.queries("q_dedup_minhash")
-    time("q_dedup_minhash")(fn4(spark, d).count())
+    // dsir at 500k
+    time("dsir train (500k)")(
+      { Dsir.trainSplit(d, pmod(col("doc_id"), lit(7)) === 0, col("text"),
+          buckets = 1024); 0L })
+
+    // decontaminate at 500k
+    time("decontaminate (500k)")(
+      Curation.contaminated(d, d.filter(col("doc_id") % 97 === 0), n = 5)
+        .agg(count(lit(1))).collect().head.getLong(0))
+
+    // minhash at 500k
+    time("dedup_minhash (500k)")(
+      Dedup.minhashCandidates(d, shingleN = 3, k = 16, bands = 4,
+        maxBandGroup = 256).agg(count(lit(1))).collect().head.getLong(0))
+
     spark.stop()
   }
 }

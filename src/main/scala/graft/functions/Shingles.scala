@@ -86,3 +86,70 @@ object ShingleArray {
   def apply(c: Column, n: Int): Column =
     ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(c), n))
 }
+
+/** Single-pass token-window md5 array (round 6): for a doc with tokens
+  * t1..tn, emits md5hex(concat_ws(' ', t_i..t_{i+w-1})) for every position
+  * i — the windows [[graft.ops.Dedup.tokenWindowRows]] previously built via
+  * `transform(sequence(1, n-w+1), i -> md5(concat_ws(' ', slice(t, i, w))))`,
+  * whose interpreted per-position `slice` copies made the pass O(tokens²)
+  * array work per document (15-20 s scaleup rows at 500k docs). Docs with
+  * fewer than `w` tokens yield an EMPTY array (the caller's
+  * `size(tokens) >= w` filter semantics). Same trim/split contract as
+  * [[ShinglesKernel]].
+  */
+object WindowHashKernel extends Serializable {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def md5hex(md: java.security.MessageDigest, s: String): UTF8String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HEX((d(i) >> 4) & 0xf).toByte
+      out(i * 2 + 1) = HEX(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def windows(input: UTF8String, w: Int): GenericArrayData = {
+    if (input == null) return null
+    val toks = WS.split(input.trim().toString, -1)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](toks.length - w + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - w) {
+      sb.setLength(0)
+      var t = 0
+      while (t < w) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
+      }
+      out(i) = md5hex(md, sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `window_hashes(text, w)` -> array<string> of per-position window md5s. */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    WindowHashKernel.windows(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, input =>
+      s"graft.functions.WindowHashKernel$$.MODULE$$.windows($input, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  def apply(c: Column, w: Int): Column =
+    ExpressionUtils.column(WindowHashes(ExpressionUtils.expression(c), w))
+}

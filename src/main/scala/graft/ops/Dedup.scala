@@ -509,11 +509,14 @@ object Dedup {
     */
   def tokenWindowRows(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 8): DataFrame =
-    docs.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("t"))
-      .filter(size(col("t")) >= w)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(1), size(col("t")) - (w - 1)),
-        i => md5(concat_ws(" ", slice(col("t"), i, lit(w)))))))
+    // round 6: one codegen kernel pass (functions/WindowHashes) — the
+    // composed transform/slice/md5 form paid an interpreted O(tokens²)
+    // per-doc slice-copy chain (golden-tested equivalent; docs with < w
+    // tokens emit an empty array == the old `size(t) >= w` filter)
+    docs.select(col(idCol).as("id"),
+        graft.functions.WindowHashes(col(textCol), w).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"), posexplode(col("hs")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("whash"))
 
   /** Per-document duplicate-window statistics: a window is DUPLICATED iff

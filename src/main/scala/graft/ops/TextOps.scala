@@ -30,6 +30,21 @@ object TextOps {
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
   def qualityColumns(text: Column): Seq[(String, Column)] = {
+    // round 6: ONE codegen kernel pass (functions/QualityStats) —
+    // bit-identical to [[qualityColumnsComposed]] (golden-tested), whose
+    // two `size(regexp_extract_all(...))` counts materialized an array of
+    // every matched character per row (18 s of the 18.3 s epoch_mix pass
+    // at 500 k docs). Identical getField trees share one evaluation via
+    // codegen subexpression elimination.
+    val s = graft.functions.QualityStats(text, stopwords)
+    Seq("n_chars", "n_words", "avg_word_len", "punct_ratio", "alpha_ratio",
+      "stopword_ratio", "quality_score").map(n => n -> s.getField(n))
+  }
+
+  /** The original composed-column quality form — kept as the executable
+    * spec the kernel is golden-tested against (ShinglesSpec).
+    */
+  def qualityColumnsComposed(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
     val words = split(trim(text), "\\s+")
     val nWords = wsTokenCount(text)

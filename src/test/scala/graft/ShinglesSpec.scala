@@ -45,6 +45,39 @@ class ShinglesSpec extends SparkSuite {
     }
   }
 
+  test("WindowHashes kernel == composed transform/slice/md5 form (w=3/8)") {
+    import spark.implicits._
+    val df = (edge ++ randTexts(300)).toDF("text")
+    for (w <- Seq(3, 8)) {
+      val toks = split(trim(col("text")), "\\s+")
+      val composed = when(size(toks) >= w, transform(
+        sequence(lit(1), size(toks) - (w - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+      val both = df.select(
+        graft.functions.WindowHashes(col("text"), w).as("k"),
+        composed.as("c"))
+      val bad = both.filter(not(col("k") <=> col("c"))).collect()
+      assert(bad.isEmpty, s"w=$w mismatches: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
+  test("QualityStats kernel == composed quality columns (edge + random)") {
+    import spark.implicits._
+    val extra = Seq("the and of to in is it small words", "ünïcode Ünïcode 123 !!!",
+      "ab\fc\rd", "ALLCAPS 12345 .... ,,,,", "😀 emoji 😀 test")
+    val df = (edge ++ extra ++ randTexts(300)).toDF("text")
+    val k = TextOps.qualityColumns(col("text"))
+    val c = TextOps.qualityColumnsComposed(col("text"))
+    val both = df.select(
+      (k.map { case (n, cc) => cc.as(s"k_$n") } ++
+        c.map { case (n, cc) => cc.as(s"c_$n") }): _*)
+    val names = k.map(_._1)
+    val bad = both.filter(names.map(n =>
+      not(col(s"k_$n") <=> col(s"c_$n"))).reduce(_ || _)).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(3).mkString("; ")}")
+  }
+
   test("ShingleArray kernel: null text -> null") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("a b c d")).toDF("text")
