@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{GraftBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass distinct word-n-gram shingles.
@@ -99,19 +99,6 @@ object ShingleArray {
   */
 object WindowHashKernel extends Serializable {
   private val WS = java.util.regex.Pattern.compile("\\s+")
-  private val HEX = "0123456789abcdef".toCharArray
-
-  private def md5hex(md: java.security.MessageDigest, s: String): UTF8String = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < d.length) {
-      out(i * 2) = HEX((d(i) >> 4) & 0xf).toByte
-      out(i * 2 + 1) = HEX(d(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
 
   def windows(input: UTF8String, w: Int): GenericArrayData = {
     if (input == null) return null
@@ -129,16 +116,22 @@ object WindowHashKernel extends Serializable {
         sb.append(toks(i + t))
         t += 1
       }
-      out(i) = md5hex(md, sb.toString)
+      out(i) = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }
     new GenericArrayData(out)
   }
 }
 
-/** `window_hashes(text, w)` -> array<string> of per-position window md5s. */
+/** `window_hashes(text, w)` -> array<binary> of per-position window md5
+  * digests. RAW 16-byte digests, not hex strings: the digest is a purely
+  * internal join/group key in both window ops (never an output column),
+  * the bytes are in bijection with the hex form, and the binary key
+  * halves every downstream exchange of the exploded window rows.
+  */
 case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     WindowHashKernel.windows(input.asInstanceOf[UTF8String], w)
@@ -152,4 +145,102 @@ case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
 object WindowHashes {
   def apply(c: Column, w: Int): Column =
     ExpressionUtils.column(WindowHashes(ExpressionUtils.expression(c), w))
+}
+
+/** Surviving-text statistics for duplicate-span REMOVAL (round 6): given a
+  * document's token array and the SORTED 1-based positions to excise,
+  * emits (n_kept, n_removed, n_spans_removed, kept_md5) in one walk —
+  * `kept_md5` is md5 of the space-joined surviving tokens in order, and
+  * `n_spans_removed` counts maximal runs of consecutive removed positions
+  * (the island trick, computed from the sorted gaps). Replaces the
+  * explode-every-token + anti-join + collect_list re-assembly, which
+  * shuffled the corpus's full token stream; here only the removed-position
+  * lists move.
+  */
+object KeptStatsKernel extends Serializable {
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      removed: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    if (toks == null) return null
+    val n = toks.numElements()
+    val nRem = if (removed == null) 0 else removed.numElements()
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var spans = 0L
+    var ri = 0
+    var prevRp = Long.MinValue
+    var pos = 1
+    while (pos <= n) {
+      if (ri < nRem && removed.getLong(ri) == pos) {
+        if (removed.getLong(ri) != prevRp + 1) spans += 1
+        prevRp = removed.getLong(ri)
+        ri += 1
+      } else {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(pos - 1).toString)
+        kept += 1
+      }
+      pos += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hexOut = new Array[Byte](32)
+    var i = 0
+    while (i < d.length) {
+      hexOut(i * 2) = HEX((d(i) >> 4) & 0xf).toByte
+      hexOut(i * 2 + 1) = HEX(d(i) & 0xf).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      kept, nRem.toLong, spans, UTF8String.fromBytes(hexOut)))
+  }
+}
+
+/** `kept_stats(tokens, sorted_removed_positions)` -> struct(n_kept,
+  * n_removed, n_spans, kept_md5). Null `removed` = nothing removed.
+  */
+case class KeptStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = KeptStats.schema
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    val r = right.eval(input)
+    KeptStatsKernel.compute(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        InternalRow ${ev.value} = graft.functions.KeptStatsKernel$$.MODULE$$.compute(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+        boolean ${ev.isNull} = ${ev.value} == null;
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KeptStats =
+    copy(left = newLeft, right = newRight)
+}
+
+object KeptStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_kept", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_removed", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_spans", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("kept_md5", StringType, nullable = false)))
+
+  def apply(toks: Column, removed: Column): Column =
+    ExpressionUtils.column(KeptStats(
+      ExpressionUtils.expression(toks), ExpressionUtils.expression(removed)))
 }

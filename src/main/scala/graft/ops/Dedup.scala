@@ -533,8 +533,13 @@ object Dedup {
   def duplicateWindowStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 8): DataFrame = {
     val rows = tokenWindowRows(docs, textCol, idCol, w)
-    val counts = rows.groupBy("whash").agg(count(lit(1)).as("__c"))
-    val per = rows.join(counts, Seq("whash"))
+    // round 6: per-digest occurrence count via a whole-partition window
+    // instead of groupBy + self-rejoin — the join form shuffled the full
+    // exploded window-row set TWICE (once into the count aggregation, once
+    // into the join); the window establishes the digest partitioning once.
+    // Group state is bounded by one digest's corpus-wide duplicate count.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("whash"))
+    val per = rows.withColumn("__c", count(lit(1)).over(byHash))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
@@ -573,38 +578,38 @@ object Dedup {
     // while pos < 2^20 tokens/doc (far above any real document)
     val rows = tokenWindowRows(docs, textCol, idCol, w)
       .withColumn("code", col("id") * lit(1048576L) + col("pos"))
-    val keeper = rows.groupBy("whash")
-      .agg(min(col("code")).as("kcode"), count(lit(1)).as("occ"))
-    val nonKeep = rows.join(keeper, "whash")
+    // round 6: keeper min + occurrence count via ONE digest-partitioned
+    // window instead of groupBy + self-rejoin (two full shuffles of the
+    // exploded rows -> one); same keeper rule, partitioning-invariant
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("whash"))
+    val nonKeep = rows
+      .withColumn("kcode", min(col("code")).over(byHash))
+      .withColumn("occ", count(lit(1)).over(byHash))
       .filter(col("occ") > 1 && col("code") =!= col("kcode"))
     val removed = nonKeep
       .select(col("id").as("rid"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("rp"))
       .distinct()
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rid")).orderBy(col("rp"))
-    val spans = removed
-      .withColumn("isl", col("rp") - row_number().over(byDoc))
-      .groupBy("rid")
-      .agg(count(lit(1)).as("n_removed"), countDistinct(col("isl")).as("n_spans"))
-    val tokRows = toks
-      .select(col("id"), posexplode(col("t")).as(Seq("tp0", "tok")))
-      .select(col("id"), (col("tp0") + 1).as("tp"), col("tok"))
-    val kept = tokRows.join(removed,
-        tokRows("id") === removed("rid") && col("tp") === col("rp"), "left_anti")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
-            x => x.getField("tok")))).as("kept_md5"))
+    // round 6: per-doc interval stats AND surviving-text re-assembly from
+    // the doc's own token array + its SORTED removed-position list (ONE
+    // kernel pass, functions/KeptStats) — the previous shape exploded the
+    // corpus's entire token stream, anti-joined it against `removed`, and
+    // re-collected/sorted it per doc; only the removed-position lists (the
+    // duplicated sliver) shuffle now. Per-doc state stays bounded by one
+    // document's removed positions; n_spans = maximal consecutive runs of
+    // the sorted list == the countDistinct-island form.
+    val removedByDoc = removed.groupBy(col("rid"))
+      .agg(sort_array(collect_list(col("rp").cast("long"))).as("rps"))
+    val stats = toks
+      .join(removedByDoc, col("id") === col("rid"), "left")
+      .select(col("id"), graft.functions.KeptStats(col("t"), col("rps")).as("ks"))
     docs.select(col(idCol).as("id"))
-      .join(spans, col("id") === col("rid"), "left").drop("rid")
-      .join(kept, Seq("id"), "left")
+      .join(stats, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        coalesce(col("ks.n_kept"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("ks.n_removed"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("ks.n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("ks.kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
   // ------------------------------------------------------------ paragraphs

@@ -55,7 +55,8 @@ class ShinglesSpec extends SparkSuite {
         i => md5(concat_ws(" ", slice(toks, i, lit(w))))))
         .otherwise(array().cast("array<string>"))
       val both = df.select(
-        graft.functions.WindowHashes(col("text"), w).as("k"),
+        transform(graft.functions.WindowHashes(col("text"), w),
+          x => lower(hex(x))).as("k"),
         composed.as("c"))
       val bad = both.filter(not(col("k") <=> col("c"))).collect()
       assert(bad.isEmpty, s"w=$w mismatches: ${bad.take(3).mkString("; ")}")
