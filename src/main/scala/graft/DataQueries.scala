@@ -57,8 +57,11 @@ object DataQueries {
     // exact n-gram Jaccard (verification-scale: all-pairs is quadratic, so
     // cap the input — at the oracle SF the cap keeps every row)
     "q_ngram_jaccard" -> ((s, d) =>
+      // input structurally capped (doc_id < 5000) -> explicit opt-out of
+      // the verifier guard: the guard's own bounded count job costs more
+      // than this whole query
       Dedup.ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 5000),
-        shingleN = 3, threshold = 0.05)
+        shingleN = 3, threshold = 0.05, uncapped = true)
         .agg(count(lit(1)).as("n"),
           sum((col("jaccard") * 1000000).cast("long")).as("sum_jaccard_e6"))),
 
@@ -865,7 +868,9 @@ object DataQueries {
       val children = base.filter(col("doc_id") % 31 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat_ws(" ", slice(toks, 1, 20)).as("text"))
-      Dedup.containmentPairs(base.unionByName(children), threshold = 0.9)
+      // structurally capped (base: doc_id < 5000 + ~170 children)
+      Dedup.containmentPairs(base.unionByName(children), threshold = 0.9,
+        uncapped = true)
         .agg(count(lit(1)).as("n"),
           sum(round(col("containment") * 1000000, 0).cast("long")).as("sum_containment_e6"),
           sum(when(col("containment") === 1.0, 1L).otherwise(0L)).as("n_full"),
@@ -935,8 +940,9 @@ object DataQueries {
       val children = render(
         t.filter(col("conv_id") % 5 === 0 && col("turn_idx") < 6)
           .withColumn("conv_id", col("conv_id") + 1000L))
+      // structurally capped (50 conversations + prefix children)
       Dedup.containmentPairs(parents.unionByName(children),
-          idCol = "conv_id", threshold = 0.9)
+          idCol = "conv_id", threshold = 0.9, uncapped = true)
         .agg(count(lit(1)).as("n"),
           sum(round(col("containment") * 1000000, 0).cast("long"))
             .as("sum_containment_e6"),
@@ -975,7 +981,9 @@ object DataQueries {
         .select(col("doc_id"), col("text"))
         .localCheckpoint()
       val cand = Dedup.minhashCandidates(reps).withColumn("c", lit(1))
-      val truth = Dedup.ngramJaccardPairs(reps, shingleN = 3, threshold = 0.25)
+      // reps is the checkpointed capped harness input (doc_id < 3000 + kids)
+      val truth = Dedup.ngramJaccardPairs(reps, shingleN = 3, threshold = 0.25,
+        uncapped = true)
       val joined = cand.join(truth, Seq("a", "b"), "full_outer")
         .select(coalesce(col("c"), lit(0)).as("c"),
           coalesce(col("jaccard"), lit(0.0)).as("j"))

@@ -28,6 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
 final class AcWorker(phrases: Array[String]) extends Serializable {
   require(phrases.length <= 64, "phrase bitset is a Long: at most 64 phrases")
   require(phrases.forall(_.nonEmpty), "empty blocklist phrase")
+  // a duplicate phrase would silently overwrite the earlier pid at the
+  // shared trie node, making that phrase id unreachable (ADVICE round 6)
+  require(phrases.distinct.length == phrases.length, "duplicate blocklist phrase")
 
   // Built lazily per executor. Trie over chars; fail links via BFS; each
   // node carries the phrase ending exactly there (-1) and a dictionary

@@ -27,6 +27,10 @@ final class NearestCentroidWorker(centroids: Array[Array[Double]])
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
+      // a dimension mismatch would otherwise silently truncate to a
+      // plausible-looking partial distance (ADVICE round 6)
+      require(arr.numElements() == cent.length,
+        s"vector dim ${arr.numElements()} != centroid dim ${cent.length}")
       var d = 0.0
       var i = 0
       val n = math.min(arr.numElements(), cent.length)
@@ -99,6 +103,8 @@ final class CentroidDistsWorker(centroids: Array[Array[Double]])
       var c = 0
       while (c < centroids.length) {
         val cent = centroids(c)
+        require(arr.numElements() == cent.length,
+          s"vector dim ${arr.numElements()} != centroid dim ${cent.length}")
         var d = 0.0
         var i = 0
         val n = math.min(arr.numElements(), cent.length)

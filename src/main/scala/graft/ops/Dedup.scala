@@ -100,6 +100,24 @@ object Dedup {
     }
   }
 
+  /** Input-size guard for the exact quadratic verifiers (round 6, VERDICT
+    * "what's wrong" #3): containmentPairs / ngramJaccardPairs document
+    * "run on capped input" but previously enforced nothing — exactly the
+    * failure mode behind the round-5 conv-containment incident (360 s at
+    * sf0.1 until the prefix bound landed). The check reads at most
+    * `maxDocs + 1` rows (limit short-circuits the scan); `uncapped = true`
+    * is the explicit opt-in for a caller who has its own bound.
+    */
+  private def guardVerifierInput(docs: DataFrame, maxDocs: Long,
+      uncapped: Boolean, op: String): Unit =
+    if (!uncapped) {
+      val n = docs.limit(math.min(maxDocs + 1, Int.MaxValue.toLong).toInt).count()
+      require(n <= maxDocs,
+        s"$op is an exact quadratic verifier and its input has >= $n docs " +
+          s"(maxDocs = $maxDocs): verify a capped candidate sliver, or opt " +
+          "in explicitly with uncapped = true")
+    }
+
   /** Dev-probe alias for [[cappedPairs]] (stage isolation in Probe6). */
   private[graft] def probeCappedPairs(keyed: DataFrame, keyCols: Seq[String],
       cap: Int, carry: Seq[String] = Nil): DataFrame =
@@ -212,7 +230,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, maxDocs: Long = 100000L,
+      uncapped: Boolean = false): DataFrame = {
+    guardVerifierInput(docs, maxDocs, uncapped, "containmentPairs")
     val sh = Par.widen(docs, col(idCol)).select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -235,7 +255,9 @@ object Dedup {
     * Quadratic in collisions — verification-scale only.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.8, maxDocs: Long = 100000L,
+      uncapped: Boolean = false): DataFrame = {
+    guardVerifierInput(docs, maxDocs, uncapped, "ngramJaccardPairs")
     val sh = Par.widen(docs, col(idCol)).select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))

@@ -216,11 +216,17 @@ object StreamJobs {
     *      (TextOps.normalizeForDedup — case/accent/punct variants collapse),
     *   2) de-duplicated IN-STREAM via `dropDuplicatesWithinWatermark` on
     *      that key (state bounded by the watermark, not the corpus),
-    *   3) filtered against the HISTORICAL corpus with a broadcast Bloom
-    *      bitset probe on the same key — a zero-shuffle codegen filter
-    *      with no false negatives, so every emitted row is definitely
-    *      new in-window AND (up to the filter's false-positive rate,
-    *      which a downstream exact verify resolves) new historically.
+    *   3) PROBED against the HISTORICAL corpus with a broadcast Bloom
+    *      bitset on the same key — a zero-shuffle codegen projection with
+    *      no false negatives, emitted as the `maybe_dup` flag.
+    * Every emitted row is definitely new in-window; `maybe_dup = false`
+    * rows are definitely new historically, and `maybe_dup = true` rows
+    * are EITHER historical duplicates OR the filter's false positives —
+    * the round-5 form filtered them out, silently losing genuinely-new
+    * documents at the fp rate with no way to verify (the batch path,
+    * Dedup.bloomIncremental, keeps flagged rows for an exact semi-join
+    * for exactly this reason). Downstream routes `maybe_dup` rows to the
+    * exact verify and passes the rest straight through.
     * Build the filter with `Dedup.bloomBuild(hist.withColumn("nk", ...),
     * textCol = "nk")` so both sides key identically.
     */
@@ -232,9 +238,7 @@ object StreamJobs {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("nk")
     graft.ops.Dedup.bloomProbe(keyed, historical, textCol = "nk",
-        mBits = mBits, k = k)
-      .filter(!col("maybe_dup"))
-      .drop("maybe_dup")
+      mBits = mBits, k = k)
   }
 
   /** Probabilistic sampling policy (`signoztailsampler` evaluator semantics,

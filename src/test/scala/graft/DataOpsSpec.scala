@@ -542,6 +542,23 @@ class DataOpsSpec extends SparkSuite {
       1L -> ((5L, 15L)), 10L -> ((2L, 21L)), 20L -> ((3L, 63L))))
   }
 
+  test("exact-verifier guard: quadratic pairs ops refuse oversized input " +
+      "unless uncapped is explicit") {
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "c d e f"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, maxDocs = 2L)
+    }
+    assert(e1.getMessage.contains("uncapped"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, maxDocs = 2L)
+    }
+    assert(e2.getMessage.contains("uncapped"))
+    // explicit opt-in still works
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.0, maxDocs = 2L,
+      uncapped = true).count() > 0)
+  }
+
   test("connected components: distributed pointer-jump loop (forced past " +
       "the local union-find fast path) matches the same fixpoint") {
     // localEdgeThreshold=0 forces the RDD propagate+jump rounds; the

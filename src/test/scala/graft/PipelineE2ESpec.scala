@@ -302,13 +302,21 @@ class PipelineE2ESpec extends SparkSuite {
         (4L, "BRAND new doc?", 20L),
         (5L, "another fresh doc", 30L)))
       q.processAllAvailable()
-      val ids = spark.table("graft_ingest").select("doc_id")
-        .collect().map(_.getLong(0)).toSet
+      // round 6 (ADVICE): flagged rows are EMITTED with maybe_dup=true
+      // instead of silently dropped — a Bloom false positive would
+      // otherwise be an unrecoverable loss of a genuinely-new document;
+      // downstream exact-verifies the flagged sliver (the batch
+      // Dedup.bloomIncremental contract).
+      val rows = spark.table("graft_ingest").select("doc_id", "maybe_dup")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       // one representative of the in-batch pair {1,3} (which one survives
-      // is unspecified within a micro-batch), the fresh doc 5, and nothing
-      // else: 2 bloom-dropped, 4 watermark-state-dropped
-      assert(ids.size == 2 && ids.contains(5L) &&
-        (ids - 5L).subsetOf(Set(1L, 3L)))
+      // is unspecified within a micro-batch) and the fresh doc 5 are
+      // definitely-new; the historical variant 2 is emitted FLAGGED;
+      // 4 stays watermark-state-dropped
+      assert(rows.size == 3 && rows.contains(5L) && rows(5L) == false)
+      assert(rows(2L) == true)
+      assert((rows.keySet - 5L - 2L).subsetOf(Set(1L, 3L)))
+      assert((rows.keySet - 5L - 2L).forall(rows(_) == false))
     } finally q.stop()
   }
 }
