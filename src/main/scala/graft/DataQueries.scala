@@ -196,9 +196,15 @@ object DataQueries {
     // chunks (the splitter itself is regex-parameterized and spec-tested on
     // real \n\n text)
     "q_para_dedup" -> ((s, d) => {
-      val tokens = split(trim(col("text")), "\\s+")
+      // round 6: materialize the token array ONCE per row (fenced
+      // projection — the LmScore/Dsir pattern): inlined into the chunk
+      // lambda, `split(trim(text))` re-evaluated per chunk index
+      val tokDf = docs(s, d).select(col("doc_id"),
+        graft.functions.OptimizerFence(split(trim(col("text")), "\\s+"))
+          .as("__t"))
+      val tokens = col("__t")
       val nChunks = ceil(size(tokens) / lit(10.0)).cast("int")
-      val paras = docs(s, d).select(col("doc_id"),
+      val paras = tokDf.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
             i => concat_ws(" ", slice(tokens, i * 10 + 1, lit(10)))))
             .as(Seq("para_idx", "para")))

@@ -61,6 +61,10 @@ object Probe6 {
         .agg(count(lit(1))).collect().head.getLong(0))
 
     // minhash at 500k
+    time("dup_clusters_cc (500k)")(
+      Dedup.dupClusters(Dedup.minhashCandidates(d, shingleN = 3, k = 16,
+        bands = 4, maxBandGroup = 256)).agg(count(lit(1))).collect().head.getLong(0))
+
     time("dedup_minhash (500k)")(
       Dedup.minhashCandidates(d, shingleN = 3, k = 16, bands = 4,
         maxBandGroup = 256).agg(count(lit(1))).collect().head.getLong(0))

@@ -355,37 +355,34 @@ object Dedup {
     * Returns (id, label) for every node appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 50, localEdgeThreshold: Long = 500000L): DataFrame = {
-    // Round-6 shape: the fixpoint runs over RDD[(Long, Long)] instead of
-    // re-planned DataFrames. Every producer keys this op by a BIGINT id
-    // (doc_id / vec_id / conv_id), and a driver loop of DataFrame rounds
-    // pays Catalyst analysis + codegen + AQE re-optimization PER ROUND —
-    // measured ~1.5 s/round at sf0.1 against microseconds of data work
-    // (the semdedup cosine graph is a 25-deep chain: ~36 s in the loop,
-    // <0.1 s of actual joins). The RDD loop pays none of that, and the
-    // edge list is hash-partitioned by src ONCE so the per-round
-    // edges⋈labels join is co-partitioned — at billion-edge scale each
-    // round shuffles only the neighbor-min deltas, not the edge list.
-    //
-    // Pointer jump (path doubling): after one propagation hop, label <-
-    // min(label, label(label)). Every label value IS a node id, so the
-    // lookup is total; labels only decrease and are bounded by the
-    // component min, so the fixpoint (label = min id in component) is
-    // unchanged — stationarity still implies label(u)=label(v) across
-    // every edge. Rounds drop from O(diameter) to O(log diameter) — the
-    // Kiveris et al. contraction bound with a plain-join implementation.
+      maxIters: Int = 50, localEdgeThreshold: Long = 2000000L): DataFrame = {
+    // Round-6 shape, two regimes picked by the MEASURED edge count:
+    //  - SMALL graphs (<= localEdgeThreshold pairs): one executor-side
+    //    union-find task. A driver loop of DataFrame rounds pays Catalyst
+    //    analysis + codegen + AQE re-optimization PER ROUND (~1.5 s/round
+    //    at sf0.1 against microseconds of data work, and the semdedup
+    //    cosine graph is a 25-deep chain — O(diameter) rounds: ~36 s in
+    //    the loop, <0.1 s of joins). The union-find finishes the whole
+    //    graph in ONE task — the Kiveris et al. termination step ("once
+    //    the graph fits one machine, finish locally"), still executor-side
+    //    mapPartitions, never a driver collect.
+    //  - LARGE graphs: the Tungsten DataFrame fixpoint below, where
+    //    per-round planning is noise against real shuffle work (an
+    //    RDD-tuple loop measured ~40% slower at 6 M edges — object
+    //    tuples lose to codegen rows once data dominates).
+    // Every producer keys this op by a BIGINT id (doc_id / vec_id /
+    // conv_id), so the pair list is evaluated ONCE into a persisted
+    // RDD[(Long, Long)] that both regimes (and the threshold count) share.
     val spark = pairs.sparkSession
     val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val raw = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(memDisk)
-    // partition count from the MEASURED edge count (guide §2:
-    // scale-adaptive, never a constant): ~1M symmetric edges per
-    // partition, clamped to the host width. A tiny candidate graph runs
-    // its rounds as single-task stages instead of `defaultParallelism`
-    // empty tasks per shuffle per round; a billion-edge graph still
-    // spreads host-wide.
-    val nPairs = raw.count()
+    // ONE evaluation of the (possibly expensive) pair-producing plan into
+    // an eager checkpoint — a symmetrizing union would reference (and
+    // re-execute) the candidate plan twice; the regime choice below is a
+    // count over the cached blocks (cheap)
+    val rawDf = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val nPairs = rawDf.count()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = true),
@@ -398,6 +395,7 @@ object Dedup {
     // no per-round scheduling at all. Still executor-side mapPartitions,
     // never a driver collect.
     if (nPairs <= localEdgeThreshold) {
+      val raw = rawDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
       val labels = raw.coalesce(1).mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
@@ -419,46 +417,41 @@ object Dedup {
         ids.iterator.map(id => (id, find(id)))
       }.persist(memDisk)
       labels.count()
-      raw.unpersist(blocking = false)
       return spark.createDataFrame(
         labels.map { case (id, l) => org.apache.spark.sql.Row(id, l) }, schema)
     }
-    val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (nPairs * 2 / 1000000L).toInt + 1))
-    val part = new org.apache.spark.HashPartitioner(p)
-    val edges = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .distinct(p).partitionBy(part)
-      .persist(memDisk)
-    var labels = edges.keys.distinct(p).map(id => (id, id)).partitionBy(part)
-      .persist(memDisk)
-    labels.count()
-    raw.unpersist(blocking = false)
-    def sumLabels(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
-      rdd.aggregate(0L)((acc, kv) => acc + kv._2, _ + _)
-    var prevSum = sumLabels(labels)
+    // LARGE graphs: the round-5 Tungsten DataFrame fixpoint, reading the
+    // checkpointed pair list (cache scans, never the producing plan).
+    // Each round is ONE shuffle (join labels to edges on src + re-min on
+    // dst) and the convergence probe is a scalar sum — labels only
+    // decrease, so the sum is stationary iff the labeling is a fixpoint;
+    // localCheckpoint truncates the per-round lineage.
+    val edges = rawDf.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(rawDf.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val nbrMin = edges.join(labels, part)
-        .map { case (_, (dst, slabel)) => (dst, slabel) }
-        .reduceByKey(part, (a, b) => math.min(a, b))
-      val prop = labels.leftOuterJoin(nbrMin, part)
-        .mapValues { case (l, o) => math.min(l, o.getOrElse(l)) }
-      val next = prop.map { case (id, l) => (l, id) }
-        .join(prop, part)
-        .map { case (l, (id, ll)) => (id, math.min(l, ll)) }
-        .partitionBy(part)
-        .persist(memDisk)
-      val nextSum = sumLabels(next) // materializes `next`
-      labels.unpersist(blocking = false)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("slabel")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("slabel")).as("nlabel"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       it += 1
     }
-    edges.unpersist(blocking = false)
-    spark.createDataFrame(
-      labels.map { case (id, l) => org.apache.spark.sql.Row(id, l) }, schema)
+    labels.select(col("id"), col("label"))
   }
 
   /** Duplicate clusters from near-dup pairs: one row per connected

@@ -559,10 +559,10 @@ class DataOpsSpec extends SparkSuite {
       uncapped = true).count() > 0)
   }
 
-  test("connected components: distributed pointer-jump loop (forced past " +
+  test("connected components: distributed fixpoint loop (forced past " +
       "the local union-find fast path) matches the same fixpoint") {
-    // localEdgeThreshold=0 forces the RDD propagate+jump rounds; the
-    // 12-node path needs >1 plain round, so the jump path is exercised
+    // localEdgeThreshold=0 forces the distributed DataFrame rounds; the
+    // 12-node path needs many propagation rounds, exercising convergence
     val pairs = ((1L to 11L).map(i => (i, i + 1)) ++ Seq((30L, 31L)))
       .toDF("a", "b")
     val labels = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
