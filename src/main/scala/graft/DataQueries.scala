@@ -111,14 +111,17 @@ object DataQueries {
       if (!new java.io.File(s"$idx/_SUCCESS").exists)
         Similarity.buildSigIndex(e.filter(col("vec_id") =!= 0), idx, planes = 6)
       val q = e.filter(col("vec_id") === 0)
-      val res = Similarity.lshTopKIndexed(s, idx, q, k = 10, planes = 6)
+      val res0 = Similarity.lshTopKIndexed(s, idx, q, k = 10, planes = 6)
       // force execution of THIS DataFrame's plan so the scan metrics fill
       // (inputFiles ignores partition filters; the scan's own numFiles is
-      // the pruned truth), then assert only probe-bucket files were read
-      res.collect()
+      // the pruned truth), then assert only probe-bucket files were read.
+      // Round 6: checkpoint that single execution — the assertion's action
+      // previously ran the full ANN plan once and the caller's action ran
+      // it a second time; the returned frame now reads the 10 cached rows.
+      val res = res0.localCheckpoint()
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      val plan = res.queryExecution.executedPlan match {
+      val plan = res0.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
